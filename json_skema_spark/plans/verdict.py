@@ -1,0 +1,122 @@
+"""Verdict assembly: compiled plan -> (passed, failures) columns -> violations.
+
+Mirrors the reference's output contract: ``Validator.validate`` returns null
+on pass or a ``ValidationFailure`` tree (Validator.kt:163-182); failures
+carry keyword / schemaRef / instanceRef / dynamicPath / message
+(``ValidationFailure.toJSON()``, ValidationFailure.kt:35-50) and ``flatten()``
+yields leaf failures (ValidationFailure.kt:56-59). Our exploded violations
+table is the distributed equivalent, plus north-rule lineage:
+``partition_id`` (per-partition provenance) and the row key.
+
+Scale notes:
+- ``apply(..., mode="verdict")`` only builds the boolean column; Catalyst
+  prunes every failure-struct expression, so the verdict path is pure
+  whole-stage-codegen boolean algebra.
+- ``violations`` filters to failing rows *before* exploding, so shuffle-free
+  and proportional to the violation count, not the table size.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from json_skema_spark.plans.compile import Compiled, Compiler
+
+VIOLATION_COLUMNS = [
+    "row_key", "keyword", "keyword_location", "instance_location",
+    "dynamic_path", "message", "partition_id",
+]
+
+
+class ValidationPlan:
+    """A schema compiled against a fixed table StructType."""
+
+    def __init__(self, compiler: Compiler, struct_type: T.StructType):
+        self.compiler = compiler
+        self.struct_type = struct_type
+        self._compiled: Compiled = compiler.compile_root(struct_type)
+
+    @property
+    def passed(self) -> Column:
+        return self._compiled.passed
+
+    @property
+    def failures(self) -> Column:
+        return self._compiled.failures
+
+    def apply(self, df: DataFrame, mode: str = "full") -> DataFrame:
+        """Add ``passed`` (and in full mode ``failures``) columns."""
+        if mode == "verdict":
+            return df.withColumn("passed", self._compiled.passed)
+        return df.withColumn("passed", self._compiled.passed) \
+                 .withColumn("failures", self._compiled.failures)
+
+    def violations(self, df: DataFrame, row_key: str | Column) -> DataFrame:
+        """Explode per-row failures to one violation per row, with lineage.
+
+        Output schema matches FIXTURES.md §5 (reference
+        ValidationFailure.toJSON() fields + row key + partition id).
+        """
+        key = F.col(row_key) if isinstance(row_key, str) else row_key
+        base = df.select(
+            key.cast("string").alias("row_key"),
+            self._compiled.passed.alias("passed"),
+            self._compiled.failures.alias("failures"),
+            F.spark_partition_id().alias("partition_id"),
+        )
+        return (
+            base.filter(~F.col("passed"))
+            .select("row_key", F.explode("failures").alias("f"), "partition_id")
+            .select(
+                "row_key",
+                F.col("f.keyword").alias("keyword"),
+                F.col("f.keyword_location").alias("keyword_location"),
+                F.col("f.instance_location").alias("instance_location"),
+                F.col("f.dynamic_path").alias("dynamic_path"),
+                F.col("f.message").alias("message"),
+                "partition_id",
+            )
+        )
+
+    def summary(self, df: DataFrame) -> DataFrame:
+        """Per-keyword-location violation counts + overall pass rate input.
+
+        Map-side partial aggregation applies (hash agg); output cardinality is
+        bounded by the number of schema keywords, so the final shuffle is tiny
+        regardless of input scale.
+        """
+        return (
+            df.select(self._compiled.failures.alias("failures"))
+            .select(F.explode("failures").alias("f"))
+            .groupBy(
+                F.col("f.keyword").alias("keyword"),
+                F.col("f.keyword_location").alias("keyword_location"),
+            )
+            .agg(F.count("*").alias("n_violations"))
+        )
+
+    def verdict_counts(self, df: DataFrame) -> DataFrame:
+        return (
+            df.select(self._compiled.passed.alias("passed"))
+            .groupBy("passed").agg(F.count("*").alias("n_rows"))
+        )
+
+
+def validate(df: DataFrame, schema_doc: Any, *, row_key: str | None = None,
+             mode: str = "full", **compiler_kwargs) -> DataFrame:
+    """One-shot convenience: compile + apply.
+
+    ``validate(df, schema)`` -> df + passed/failures columns;
+    ``validate(df, schema, row_key='clip_id', mode='violations')`` ->
+    exploded violations table.
+    """
+    plan = ValidationPlan(Compiler(schema_doc, **compiler_kwargs), df.schema)
+    if mode == "violations":
+        if row_key is None:
+            raise ValueError("row_key required for violations mode")
+        return plan.violations(df, row_key)
+    return plan.apply(df, mode=mode)
