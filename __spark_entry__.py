@@ -1,38 +1,375 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: validate the orders table at sf0.001 and return
+the exploded violations DataFrame.
+
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY.md §2, DuckDB-cross-checkable at sf0.01. Every computed column is
+aliased identically on both sides (the driver's compare sorts columns by
+name and hashes values).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from json_skema_spark import compile_schema
+from json_skema_spark.functions import text as jtext
+from json_skema_spark.operators import dedup, referential, similarity, stats, uniqueness
+
+SF0001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# schemas under validation (draft 2020-12 keyword coverage over driver tables)
+# ---------------------------------------------------------------------------
+
+ORDERS_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "o_orderstatus": {"enum": ["O", "F"]},
+        "o_totalprice": {"type": "number", "exclusiveMinimum": 0, "maximum": 400000},
+        "o_orderpriority": {"type": "string", "pattern": "^[1-5]-"},
+    },
+    "required": ["o_orderkey", "o_custkey"],
+}
+
+LINEITEM_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "l_quantity": {"minimum": 1, "maximum": 45},
+        "l_discount": {"maximum": 0.08},
+        "l_returnflag": {"enum": ["A", "N", "R"]},
+        "l_linestatus": {"enum": ["O"]},
+        "l_linenumber": {"type": "integer", "multipleOf": 2},
+        "l_extendedprice": {"exclusiveMinimum": 0},
+    },
+    "required": ["l_orderkey", "l_partkey"],
+}
+
+EMBED_QUERY = [1.0] + [0.0] * 63  # fixed probe vector for top-k
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: schema-validate orders at sf0.001 -> violations table."""
+    orders = _t(spark, SF0001, "orders")
+    plan = compile_schema(ORDERS_SCHEMA, orders.schema)
+    return plan.violations(orders, "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_orders_verdict(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    plan = compile_schema(ORDERS_SCHEMA, orders.schema)
+    return plan.apply(orders, mode="verdict").select("o_orderkey", "passed")
+
+
+def _q_orders_violations(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    plan = compile_schema(ORDERS_SCHEMA, orders.schema)
+    return plan.violations(orders, "o_orderkey").drop("partition_id")
+
+
+def _q_lineitem_verdict(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    plan = compile_schema(LINEITEM_SCHEMA, li.schema)
+    return plan.apply(li, mode="verdict").select(
+        "l_orderkey", "l_linenumber", "passed")
+
+
+def _q_lineitem_violation_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    plan = compile_schema(LINEITEM_SCHEMA, li.schema)
+    return plan.summary(li)
+
+
+def _q_duplicate_orderkeys(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return uniqueness.duplicate_keys(li, "l_orderkey") \
+        .select(F.col("key").alias("l_orderkey"), "n_rows")
+
+
+def _q_customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return referential.orphans(c, o.select(F.col("o_custkey").alias("c_custkey")),
+                               "c_custkey").select("c_custkey")
+
+
+def _q_profile_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"]
+    return stats.profile(li, cols, exact_distinct=True).select(
+        "column_name", "n_rows", "null_fraction", "min_value", "max_value",
+        F.col("approx_distinct").alias("n_distinct"))
+
+
+def _q_exact_dup_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs, "text", "doc_id") \
+        .select("digest", "n_docs", F.col("doc_ids").cast("array<string>").alias("doc_ids"))
+
+
+def _q_token_stats_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        jtext.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def _q_lang_id_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", jtext.language_id(F.col("text")).alias("lang_guess"))
+
+
+def _q_quality_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", jtext.quality_score(F.col("text")).alias("quality"))
+
+
+def _q_fingerprint_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", jtext.fingerprint(F.col("text")).alias("fp"))
+
+
+def _q_topk_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    top = similarity.cosine_topk(emb, "embedding", "vec_id", EMBED_QUERY, k=10)
+    return top.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def _q_minhash_pairs_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(docs, "text", "doc_id",
+                                          jaccard_threshold=0.5)
+    return pairs.select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_simhash_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", dedup.simhash(F.col("text")).alias("fp"))
+
+
+def _q_canonical_order_per_customer(spark, sf_dir):
+    from pyspark.sql import Window as W
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+    return (o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select("o_custkey", "o_orderkey"))
+
+
+def _q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("sum_disc_price"),
+             F.count("*").alias("count_order"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "validate_orders_verdict": _q_orders_verdict,
+        "validate_orders_violations": _q_orders_violations,
+        "validate_lineitem_verdict": _q_lineitem_verdict,
+        "lineitem_violation_summary": _q_lineitem_violation_summary,
+        "unique_duplicate_orderkeys": _q_duplicate_orderkeys,
+        "referential_customers_without_orders": _q_customers_without_orders,
+        "profile_lineitem": _q_profile_lineitem,
+        "dedup_exact_documents": _q_exact_dup_documents,
+        "text_token_stats": _q_token_stats_documents,
+        "text_lang_id": _q_lang_id_documents,
+        "text_quality": _q_quality_documents,
+        "text_fingerprint": _q_fingerprint_documents,
+        "similarity_topk_embeddings": _q_topk_embeddings,
+        "dedup_minhash_pairs": _q_minhash_pairs_documents,
+        "dedup_simhash_fingerprints": _q_simhash_documents,
+        "window_canonical_order": _q_canonical_order_per_customer,
+        "agg_pricing_summary": _q_pricing_summary,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_ORDERS_PASS = """
+    (o_orderstatus IS NULL OR o_orderstatus IN ('O','F'))
+    AND (o_totalprice IS NULL OR (o_totalprice > 0 AND o_totalprice <= 400000))
+    AND (o_orderpriority IS NULL OR regexp_matches(o_orderpriority, '^[1-5]-'))
+    AND o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+"""
+
+_LINEITEM_PASS = """
+    (l_quantity IS NULL OR (l_quantity >= 1 AND l_quantity <= 45))
+    AND (l_discount IS NULL OR l_discount <= 0.08)
+    AND (l_returnflag IS NULL OR l_returnflag IN ('A','N','R'))
+    AND (l_linestatus IS NULL OR l_linestatus = 'O')
+    AND (l_linenumber IS NULL OR l_linenumber % 2 = 0)
+    AND (l_extendedprice IS NULL OR l_extendedprice > 0)
+    AND l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+"""
+
+_LINEITEM_VIOLS = """
+    SELECT 'minimum' AS keyword, '#/properties/l_quantity/minimum' AS keyword_location
+    FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity < 1
+    UNION ALL
+    SELECT 'maximum', '#/properties/l_quantity/maximum'
+    FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity > 45
+    UNION ALL
+    SELECT 'maximum', '#/properties/l_discount/maximum'
+    FROM lineitem WHERE l_discount IS NOT NULL AND l_discount > 0.08
+    UNION ALL
+    SELECT 'enum', '#/properties/l_returnflag/enum'
+    FROM lineitem WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R')
+    UNION ALL
+    SELECT 'enum', '#/properties/l_linestatus/enum'
+    FROM lineitem WHERE l_linestatus IS NOT NULL AND l_linestatus <> 'O'
+    UNION ALL
+    SELECT 'multipleOf', '#/properties/l_linenumber/multipleOf'
+    FROM lineitem WHERE l_linenumber IS NOT NULL AND l_linenumber % 2 <> 0
+    UNION ALL
+    SELECT 'exclusiveMinimum', '#/properties/l_extendedprice/exclusiveMinimum'
+    FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_extendedprice <= 0
+    UNION ALL
+    SELECT 'required', '#/required'
+    FROM lineitem WHERE l_orderkey IS NULL OR l_partkey IS NULL
+"""
+
+_TOKENS = ("list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+           "x -> x <> '')")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "validate_orders_verdict": f"""
+            SELECT o_orderkey, {_ORDERS_PASS} AS passed FROM orders
+        """,
+        "validate_orders_violations": f"""
+            SELECT CAST(o_orderkey AS VARCHAR) AS row_key, 'enum' AS keyword,
+                   '#/properties/o_orderstatus/enum' AS keyword_location,
+                   '#/o_orderstatus' AS instance_location,
+                   '#/properties/o_orderstatus/enum' AS dynamic_path,
+                   'the instance is not equal to any enum values' AS message
+            FROM orders
+            WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F')
+            UNION ALL
+            SELECT CAST(o_orderkey AS VARCHAR), 'exclusiveMinimum',
+                   '#/properties/o_totalprice/exclusiveMinimum', '#/o_totalprice',
+                   '#/properties/o_totalprice/exclusiveMinimum',
+                   CAST(o_totalprice AS VARCHAR) || ' is lower than or equal to minimum 0'
+            FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice <= 0
+            UNION ALL
+            SELECT CAST(o_orderkey AS VARCHAR), 'maximum',
+                   '#/properties/o_totalprice/maximum', '#/o_totalprice',
+                   '#/properties/o_totalprice/maximum',
+                   CAST(o_totalprice AS VARCHAR) || ' is greater than maximum 400000'
+            FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 400000
+            UNION ALL
+            SELECT CAST(o_orderkey AS VARCHAR), 'pattern',
+                   '#/properties/o_orderpriority/pattern', '#/o_orderpriority',
+                   '#/properties/o_orderpriority/pattern',
+                   'instance value did not match pattern ^[1-5]-'
+            FROM orders
+            WHERE o_orderpriority IS NOT NULL
+              AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+            UNION ALL
+            SELECT CAST(o_orderkey AS VARCHAR), 'required', '#/required', '#',
+                   '#/required', 'required properties are missing: o_orderkey, o_custkey'
+            FROM orders WHERE o_orderkey IS NULL AND o_custkey IS NULL
+        """,
+        "validate_lineitem_verdict": f"""
+            SELECT l_orderkey, l_linenumber, {_LINEITEM_PASS} AS passed FROM lineitem
+        """,
+        "lineitem_violation_summary": f"""
+            SELECT keyword, keyword_location, count(*) AS n_violations
+            FROM ({_LINEITEM_VIOLS}) GROUP BY keyword, keyword_location
+        """,
+        "unique_duplicate_orderkeys": """
+            SELECT l_orderkey, count(*) AS n_rows FROM lineitem
+            GROUP BY l_orderkey HAVING count(*) > 1
+        """,
+        "referential_customers_without_orders": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+        """,
+        "profile_lineitem": """
+            SELECT 'l_orderkey' AS column_name, count(*) AS n_rows,
+                   avg(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_fraction,
+                   CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+                   CAST(max(l_orderkey) AS VARCHAR) AS max_value,
+                   count(DISTINCT l_orderkey) AS n_distinct
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', count(*),
+                   avg(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+                   CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR),
+                   count(DISTINCT l_quantity)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', count(*),
+                   avg(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+                   CAST(min(l_extendedprice) AS VARCHAR), CAST(max(l_extendedprice) AS VARCHAR),
+                   count(DISTINCT l_extendedprice)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', count(*),
+                   avg(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+                   CAST(min(l_discount) AS VARCHAR), CAST(max(l_discount) AS VARCHAR),
+                   count(DISTINCT l_discount)
+            FROM lineitem
+        """,
+        "dedup_exact_documents": """
+            SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS digest,
+                   count(*) AS n_docs,
+                   list_sort(list(CAST(doc_id AS VARCHAR))) AS doc_ids
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "text_token_stats": f"""
+            SELECT doc_id, len({_TOKENS}) AS n_tokens,
+                   length(text) AS n_chars_actual
+            FROM documents
+        """,
+        "similarity_topk_embeddings": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                         [1.0] || [0.0 for _ in range(63)]), 6) AS score
+            FROM embeddings
+            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                     [1.0] || [0.0 for _ in range(63)]) DESC, vec_id
+            LIMIT 10
+        """,
+        "window_canonical_order": """
+            SELECT o_custkey, o_orderkey FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS rn
+                FROM orders) WHERE rn = 1
+        """,
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        # text_lang_id / text_quality / text_fingerprint /
+        # dedup_minhash_pairs / dedup_simhash_fingerprints: engine-specific
+        # hash/heuristic pipelines, not ANSI-SQL-expressible -> rows-only check
+    }

@@ -1,0 +1,97 @@
+"""Text-analysis functions for training-data pipelines, all JVM-side.
+
+No reference analogue (json-sKema constrains structure, not content);
+these extend the engine the way ``format`` extends ``type`` — content-level
+predicates. Every function returns a ``Column`` built purely from
+``pyspark.sql.functions`` so it rides whole-stage codegen; nothing here
+drops to Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small per-language stopword marker sets for the n-gram heuristic
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "des", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "por", "con", "para"],
+    "hu": ["a", "az", "és", "hogy", "nem", "egy", "van", "de", "is", "meg"],
+}
+
+_BPE_ISH = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens (lowercased)."""
+    return F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish token count: alpha runs, digit runs, single punctuation —
+    ``regexp_count`` keeps it in codegen."""
+    return F.regexp_count(col, F.lit(_BPE_ISH))
+
+
+def language_id(col: Column) -> Column:
+    """n-gram/stopword-ratio language guess over the marker sets; returns the
+    language with the highest stopword hit count, 'und' (undetermined) if no
+    hits."""
+    toks = tokens(col)
+
+    def hits(words):
+        # single-arg lambda: pyspark passes the index too if the lambda
+        # declares a second parameter, so the word list must close over
+        ws = list(words)
+        return F.size(F.filter(toks, lambda t: t.isin(*ws)))
+
+    scores = [(lang, hits(words)) for lang, words in _STOPWORDS.items()]
+    best_score = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # iterate reversed so earlier languages win ties deterministically
+    for lang, s in reversed(scores):
+        out = F.when((s == best_score) & (best_score > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0,1]: blend of length band, alpha
+    ratio, punctuation ratio, mean word length band, stopword presence."""
+    n_chars = F.length(col)
+    n_alpha = F.regexp_count(col, F.lit(r"[A-Za-z]"))
+    n_punct = F.regexp_count(col, F.lit(r"[^\w\s]"))
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    mean_wl = F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    len_band = F.when((n_chars >= 100) & (n_chars <= 20000), F.lit(1.0)) \
+        .when(n_chars > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    wl_band = F.when((mean_wl >= 3.0) & (mean_wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.4))
+    punct_band = F.when(punct_ratio <= 0.2, F.lit(1.0)).otherwise(F.lit(0.3))
+    return F.round(
+        0.3 * len_band + 0.3 * alpha_ratio + 0.2 * wl_band + 0.2 * punct_band
+        - 0.0 * punct_ratio, 6)
+
+
+def fingerprint(col: Column, *, modulus: int = (1 << 31) - 1, base: int = 257) -> Column:
+    """Order-sensitive rolling polynomial hash over tokens (document
+    fingerprint): ``h = (h*base + xxhash64(token) mod p) mod p`` via
+    ``aggregate``. Token hashes are reduced mod p *before* accumulating so
+    ``acc*base + h`` never exceeds ~2^40 — ANSI-safe (Spark 4 overflows
+    loudly on long arithmetic)."""
+    toks = tokens(col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(
+            acc * F.lit(base) + F.pmod(F.xxhash64(t), F.lit(modulus)),
+            F.lit(modulus)),
+    )

@@ -1,0 +1,221 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+No reference analogue (json-sKema is single-document); these generalize its
+``uniqueItems`` semantics (Validator.kt:692-708) to content-level duplicate
+detection over a documents table:
+
+- exact: hash-groupBy on a content digest (md5 — same algorithm in Spark and
+  DuckDB, so oracle-comparable)
+- MinHash + LSH: shingle -> per-seed min-hash -> band -> bucket join;
+  candidates verified by exact n-gram Jaccard
+- SimHash: 64-bit bit-vote fingerprint, banded for candidate generation
+- embedding near-dup lives in operators/similarity.py (shared LSH machinery)
+
+Everything below is pure ``pyspark.sql.functions`` (whole-stage codegen; the
+only shuffles are the groupBys on digest/band, which are the minimal
+theoretical shuffles for the operation). Hash seeds are compile-time
+constants, so results are deterministic and resumable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# -- exact ------------------------------------------------------------------
+
+def content_digest(col: Column, *, normalize: bool = True) -> Column:
+    """md5 digest of (optionally whitespace/case-normalized) text."""
+    c = col
+    if normalize:
+        c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return F.md5(c)
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str, *,
+                     normalize: bool = True) -> DataFrame:
+    """Digest groups with >1 member: ``(digest, n_docs, doc_ids)``.
+
+    Two-phase hash agg (map-side combine) on the digest; only digests+ids
+    shuffle, never the document text.
+    """
+    d = df.select(F.col(id_col).alias("doc_id"),
+                  content_digest(F.col(text_col), normalize=normalize).alias("digest"))
+    return (
+        d.groupBy("digest")
+        .agg(F.count("*").alias("n_docs"),
+             F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# -- shingling + MinHash ----------------------------------------------------
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (JVM-side)."""
+    tokens = F.split(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " ")
+    k = F.greatest(F.size(tokens) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(tokens, i, n), " "),
+        )
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64,
+                      seed: int = 42) -> Column:
+    """Array of ``num_hashes`` min-hash values (xxhash64 with distinct salts).
+
+    Deterministic: salts are ``seed + i`` literals baked into the plan.
+    """
+    def min_hash(salt: int) -> Column:
+        # single-arg lambda on purpose: a two-parameter lambda would receive
+        # the element index as its second argument
+        return F.array_min(F.transform(shingle_col,
+                                       lambda s: F.xxhash64(s, F.lit(salt))))
+
+    return F.array(*[min_hash(seed + i) for i in range(num_hashes)])
+
+
+def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
+                            shingle_n: int = 3, num_hashes: int = 64,
+                            bands: int = 16, seed: int = 42,
+                            jaccard_threshold: float = 0.8,
+                            verify: bool = True) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH.
+
+    Pipeline: shingle -> signature -> split into ``bands`` bands of
+    ``num_hashes // bands`` rows -> hash each band -> explode -> groupBy
+    (band, band_hash) bucket join -> candidate pairs -> (optional) exact
+    Jaccard verification on the shingle sets.
+
+    Scale: the only all-to-all movement is the exploded (band_hash, id)
+    pairs — ``bands`` rows per document, independent of document length.
+    Candidate verification re-joins shingle sets only for candidate ids
+    (semi-join pruned). Output: ``(doc_id_a, doc_id_b, jaccard)`` with
+    ``doc_id_a < doc_id_b``.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
+
+    banded = base.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
+                             for r in range(rows_per_band)]).alias("band_hash"),
+            )
+            for b in range(bands)
+        ])).alias("bh"),
+    ).select("doc_id", F.col("bh.band").alias("band"),
+             F.col("bh.band_hash").alias("band_hash"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, on=["band", "band_hash"], how="inner")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_id_a"),
+                F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand.withColumn("jaccard", F.lit(None).cast("double"))
+
+    sh = base.select("doc_id", "sh")
+    pairs = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_id_a")
+                  .withColumnRenamed("sh", "sh_a"), "doc_id_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_id_b")
+              .withColumnRenamed("sh", "sh_b"), "doc_id_b")
+    )
+    jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+           / F.size(F.array_union("sh_a", "sh_b")))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def ngram_jaccard(df_pairs: DataFrame, left_text: str, right_text: str,
+                  n: int = 3) -> Column:
+    """Exact n-gram Jaccard between two text columns of a pair DataFrame."""
+    a = shingles(F.col(left_text), n)
+    b = shingles(F.col(right_text), n)
+    return (F.size(F.array_intersect(a, b)).cast("double")
+            / F.size(F.array_union(a, b)))
+
+
+# -- SimHash ----------------------------------------------------------------
+
+SIMHASH_BITS = 48  # 4 chunks x 12 bits; 2^i stays exactly representable
+
+
+def simhash(col: Column, *, bits: int = SIMHASH_BITS, seed: int = 42) -> Column:
+    """Bit-vote SimHash fingerprint of a text column, entirely JVM-side.
+
+    Each token hashes to 64 bits (xxhash64); bit b of the fingerprint is the
+    sign of the vote sum over tokens. Implemented with higher-order functions
+    (aggregate / zip_with) so it stays in codegen — no Python in the loop.
+    Bit masks are ``pow(2, i)`` (exact in double for i <= 52), because
+    ``shiftleft`` requires a static shift amount.
+    """
+    tokens = F.array_distinct(
+        F.split(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " "))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed)))
+    masks = F.transform(F.sequence(F.lit(0), F.lit(bits - 1)),
+                        lambda i: F.pow(F.lit(2.0), i).cast("long"))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, F.lit(1))
+            .otherwise(F.lit(-1)),
+        ),
+    )
+    pairs = F.zip_with(votes, masks,
+                       lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(pairs, F.lit(0).cast("long"),
+                       lambda acc, x: acc.bitwiseOR(x))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two fingerprints (popcount via bit_count)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
+                            max_hamming: int = 3, seed: int = 42) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 48-bit fingerprint into 4 12-bit
+    chunks (pigeonhole: any pair within hamming distance 3 shares at least
+    one exact chunk), bucket-join on chunks, verify hamming distance."""
+    fp = df.select(F.col(id_col).alias("doc_id"),
+                   simhash(F.col(text_col), seed=seed).alias("fp"))
+    chunks = fp.select(
+        "doc_id", "fp",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk"),
+                     F.shiftrightunsigned(F.col("fp"), 12 * i)
+                     .bitwiseAND(F.lit(0xFFF)).alias("val"))
+            for i in range(4)
+        ])).alias("c"),
+    ).select("doc_id", "fp", F.col("c.chunk").alias("chunk"),
+             F.col("c.val").alias("val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, on=["chunk", "val"], how="inner")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_id_a"),
+                F.col("b.doc_id").alias("doc_id_b"),
+                hamming64(F.col("a.fp"), F.col("b.fp")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,66 @@
+"""Distribution-drift scoring vs a baseline profile (north rule; no direct
+reference analogue — SURVEY.md §2.f "approx distinct / quantiles / drift").
+
+A *profile* is the output of ``operators.stats.profile`` (FIXTURES.md §3).
+Drift compares a current profile against a baseline one and flags columns
+whose null-fraction delta, distinct-count ratio, or quantile shift exceeds
+thresholds. Profiles are tiny (one row per column), so the comparison is a
+broadcast join regardless of the underlying table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def drift_report(current: DataFrame, baseline: DataFrame, *,
+                 null_delta_threshold: float = 0.01,
+                 distinct_ratio_threshold: float = 0.5,
+                 quantile_rel_threshold: float = 0.25) -> DataFrame:
+    """Per-column drift flags.
+
+    - ``null_drift``: |null_fraction - baseline| > threshold
+    - ``distinct_drift``: approx_distinct ratio outside
+      [threshold, 1/threshold]
+    - ``quantile_drift``: max relative per-quantile shift > threshold
+      (quantiles compared positionally; both sides computed with the same
+      quantile vector)
+    """
+    cur = current.select(
+        "column_name",
+        F.col("null_fraction").alias("nf_cur"),
+        F.col("approx_distinct").alias("ad_cur"),
+        F.col("quantiles").alias("q_cur"),
+    )
+    base = baseline.select(
+        "column_name",
+        F.col("null_fraction").alias("nf_base"),
+        F.col("approx_distinct").alias("ad_base"),
+        F.col("quantiles").alias("q_base"),
+    )
+    j = cur.join(F.broadcast(base), "column_name", "inner")
+    rel_shift = F.zip_with(
+        "q_cur", "q_base",
+        lambda a, b: F.when(
+            (a.isNull()) | (b.isNull()), F.lit(None).cast("double")
+        ).otherwise(
+            F.abs(a - b) / F.greatest(F.abs(b), F.lit(1e-12))
+        ),
+    )
+    max_shift = F.array_max(F.filter(rel_shift, lambda x: x.isNotNull()))
+    ratio = F.col("ad_cur") / F.greatest(F.col("ad_base"), F.lit(1))
+    return j.select(
+        "column_name",
+        (F.abs(F.col("nf_cur") - F.col("nf_base"))).alias("null_delta"),
+        (F.abs(F.col("nf_cur") - F.col("nf_base")) > null_delta_threshold)
+        .alias("null_drift"),
+        ratio.alias("distinct_ratio"),
+        ((ratio < distinct_ratio_threshold) | (ratio > 1.0 / distinct_ratio_threshold))
+        .alias("distinct_drift"),
+        F.coalesce(max_shift, F.lit(0.0)).alias("max_quantile_shift"),
+        (F.coalesce(max_shift, F.lit(0.0)) > quantile_rel_threshold)
+        .alias("quantile_drift"),
+    ).withColumn(
+        "drifted",
+        F.col("null_drift") | F.col("distinct_drift") | F.col("quantile_drift"))

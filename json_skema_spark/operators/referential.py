@@ -1,0 +1,86 @@
+"""Referential-integrity checks — the table-scale generalization of ``$ref``
+resolution ("a value must satisfy a schema defined elsewhere",
+reference SchemaLoader.kt:381-405) and of ``enum`` membership against a
+reference set (Validator.kt:625-630).
+
+Join-strategy selection mirrors the reference's pre-registered vs remote
+lookup split (SchemaClient.kt:28-34): small dimension tables broadcast
+(hash join, no shuffle of the fact side); large ones fall back to Spark's
+sort-merge join. The choice is by an explicit row-count estimate so the plan
+is deterministic rather than dependent on AQE's runtime statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BROADCAST_ROWS = 2_000_000  # ~key-only dim of 2M strings << 8 GiB limit
+
+
+def _maybe_broadcast(dim: DataFrame, broadcast_threshold_rows: int,
+                     known_rows: int | None = None) -> DataFrame:
+    n = known_rows if known_rows is not None else dim.count()
+    return F.broadcast(dim) if n <= broadcast_threshold_rows else dim
+
+
+def orphans(fact: DataFrame, dim: DataFrame, key: str, *,
+            broadcast_threshold_rows: int = DEFAULT_BROADCAST_ROWS,
+            dim_rows: int | None = None) -> DataFrame:
+    """Fact rows whose key has no match in ``dim`` (left_anti).
+
+    The reference analogue is an unresolvable ``$ref``
+    (SchemaError, SchemaLoader.kt:381-405) — here reported per row instead of
+    failing the compile.
+    """
+    d = _maybe_broadcast(dim.select(key).distinct(), broadcast_threshold_rows, dim_rows)
+    return fact.join(d, on=key, how="left_anti")
+
+
+def members(fact: DataFrame, dim: DataFrame, key: str, *,
+            broadcast_threshold_rows: int = DEFAULT_BROADCAST_ROWS,
+            dim_rows: int | None = None) -> DataFrame:
+    """Fact rows whose key exists in ``dim`` (left_semi) — large-set ``enum``."""
+    d = _maybe_broadcast(dim.select(key).distinct(), broadcast_threshold_rows, dim_rows)
+    return fact.join(d, on=key, how="left_semi")
+
+
+def referential_violations(fact: DataFrame, dim: DataFrame, key: str, *,
+                           keyword_location: str = "#/$ref",
+                           broadcast_threshold_rows: int = DEFAULT_BROADCAST_ROWS) -> DataFrame:
+    """Orphan rows rendered in the standard violations shape (FIXTURES.md §5)."""
+    o = orphans(fact, dim, key, broadcast_threshold_rows=broadcast_threshold_rows)
+    return o.select(
+        F.col(key).cast("string").alias("row_key"),
+        F.lit("$ref").alias("keyword"),
+        F.lit(keyword_location).alias("keyword_location"),
+        F.lit(f"#/{key}").alias("instance_location"),
+        F.lit("#/$ref").alias("dynamic_path"),
+        F.format_string(
+            f"{key} %s has no matching row in the reference table",
+            F.col(key).cast("string")).alias("message"),
+        F.spark_partition_id().alias("partition_id"),
+    )
+
+
+def field_equality_violations(fact: DataFrame, dim: DataFrame, key: str,
+                              field: str, *, keyword_location: str = "#/const",
+                              broadcast_threshold_rows: int = DEFAULT_BROADCAST_ROWS) -> DataFrame:
+    """Rows where ``fact.field`` disagrees with ``dim.field`` for the same key
+    (e.g. transcript equality vs the reference table — BASELINE.json
+    input_hint's per-row invariant). Null-safe comparison via ``eqNullSafe``."""
+    d = dim.select(F.col(key), F.col(field).alias("_expected"))
+    d = _maybe_broadcast(d, broadcast_threshold_rows)
+    joined = fact.join(d, on=key, how="inner")
+    return (
+        joined.filter(~F.col(field).eqNullSafe(F.col("_expected")))
+        .select(
+            F.col(key).cast("string").alias("row_key"),
+            F.lit("const").alias("keyword"),
+            F.lit(keyword_location).alias("keyword_location"),
+            F.lit(f"#/{field}").alias("instance_location"),
+            F.lit("#/const").alias("dynamic_path"),
+            F.lit(f"{field} does not equal the reference value").alias("message"),
+            F.spark_partition_id().alias("partition_id"),
+        )
+    )

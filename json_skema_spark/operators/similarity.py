@@ -1,0 +1,118 @@
+"""Similarity search over an embedding column (``array<float|double>``).
+
+No reference analogue (SURVEY.md §2.f "approx distinct — new"); part of the
+training-data-pipeline surface. Two paths:
+
+- ``cosine_topk``: brute-force exact top-k against a literal query vector —
+  the correctness baseline. Dot products via ``zip_with`` + ``aggregate``
+  (JVM-side, codegen); top-k via ``ORDER BY ... LIMIT k`` which Spark
+  executes as TakeOrderedAndProject (per-partition heap + driver merge —
+  no full sort, no shuffle of the table).
+- ``lsh_bucket`` / ``ann_topk``: random-hyperplane LSH (sign of projections
+  onto ``num_planes`` driver-seeded hyperplanes). At scale the bucket id is
+  a partition key: a query probes one bucket (plus optional neighboring
+  buckets by Hamming distance) instead of scanning everything.
+- ``embedding_near_duplicates``: same-bucket self-join + exact cosine — the
+  embedding-space analogue of MinHash near-dup.
+
+Hyperplanes are generated driver-side from a numpy PRNG with a fixed seed and
+baked into the plan as literals — deterministic and resumable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two array columns."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _lit_vec(vec) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def cosine_topk(df: DataFrame, embedding_col: str, id_col: str, query,
+                k: int = 10) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query`` (a Python list/ndarray).
+
+    Output: ``(id, score)`` ordered desc, deterministic ties by id.
+    """
+    q = _lit_vec(query)
+    scored = df.select(
+        F.col(id_col),
+        cosine(F.col(embedding_col).cast("array<double>"), q).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def make_hyperplanes(dim: int, num_planes: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim))
+
+
+def lsh_bucket(embedding: Column, hyperplanes: np.ndarray) -> Column:
+    """Sign-of-projection bucket id (0 .. 2^num_planes - 1), JVM-side."""
+    bucket = F.lit(0).cast("long")
+    for i, h in enumerate(hyperplanes):
+        bit = F.when(dot(embedding, _lit_vec(h)) > 0,
+                     F.lit(int(2 ** i)).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def ann_topk(df: DataFrame, embedding_col: str, id_col: str, query,
+             k: int = 10, *, num_planes: int = 12, seed: int = 42,
+             probe_hamming: int = 1) -> DataFrame:
+    """Approximate top-k: score only rows whose LSH bucket is within
+    ``probe_hamming`` bits of the query's bucket.
+
+    At 100 TB the table would be written bucketed/partitioned by
+    ``lsh_bucket`` so this probe prunes partitions at the source; here the
+    bucket filter still cuts the scored set by ~2^num_planes /
+    sum_{i<=h} C(num_planes, i).
+    """
+    dim = len(query)
+    planes = make_hyperplanes(dim, num_planes, seed)
+    emb = F.col(embedding_col).cast("array<double>")
+    bucketed = df.select(F.col(id_col), emb.alias("_e"),
+                         lsh_bucket(emb, planes).alias("_bucket"))
+    qvec = np.asarray(query, dtype=float)
+    qbucket = int(sum((2 ** i) for i, h in enumerate(planes) if float(np.dot(h, qvec)) > 0))
+    probe = bucketed.filter(
+        F.bit_count(F.col("_bucket").bitwiseXOR(F.lit(qbucket))) <= probe_hamming)
+    scored = probe.select(F.col(id_col), cosine(F.col("_e"), _lit_vec(query)).alias("score"))
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def embedding_near_duplicates(df: DataFrame, embedding_col: str, id_col: str, *,
+                              cosine_threshold: float = 0.95,
+                              num_planes: int = 12, seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: same-LSH-bucket self-join,
+    verified with exact cosine. Output ``(id_a, id_b, cosine)``."""
+    first = df.select(F.size(embedding_col).alias("d")).first()
+    planes = make_hyperplanes(int(first["d"]), num_planes, seed)
+    emb = F.col(embedding_col).cast("array<double>")
+    b = df.select(F.col(id_col).alias("doc_id"), emb.alias("e"),
+                  lsh_bucket(emb, planes).alias("bucket"))
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(y, on="bucket", how="inner")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("id_a"),
+                F.col("y.doc_id").alias("id_b"),
+                cosine(F.col("x.e"), F.col("y.e")).alias("cosine"))
+        .filter(F.col("cosine") >= cosine_threshold)
+    )

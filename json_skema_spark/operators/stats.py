@@ -1,0 +1,104 @@
+"""Column profiling: per-partition and global statistics.
+
+Generalizes the reference's per-keyword null/type handling
+(Validator.kt:463-490,632-641) into the north rule's per-partition column
+stats: null fraction, min/max, approx-distinct (HyperLogLog++ via
+``approx_count_distinct``; mergeable sketches via ``hll_sketch_agg``),
+and quantiles (``percentile_approx``; exact ``percentile`` for small scales).
+
+All aggregations are single-pass, map-side-combinable hash aggs; output
+cardinality = n_partitions x n_columns (tiny), so the final shuffle is
+negligible at any input scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_QUANTILES = [0.01, 0.25, 0.5, 0.75, 0.99]
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+            T.DoubleType, T.DecimalType)
+
+
+def _col_aggs(name: str, dtype: T.DataType, quantiles: list[float],
+              rsd: float, exact_distinct: bool = False) -> list[Column]:
+    c = F.col(name)
+    distinct = (F.count_distinct(c) if exact_distinct
+                else F.approx_count_distinct(c, rsd))
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.avg(c.isNull().cast("int")).alias("null_fraction"),
+        F.min(c).cast("string").alias("min_value"),
+        F.max(c).cast("string").alias("max_value"),
+        distinct.alias("approx_distinct"),
+    ]
+    if isinstance(dtype, _NUMERIC):
+        aggs.append(F.percentile_approx(c.cast("double"), quantiles, 10_000)
+                    .alias("quantiles"))
+    else:
+        aggs.append(F.lit(None).cast("array<double>").alias("quantiles"))
+    return aggs
+
+
+def profile(df: DataFrame, columns: list[str] | None = None, *,
+            quantiles: list[float] | None = None, rsd: float = 0.02,
+            per_partition: bool = False, exact_distinct: bool = False) -> DataFrame:
+    """One profile row per column (x partition when ``per_partition``).
+
+    Output matches FIXTURES.md §3 ``baseline_profile``:
+    ``(column_name, [partition_id], n_rows, null_fraction, min_value,
+    max_value, approx_distinct, quantiles)``.
+
+    Implementation: one aggregation pass per column over a shared scan —
+    Spark computes them in a single stage when unioned, and column pruning
+    ensures each branch reads only its column. For wide tables prefer
+    ``profile_wide`` (single groupBy, one pass over all columns).
+    """
+    qs = quantiles or DEFAULT_QUANTILES
+    columns = columns or [f.name for f in df.schema.fields
+                          if not isinstance(f.dataType, (T.BinaryType, T.ArrayType,
+                                                         T.MapType, T.StructType))]
+    parts = []
+    for name in columns:
+        dtype = df.schema[name].dataType
+        base = df.withColumn("partition_id", F.spark_partition_id()) if per_partition else df
+        keys = [F.lit(name).alias("column_name")]
+        if per_partition:
+            g = base.groupBy("partition_id")
+        else:
+            g = base.groupBy()
+        agg = g.agg(*_col_aggs(name, dtype, qs, rsd, exact_distinct))
+        sel = keys + [F.col(c) for c in agg.columns]
+        parts.append(agg.select(*sel))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def hll_sketches(df: DataFrame, columns: list[str], *,
+                 lg_k: int = 12) -> DataFrame:
+    """Mergeable HLL sketches per column (partial+final pattern: sketch per
+    partition-run here, ``hll_union_agg`` across runs — the incremental-
+    profile path for checkpointed resume)."""
+    parts = []
+    for name in columns:
+        parts.append(df.select(
+            F.lit(name).alias("column_name"),
+            F.hll_sketch_agg(F.col(name).cast("string"), F.lit(lg_k)).alias("sketch"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def merge_hll(sketches: DataFrame) -> DataFrame:
+    """Union per-column sketches (e.g. across resumed runs) -> estimates."""
+    return (
+        sketches.groupBy("column_name")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_distinct"))
+    )

@@ -1,0 +1,73 @@
+"""Global key-uniqueness checks — the cross-row generalization of
+``uniqueItems`` (reference Validator.kt:692-708, which reports the positions
+of the first duplicate pair within one array; here every duplicate *row* of a
+10^12-row table is tagged, with its partition lineage).
+
+Scale design (north rule: salted two-phase hash aggregation):
+
+- ``duplicate_keys``: two-phase aggregation — a *salted* partial count
+  ``groupBy(key, salt)`` shards hot keys across ``salt_buckets`` reducers,
+  then a tiny re-agg over (key) merges shards. With AQE's skew handling this
+  is belt-and-braces, but the explicit salt guarantees no single reducer sees
+  more than ~1/S of any hot key's rows even when AQE is off.
+- ``duplicate_rows``: tags every row of a duplicated key via a broadcast-able
+  semi-join against the (small) duplicate-key set rather than a
+  ``Window.partitionBy(key)`` — a window would shuffle the *full* table on a
+  skewed key; the agg+semi-join only shuffles counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def duplicate_keys(df: DataFrame, key: str | Column, *,
+                   salt_buckets: int = 64) -> DataFrame:
+    """Keys occurring more than once, with their multiplicity.
+
+    Output: ``(key, n_rows)`` with ``n_rows >= 2``.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    partial = (
+        df.select(k.alias("key"))
+        .withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                                    F.lit(salt_buckets)))
+        .groupBy("key", "_salt")
+        .agg(F.count("*").alias("_partial"))
+    )
+    return (
+        partial.groupBy("key")
+        .agg(F.sum("_partial").alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+def duplicate_rows(df: DataFrame, key: str, *, salt_buckets: int = 64) -> DataFrame:
+    """Every row whose key occurs more than once (the row-level violation set,
+    paralleling UniqueItemsValidationFailure.arrayPositions,
+    UniqueItems.kt:11-16), annotated with partition lineage."""
+    dups = duplicate_keys(df, key, salt_buckets=salt_buckets)
+    return (
+        df.withColumn("partition_id", F.spark_partition_id())
+        .join(F.broadcast(dups.select(F.col("key").alias(key), "n_rows")),
+              on=key, how="inner")
+    )
+
+
+def uniqueness_violations(df: DataFrame, key: str, *,
+                          keyword_location: str = "#/uniqueItems",
+                          salt_buckets: int = 64) -> DataFrame:
+    """Duplicate keys rendered as violation rows in the engine's standard
+    violations shape (FIXTURES.md §5)."""
+    dups = duplicate_keys(df, key, salt_buckets=salt_buckets)
+    return dups.select(
+        F.col("key").cast("string").alias("row_key"),
+        F.lit("uniqueItems").alias("keyword"),
+        F.lit(keyword_location).alias("keyword_location"),
+        F.lit(f"#/{key}").alias("instance_location"),
+        F.lit("#/uniqueItems").alias("dynamic_path"),
+        F.format_string(
+            f"key %s occurs in %s rows, expected 1", F.col("key").cast("string"),
+            F.col("n_rows")).alias("message"),
+    )

@@ -1,0 +1,90 @@
+"""Audio decode/SNR invariants + text-analysis functions + clips fixtures."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from json_skema_spark.functions import audio, text
+from json_skema_spark.sources import clips
+
+
+def test_wav_roundtrip():
+    sig = audio.synth_reference_signal(5, 16000, 500)
+    buf = audio.encode_wav_pcm16(sig, 16000)
+    dec, sr, err = audio.decode_wav_pcm16(buf)
+    assert err == "" and sr == 16000
+    assert audio.snr_db(sig, dec) > 80  # 16-bit quantization noise only
+
+
+def test_decode_rejects_garbage():
+    assert audio.decode_wav_pcm16(b"notawav")[2] == "not_riff_wave"
+    sig = audio.synth_reference_signal(1, 8000, 300)
+    buf = audio.encode_wav_pcm16(sig, 8000)
+    dec, _, err = audio.decode_wav_pcm16(buf[: len(buf) // 2])
+    assert dec is None and err != ""
+
+
+def test_clips_generation_deterministic(spark):
+    a = clips.clips_df(spark, 50, partitions=2).collect()
+    b = clips.clips_df(spark, 50, partitions=7).collect()  # partitioning-independent
+    assert sorted(r.clip_id for r in a) == sorted(r.clip_id for r in b)
+    assert {len(r) for r in a} == {6}
+
+
+def test_pcm_invariant_on_clips(spark):
+    df = clips.clips_df(spark, 120, inject=False)
+    out = audio.pcm_invariant_check(df).collect()
+    pcm = [r for r in out if r.error == ""]
+    stubbed = [r for r in out if r.error.startswith("codec_not_supported")]
+    assert len(pcm) + len(stubbed) >= len(out) - 2  # unknown codecs rare w/o inject
+    assert all(r.decode_ok and r.snr_db >= 30 for r in pcm)
+    assert all(r.transcript_ok for r in out)
+
+
+def test_audio_violations_fire_on_injected(spark):
+    df = clips.clips_df(spark, 600, inject=True)
+    v = audio.audio_violations(df)
+    rows = v.collect()
+    assert len(rows) > 0  # ~1% corrupt + stub codecs
+    assert all(r.keyword == "format" for r in rows)
+
+
+def test_transcript_mismatch_detected(spark):
+    df = clips.clips_df(spark, 40, inject=False)
+    ref = df.select("clip_id",
+                    F.when(F.col("clip_id").endswith("1"), F.lit("DIFFERENT"))
+                    .otherwise(F.col("transcript")).alias("transcript"))
+    out = audio.pcm_invariant_check(df, ref_transcripts=ref).collect()
+    bad = [r for r in out if not r.transcript_ok]
+    assert all(r.clip_id.endswith("1") for r in bad) and bad
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("hello world  foo",), ("", ), ("a1 b2!",)],
+                               "t string")
+    got = df.select(text.token_count(F.col("t")).alias("n"),
+                    text.bpe_ish_token_count(F.col("t")).alias("b")).collect()
+    assert [r.n for r in got] == [3, 0, 2]
+    assert got[2].b == 5  # a,1,b,2,!
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog is in the house",),
+         ("der Hund ist nicht mit der Katze",),
+         ("xyzzy plugh",)], "t string")
+    got = [r[0] for r in df.select(text.language_id(F.col("t"))).collect()]
+    assert got == ["en", "de", "und"]
+
+
+def test_quality_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [("This is a reasonably long sentence with normal words in it. " * 5,),
+         ("!!!! ???? ;;;; ::::",)], "t string")
+    q = [r[0] for r in df.select(text.quality_score(F.col("t"))).collect()]
+    assert q[0] > q[1]
+    fp = df.select(text.fingerprint(F.col("t")).alias("f")).collect()
+    assert fp[0].f != fp[1].f
+    # order sensitivity
+    df2 = spark.createDataFrame([("a b c",), ("c b a",)], "t string")
+    f2 = [r[0] for r in df2.select(text.fingerprint(F.col("t"))).collect()]
+    assert f2[0] != f2[1]

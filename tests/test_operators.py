@@ -1,0 +1,184 @@
+"""Table-scope operators: uniqueness, referential, stats, drift, dedup,
+similarity, checkpointed resume."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from json_skema_spark.operators import (checkpoint, dedup, drift, referential,
+                                        similarity, stats, uniqueness)
+
+
+@pytest.fixture(scope="module")
+def kv(spark):
+    rows = [("a", 1), ("b", 2), ("b", 3), ("c", 4), ("c", 5), ("c", 6), ("d", 7)]
+    return spark.createDataFrame(rows, "k string, v int")
+
+
+def test_duplicate_keys(kv):
+    got = {r.key: r.n_rows for r in uniqueness.duplicate_keys(kv, "k").collect()}
+    assert got == {"b": 2, "c": 3}
+
+
+def test_duplicate_rows_tagged(kv):
+    rows = uniqueness.duplicate_rows(kv, "k").collect()
+    assert len(rows) == 5
+    assert all(r.n_rows in (2, 3) for r in rows)
+    assert all(hasattr(r, "partition_id") for r in rows)
+
+
+def test_uniqueness_violation_shape(kv):
+    v = uniqueness.uniqueness_violations(kv, "k").collect()
+    assert {r.row_key for r in v} == {"b", "c"}
+    r = [x for x in v if x.row_key == "b"][0]
+    assert r.keyword == "uniqueItems"
+    assert r.message == "key b occurs in 2 rows, expected 1"
+
+
+def test_referential_orphans(spark):
+    fact = spark.createDataFrame([("x", 1), ("y", 2), ("z", 3)], "k string, v int")
+    dim = spark.createDataFrame([("x",), ("y",)], "k string")
+    got = referential.orphans(fact, dim, "k").collect()
+    assert [r.k for r in got] == ["z"]
+    viol = referential.referential_violations(fact, dim, "k").collect()
+    assert viol[0].keyword == "$ref"
+    assert viol[0].message == "k z has no matching row in the reference table"
+
+
+def test_field_equality(spark):
+    fact = spark.createDataFrame([("a", "hello"), ("b", "world")], "k string, t string")
+    dim = spark.createDataFrame([("a", "hello"), ("b", "WORLD")], "k string, t string")
+    bad = referential.field_equality_violations(fact, dim, "k", "t").collect()
+    assert [r.row_key for r in bad] == ["b"]
+
+
+def test_profile(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (None, "d")], "x int, s string")
+    prof = {r.column_name: r for r in stats.profile(df).collect()}
+    assert prof["x"].n_rows == 4
+    assert abs(prof["x"].null_fraction - 0.25) < 1e-9
+    assert prof["x"].min_value == "1" and prof["x"].max_value == "3"
+    assert prof["s"].quantiles is None
+    assert prof["x"].quantiles is not None
+    per_part = stats.profile(df, per_partition=True).collect()
+    assert all(hasattr(r, "partition_id") for r in per_part)
+
+
+def test_hll_merge(spark):
+    df = spark.createDataFrame([(i % 100,) for i in range(1000)], "x int")
+    sk1 = stats.hll_sketches(df.filter(F.col("x") < 50), ["x"])
+    sk2 = stats.hll_sketches(df.filter(F.col("x") >= 50), ["x"])
+    est = stats.merge_hll(sk1.unionByName(sk2)).collect()[0]
+    assert abs(est.approx_distinct - 100) <= 5
+
+
+def test_drift(spark):
+    base = spark.createDataFrame(
+        [("x", 0.0, 100, [1.0, 2.0, 3.0])],
+        "column_name string, null_fraction double, approx_distinct long, quantiles array<double>")
+    cur_same = spark.createDataFrame(
+        [("x", 0.001, 98, [1.0, 2.1, 3.0])],
+        "column_name string, null_fraction double, approx_distinct long, quantiles array<double>")
+    cur_bad = spark.createDataFrame(
+        [("x", 0.2, 9, [10.0, 20.0, 30.0])],
+        "column_name string, null_fraction double, approx_distinct long, quantiles array<double>")
+    ok = drift.drift_report(cur_same, base).collect()[0]
+    assert not ok.drifted
+    bad = drift.drift_report(cur_bad, base).collect()[0]
+    assert bad.null_drift and bad.distinct_drift and bad.quantile_drift
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [("d1", "Hello  world"), ("d2", "hello world"), ("d3", "unique text")],
+        "doc_id string, text string")
+    got = dedup.exact_duplicates(df, "text", "doc_id").collect()
+    assert len(got) == 1
+    assert got[0].doc_ids == ["d1", "d2"]
+
+
+def test_minhash_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about spark query engines " * 3
+    df = spark.createDataFrame(
+        [("a", base), ("b", near), ("c", other)], "doc_id string, text string")
+    pairs = dedup.minhash_near_duplicates(df, "text", "doc_id",
+                                          jaccard_threshold=0.5).collect()
+    assert [(p.doc_id_a, p.doc_id_b) for p in pairs] == [("a", "b")]
+    assert pairs[0].jaccard > 0.5
+
+
+def test_simhash_near_duplicates(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base.replace("kappa", "lambda")
+    other = "numbers one two three four five six seven eight nine ten " * 4
+    df = spark.createDataFrame(
+        [("a", base), ("b", near), ("c", other)], "doc_id string, text string")
+    pairs = dedup.simhash_near_duplicates(df, "text", "doc_id", max_hamming=8).collect()
+    got = {(p.doc_id_a, p.doc_id_b) for p in pairs}
+    assert ("a", "b") in got and ("a", "c") not in got
+
+
+def test_cosine_topk(spark):
+    rows = [("v1", [1.0, 0.0]), ("v2", [0.9, 0.1]), ("v3", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    top = similarity.cosine_topk(df, "embedding", "vec_id", [1.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in top] == ["v1", "v2"]
+
+
+def test_ann_topk_matches_exact_for_easy_case(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((200, 8))
+    q = vecs[17] + rng.standard_normal(8) * 0.01
+    df = spark.createDataFrame(
+        [(f"v{i}", [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id string, embedding array<double>")
+    got = similarity.ann_topk(df, "embedding", "vec_id", [float(x) for x in q],
+                              k=1, probe_hamming=2).collect()
+    assert got and got[0].vec_id == "v17"
+
+
+def test_embedding_near_duplicates(spark):
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal(16)
+    b = a + rng.standard_normal(16) * 0.01
+    c = rng.standard_normal(16)
+    df = spark.createDataFrame(
+        [("a", [float(x) for x in a]), ("b", [float(x) for x in b]),
+         ("c", [float(x) for x in c])],
+        "doc_id string, embedding array<double>")
+    pairs = similarity.embedding_near_duplicates(df, "embedding", "doc_id",
+                                                 cosine_threshold=0.98).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {("a", "b")}
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    df = spark.createDataFrame([(f"k{i}", i) for i in range(100)], "k string, v int")
+    mdir = str(tmp_path / "manifest")
+    calls = []
+
+    def process(bucket_df, bucket_id):
+        n = bucket_df.count()
+        calls.append(bucket_id)
+        if len(calls) == 3:
+            raise RuntimeError("simulated crash")
+        return {"rows": n}
+
+    m1 = checkpoint.PartitionManifest(mdir)
+    with pytest.raises(RuntimeError):
+        checkpoint.run_resumable(df, "k", 4, m1, process)
+    assert len(m1.completed) == 2  # two buckets committed before the crash
+
+    calls.clear()
+    m2 = checkpoint.PartitionManifest(mdir)
+
+    def process_ok(bucket_df, bucket_id):
+        calls.append(bucket_id)
+        return {"rows": bucket_df.count()}
+
+    metrics = checkpoint.run_resumable(df, "k", 4, m2, process_ok)
+    assert len(metrics) == 4
+    assert len(calls) == 2  # only the two uncommitted buckets re-ran
+    assert sum(m["rows"] for m in metrics.values()) == 100

@@ -1,0 +1,115 @@
+"""Local replica of the driver's correctness gate: run each queries() entry
+on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count, schema
+arity, and an order-insensitive value hash (columns sorted by name)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def norm_cell(v):
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted(
+        "\x01".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main(only: list[str] | None = None):
+    from pyspark.sql import SparkSession
+    import __spark_entry__ as entry
+
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "16g")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as exc:
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            drows = cur.fetchall()
+            dcols = [d[0] for d in cur.description]
+        except Exception as exc:
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount {len(srows)} vs {len(drows)}")
+        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
+            problems.append(f"schema {sorted(scols)} vs {sorted(dcols)}")
+        else:
+            sh = value_hash([tuple(r) for r in srows], [c.lower() for c in scols])
+            dh = value_hash(drows, [c.lower() for c in dcols])
+            if sh != dh:
+                problems.append(f"value-hash {sh} vs {dh}")
+        if problems:
+            failures += 1
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            if "--debug" in sys.argv:
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i].lower())
+                order_d = sorted(range(len(dcols)), key=lambda i: dcols[i].lower())
+                s_set = sorted("|".join(norm_cell(tuple(r)[i]) for i in order_s) for r in srows)
+                d_set = sorted("|".join(norm_cell(r[i]) for i in order_d) for r in drows)
+                s_only = [x for x in s_set if x not in set(d_set)][:5]
+                d_only = [x for x in d_set if x not in set(s_set)][:5]
+                print("   spark-only:", s_only)
+                print("   duck-only :", d_only)
+        else:
+            print(f"OK    {name}: {len(srows)} rows match")
+    print("FAILURES:", failures)
+    return failures
+
+
+if __name__ == "__main__":
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    sys.exit(1 if main(only or None) else 0)
