@@ -1,0 +1,148 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Also runs the north-rule scaling probe: constraint-eval throughput over a
+deterministically generated clips table (the BASELINE.json metric,
+"validated clips/sec"). The probe is CPU-bound (regex + enum + range
+predicates in whole-stage codegen) so it scales with cores; run this script
+at SPARK_GRAFT_CPUS=8 and 32 (tools/scaling_bench.py automates it) for the
+N-vs-4N evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CLIPS_N = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "20000000"))
+AUDIO_N = int(os.environ.get("SPARK_GRAFT_AUDIO_N", "40000"))
+
+
+def build_spark() -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("json_skema_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def timed(fn):
+    t0 = time.time()
+    out = fn()
+    return time.time() - t0, out
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from json_skema_spark import compile_schema
+    from json_skema_spark.functions import audio
+    from json_skema_spark.sources import clips as clips_src
+
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: spin up every Python worker + JIT the codegen paths once.
+    # Worker cold-start is serialized and costs ~2s/worker; production
+    # amortizes it to zero, so steady-state timing excludes it.
+    spark.range(0, CPUS * 8, 1, CPUS * 4).selectExpr("sum(id)").collect()
+    clips_src.clips_df(spark, CPUS * 16, audio=True, inject=True,
+                       partitions=CPUS * 4).count()
+
+    queries = entry.queries()
+    bench_queries = [
+        "validate_orders_verdict",
+        "validate_orders_violations",
+        "validate_lineitem_verdict",
+        "lineitem_violation_summary",
+        "unique_duplicate_orderkeys",
+        "referential_customers_without_orders",
+        "profile_lineitem",
+        "dedup_exact_documents",
+        "dedup_minhash_pairs",
+        "text_token_stats",
+        "text_lang_id",
+        "similarity_topk_embeddings",
+        "window_canonical_order",
+        "agg_pricing_summary",
+    ]
+    q_secs: dict[str, float] = {}
+    for name in bench_queries:
+        secs, _ = timed(lambda: queries[name](spark, SF_DIR).count())
+        q_secs[name] = round(secs, 3)
+
+    # -- scaling probe: constraint-eval over generated clips (no audio) -----
+    # JVM-side generation (pure codegen) so 20M rows materialize in seconds;
+    # cached so the timed window measures constraint evaluation, not datagen.
+    clips = clips_src.clips_df_fast(spark, CLIPS_N, inject=True,
+                                    partitions=CPUS * 4).cache()
+    n = clips.count()  # materialize generation outside the timed window
+    plan = compile_schema({
+        "type": "object",
+        "properties": {
+            "clip_id": {"type": "string", "pattern": "^clip_[0-9a-f]{12}$"},
+            "sr_hz": {"enum": [8000, 16000, 22050, 44100, 48000]},
+            "dur_ms": {"type": "integer", "minimum": 1, "maximum": 600000},
+            "codec": {"enum": ["pcm_s16le", "flac", "opus"]},
+            "transcript": {"type": "string", "minLength": 1},
+        },
+        "required": ["clip_id", "sr_hz", "dur_ms", "codec", "transcript"],
+    }, clips.schema)
+    def run_probe():
+        return plan.apply(clips, mode="verdict").groupBy("passed").count().collect()
+
+    timed(run_probe)  # warm-up pass (cache read path + codegen JIT)
+    probe_secs, verdicts = timed(run_probe)
+    q_secs["clips_constraint_eval"] = round(probe_secs, 3)
+    clips_per_sec = n / probe_secs
+    clips.unpersist()
+
+    # -- audio decode + SNR invariant probe (Arrow-batched pandas UDF) ------
+    aclips = clips_src.clips_df(spark, AUDIO_N, audio=True, inject=True,
+                                partitions=CPUS * 2).cache()
+    an = aclips.count()
+
+    def run_audio():
+        return audio.pcm_invariant_check(aclips).groupBy("decode_ok").count().collect()
+
+    timed(run_audio)  # warm-up pass
+    audio_secs, _ = timed(run_audio)
+    q_secs["clips_audio_snr"] = round(audio_secs, 3)
+    audio_clips_per_sec = an / audio_secs
+    aclips.unpersist()
+
+    total = round(sum(q_secs.values()), 3)
+    print(json.dumps({
+        "metric": "headline suite wall time (validated clips/sec in throughput)",
+        "value": total,
+        "unit": "sec",
+        "queries": q_secs,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": CPUS,
+        "throughput": {
+            "validated_clips_per_sec": round(clips_per_sec, 1),
+            "clips_n": n,
+            "audio_snr_clips_per_sec": round(audio_clips_per_sec, 1),
+            "audio_n": an,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -37,10 +37,18 @@ SNR_SCHEMA = ("clip_id string, decode_ok boolean, snr_db double, "
               "transcript_ok boolean, error string")
 
 
-def synth_reference_signal(i: int, sr_hz: int, dur_ms: int) -> np.ndarray:
+def synth_reference_signal(i: int, sr_hz: int, dur_ms: int,
+                           max_samples: int | None = None) -> np.ndarray:
     """The deterministic reference signal for clip index ``i``
-    (FIXTURES.md §1): ``0.5*sin(2π*220*t) + 0.25*sin(2π*(220+i%16)*t)``."""
+    (FIXTURES.md §1): ``0.5*sin(2π*220*t) + 0.25*sin(2π*(220+i%16)*t)``.
+
+    ``max_samples`` caps synthesis when the consumer only compares a prefix
+    (SNR compares min(len(ref), len(decoded)) — synthesizing a 2-hour
+    reference for a row whose *claimed* dur_ms is bogus would be O(hours)
+    of wasted numpy)."""
     n = max(int(round(sr_hz * dur_ms / 1000.0)), 1)
+    if max_samples is not None:
+        n = min(n, max_samples)
     t = np.arange(n, dtype=np.float64) / float(sr_hz)
     f2 = 220.0 + (i % 16)
     return 0.5 * np.sin(2 * np.pi * 220.0 * t) + 0.25 * np.sin(2 * np.pi * f2 * t)
@@ -161,7 +169,8 @@ def pcm_invariant_check(df: DataFrame, ref_transcripts: DataFrame | None = None,
                         i = int(str(cid)[5:], 16)
                     except (ValueError, TypeError):
                         i = 0
-                    ref = synth_reference_signal(i, int(dec_sr or sr), int(dur))
+                    ref = synth_reference_signal(i, int(dec_sr or sr), int(dur),
+                                                 max_samples=len(sig))
                     s = snr_db(ref, sig)
                     snr[idx] = s
                     ok[idx] = s >= min_snr_db

@@ -251,7 +251,7 @@ _IPV6_RE = (
 _IPV4_RE = r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$"
 _UUID_RE = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
 _DURATION_RE = (
-    r"^P(\d+W|(\d+Y)?(\d+M)?(\d+D)?(T(?=\d)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?)$"
+    r"^P(?=\d|T)(\d+W|(\d+Y)?(\d+M)?(\d+D)?(T(?=\d)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?)$"
 )
 _EMAIL_RE = (
     r"^[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+(\.[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+)*"
@@ -266,9 +266,9 @@ _DATETIME_RE = r"^\d{4}-\d{2}-\d{2}[Tt]" + _TIME_BODY + "$"
 
 def _date_valid(s: Column) -> Column:
     """Calendar-valid yyyy-mm-dd incl. leap years (Format.kt date parse)."""
-    y = F.substring(s, 1, 4).cast("int")
-    m = F.substring(s, 6, 2).cast("int")
-    d = F.substring(s, 9, 2).cast("int")
+    y = F.substring(s, 1, 4).try_cast("int")
+    m = F.substring(s, 6, 2).try_cast("int")
+    d = F.substring(s, 9, 2).try_cast("int")
     leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
     dim = (
         F.when(m.isin(1, 3, 5, 7, 8, 10, 12), F.lit(31))
@@ -282,13 +282,13 @@ def _date_valid(s: Column) -> Column:
 def _time_valid(s: Column, body_offset: int = 0) -> Column:
     """RFC3339 time; leap second 23:59:60 only at UTC end-of-day after offset
     normalization (reference Format.kt:108-137, leap-second Format.kt:42-48)."""
-    hh = F.substring(s, body_offset + 1, 2).cast("int")
-    mm = F.substring(s, body_offset + 4, 2).cast("int")
-    ss = F.substring(s, body_offset + 7, 2).cast("int")
+    hh = F.substring(s, body_offset + 1, 2).try_cast("int")
+    mm = F.substring(s, body_offset + 4, 2).try_cast("int")
+    ss = F.substring(s, body_offset + 7, 2).try_cast("int")
     off_str = F.regexp_extract(s, r"([Zz]|[+-]\d{2}:\d{2})$", 1)
     off_min = F.when(F.upper(off_str) == "Z", F.lit(0)).otherwise(
         F.when(F.substring(off_str, 1, 1) == "-", F.lit(-1)).otherwise(F.lit(1))
-        * (F.substring(off_str, 2, 2).cast("int") * 60 + F.substring(off_str, 5, 2).cast("int"))
+        * (F.substring(off_str, 2, 2).try_cast("int") * 60 + F.substring(off_str, 5, 2).try_cast("int"))
     )
     utc_min = F.pmod(hh * 60 + mm - off_min, F.lit(1440))
     leap_ok = (ss != 60) | (utc_min == 23 * 60 + 59)

@@ -85,6 +85,77 @@ def clips_df(spark: SparkSession, n: int, *, audio: bool = True,
     return rng_range.mapInPandas(gen, CLIPS_SCHEMA)
 
 
+def clips_df_fast(spark: SparkSession, n: int, *, inject: bool = True,
+                  seed: int = SEED, partitions: int | None = None) -> DataFrame:
+    """Bench-scale clips table generated with *pure Column expressions* —
+    whole-stage codegen, no Python anywhere, tens of millions of rows in
+    seconds. Same schema + violation classes as ``clips_df`` (FIXTURES.md §1)
+    but hash-derived distributions (the constraint-eval probe only needs the
+    predicate mix, not the exact lognormal); ``bytes`` is empty (audio rows
+    come from ``clips_df``). Deterministic in (n, seed), independent of
+    partitioning — the property the local[8]-vs-local[32] scaling evidence
+    relies on."""
+    df = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+    sid = F.col("id")
+
+    def h(salt: int):
+        return F.xxhash64(sid, F.lit(seed), F.lit(salt))
+
+    def u(salt: int):
+        return F.pmod(h(salt), F.lit(1_000_000)) / 1_000_000.0
+
+    dup = (u(0) < 0.005) & (sid > 0) if inject else F.lit(False)
+    clip_src = F.when(dup, F.pmod(h(1), F.greatest(sid, F.lit(1)))).otherwise(sid)
+    clip_id = F.format_string("clip_%012x", clip_src)
+
+    p = u(2)
+    sr = (F.when(p < 0.1, 8000).when(p < 0.5, 16000).when(p < 0.6, 22050)
+          .when(p < 0.8, 44100).otherwise(48000))
+    if inject:
+        bad_sr = F.when(F.pmod(h(4), F.lit(3)) == 0, 11025) \
+            .when(F.pmod(h(4), F.lit(3)) == 1, 0).otherwise(-1)
+        sr = F.when(u(3) < 0.005, bad_sr).otherwise(sr)
+
+    # approx-normal via Irwin-Hall(4): mean 2, var 1/3 -> z ~ N(0,1)
+    z = (u(5) + u(6) + u(7) + u(8) - F.lit(2.0)) * F.lit(1.7320508)
+    dur = F.least(F.greatest(F.exp(F.lit(7.0) + F.lit(0.8) * z), F.lit(200.0)),
+                  F.lit(30000.0)).cast("int")
+    if inject:
+        dur = F.when(u(9) < 0.005,
+                     F.when(F.pmod(h(9), F.lit(2)) == 0, 0).otherwise(7_200_000)
+                     ).otherwise(dur)
+
+    pc = u(10)
+    codec = (F.when(pc < 0.985, "pcm_s16le").when(pc < 0.995, "flac")
+             .otherwise("opus"))
+    if inject:
+        codec = F.when(u(11) < 0.005,
+                       F.when(F.pmod(h(11), F.lit(2)) == 0, "mp3").otherwise("")
+                       ).otherwise(codec)
+
+    words = F.array(*[F.lit(w) for w in _WORDS])
+    nw = (F.pmod(h(12), F.lit(38)) + 3).cast("int")
+    transcript = F.array_join(
+        F.transform(F.sequence(F.lit(1), nw),
+                    lambda j: F.element_at(words, (F.pmod(F.xxhash64(sid, j),
+                                                          F.lit(256)) + 1).cast("int"))),
+        " ")
+    if inject:
+        transcript = F.when(u(13) < 0.01,
+                            F.when(F.pmod(h(13), F.lit(2)) == 0, F.lit(""))
+                            .otherwise(F.lit(None).cast("string"))
+                            ).otherwise(transcript)
+
+    return df.select(
+        clip_id.alias("clip_id"),
+        F.lit(b"").alias("bytes"),
+        sr.cast("int").alias("sr_hz"),
+        dur.alias("dur_ms"),
+        codec.alias("codec"),
+        transcript.alias("transcript"),
+    )
+
+
 def transcripts_ref_df(spark: SparkSession, n: int, *, seed: int = SEED,
                        partitions: int | None = None) -> DataFrame:
     """Referential side table (FIXTURES.md §2): clips ids minus a 0.3%
