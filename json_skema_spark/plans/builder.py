@@ -1,0 +1,137 @@
+"""Fluent programmatic schema builder.
+
+Re-expresses the reference's ``SchemaBuilder`` DSL
+(/root/reference/src/main/kotlin/com/github/erosb/jsonsKema/
+CompositeSchemaBuilder.kt:23-112,177-383): a chainable API that assembles a
+plain draft 2020-12 schema *document* (dict), so everything downstream —
+compile, verdicts, violations — is identical to the JSON-loaded path. Where
+the reference synthesizes fake source locations from the Java call stack
+(``callingSourceLocation`` CompositeSchemaBuilder.kt:7-21) so failures cite
+builder call sites, our lineage pointers come from the generated document
+structure itself (keyword_location is already exact).
+
+    schema = (SchemaBuilder.object()
+              .prop("clip_id", SchemaBuilder.string().pattern("^clip_"))
+              .prop("sr_hz", SchemaBuilder.enum(8000, 16000, 44100))
+              .required("clip_id", "sr_hz")
+              .build())
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+
+class SchemaBuilder:
+    def __init__(self, doc: dict | None = None):
+        self._doc: dict[str, Any] = dict(doc or {})
+
+    # -- constructors ------------------------------------------------------
+    @classmethod
+    def object(cls) -> "SchemaBuilder":
+        return cls({"type": "object"})
+
+    @classmethod
+    def string(cls) -> "SchemaBuilder":
+        return cls({"type": "string"})
+
+    @classmethod
+    def integer(cls) -> "SchemaBuilder":
+        return cls({"type": "integer"})
+
+    @classmethod
+    def number(cls) -> "SchemaBuilder":
+        return cls({"type": "number"})
+
+    @classmethod
+    def boolean(cls) -> "SchemaBuilder":
+        return cls({"type": "boolean"})
+
+    @classmethod
+    def array(cls, items: "SchemaBuilder | dict | None" = None) -> "SchemaBuilder":
+        b = cls({"type": "array"})
+        return b.items(items) if items is not None else b
+
+    @classmethod
+    def enum(cls, *values: Any) -> "SchemaBuilder":
+        return cls({"enum": list(values)})
+
+    @classmethod
+    def const(cls, value: Any) -> "SchemaBuilder":
+        return cls({"const": value})
+
+    @classmethod
+    def ref(cls, pointer: str) -> "SchemaBuilder":
+        return cls({"$ref": pointer})
+
+    # -- generic -----------------------------------------------------------
+    def kw(self, keyword: str, value: Any) -> "SchemaBuilder":
+        self._doc[keyword] = _unwrap(value)
+        return self
+
+    def __getattr__(self, keyword: str):
+        # any unknown method is a keyword setter: .minimum(5), .pattern("..")
+        if keyword.startswith("_"):
+            raise AttributeError(keyword)
+
+        def setter(value: Any = True) -> "SchemaBuilder":
+            return self.kw(keyword, value)
+
+        return setter
+
+    # -- object ------------------------------------------------------------
+    def prop(self, name: str, schema: "SchemaBuilder | dict | bool") -> "SchemaBuilder":
+        self._doc.setdefault("properties", {})[name] = _unwrap(schema)
+        return self
+
+    def pattern_prop(self, pattern: str, schema) -> "SchemaBuilder":
+        self._doc.setdefault("patternProperties", {})[pattern] = _unwrap(schema)
+        return self
+
+    def required(self, *names: str) -> "SchemaBuilder":
+        self._doc.setdefault("required", []).extend(names)
+        return self
+
+    def additional_properties(self, schema) -> "SchemaBuilder":
+        return self.kw("additionalProperties", schema)
+
+    # -- arrays ------------------------------------------------------------
+    def items(self, schema) -> "SchemaBuilder":
+        return self.kw("items", schema)
+
+    def prefix_items(self, *schemas) -> "SchemaBuilder":
+        return self.kw("prefixItems", [_unwrap(s) for s in schemas])
+
+    # -- combinators --------------------------------------------------------
+    def all_of(self, *schemas) -> "SchemaBuilder":
+        return self.kw("allOf", [_unwrap(s) for s in schemas])
+
+    def any_of(self, *schemas) -> "SchemaBuilder":
+        return self.kw("anyOf", [_unwrap(s) for s in schemas])
+
+    def one_of(self, *schemas) -> "SchemaBuilder":
+        return self.kw("oneOf", [_unwrap(s) for s in schemas])
+
+    def not_(self, schema) -> "SchemaBuilder":
+        return self.kw("not", schema)
+
+    def if_then_else(self, if_s, then_s=None, else_s=None) -> "SchemaBuilder":
+        self.kw("if", if_s)
+        if then_s is not None:
+            self.kw("then", then_s)
+        if else_s is not None:
+            self.kw("else", else_s)
+        return self
+
+    def build(self) -> dict:
+        return self._doc
+
+
+def _unwrap(v: Any) -> Any:
+    if isinstance(v, SchemaBuilder):
+        return v.build()
+    if isinstance(v, dict):
+        return {k: _unwrap(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_unwrap(x) for x in v]
+    return v

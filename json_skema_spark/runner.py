@@ -1,0 +1,122 @@
+"""Production entry point: the full north-rule validation job, shipped via
+``spark-submit --py-files json_skema_spark.zip runner.py`` on a real cluster
+(here runnable on local[N]).
+
+Pipeline per the north rule (BASELINE.json):
+  1. schema-validate every row (compiled Column predicates)     -> violations
+  2. global clip_id uniqueness (salted two-phase agg)           -> violations
+  3. transcript/clip referential integrity (broadcast/SMJ)      -> violations
+  4. per-partition column stats + HLL + quantiles               -> profile
+  5. drift vs a baseline profile (if provided)                  -> drift report
+  6. decoded-PCM SNR>=30dB + transcript equality (Arrow UDF)    -> violations
+  7. checkpointed per-bucket manifest with lineage + metrics    -> resume
+
+Every stage writes parquet under ``--out``; a killed run re-invoked with the
+same ``--out`` resumes at bucket granularity (operators/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from json_skema_spark import compile_schema
+from json_skema_spark.functions import audio as audio_fn
+from json_skema_spark.operators import checkpoint, referential, stats, uniqueness
+from json_skema_spark.operators.drift import drift_report
+
+CLIPS_SCHEMA_DOC = {
+    "type": "object",
+    "properties": {
+        "clip_id": {"type": "string", "pattern": "^clip_[0-9a-f]{12}$"},
+        "sr_hz": {"enum": [8000, 16000, 22050, 44100, 48000]},
+        "dur_ms": {"type": "integer", "minimum": 1, "maximum": 600000},
+        "codec": {"enum": ["pcm_s16le", "flac", "opus"]},
+        "transcript": {"type": "string", "minLength": 1},
+    },
+    "required": ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"],
+}
+
+
+def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
+                   schema_doc: Any = None,
+                   transcripts_ref: DataFrame | None = None,
+                   baseline_profile: DataFrame | None = None,
+                   num_buckets: int = 16, check_audio: bool = True) -> dict:
+    """Run the full validation pipeline with checkpointed resume.
+
+    Returns the manifest metrics map (bucket -> metrics).
+    """
+    schema_doc = schema_doc or CLIPS_SCHEMA_DOC
+    plan = compile_schema(schema_doc, clips.schema)
+    manifest = checkpoint.PartitionManifest(os.path.join(out_dir, "_manifest"))
+
+    def process(bucket_df: DataFrame, bucket: int) -> dict:
+        bucket_df = bucket_df.cache()
+        viols = plan.violations(bucket_df, "clip_id")
+        if check_audio:
+            viols = viols.unionByName(
+                audio_fn.audio_violations(bucket_df,
+                                          ref_transcripts=transcripts_ref))
+        n_rows = bucket_df.count()
+        vpath = os.path.join(out_dir, "violations", f"bucket={bucket}")
+        viols.write.mode("overwrite").parquet(vpath)
+        n_viol = spark.read.parquet(vpath).count()
+        prof = stats.profile(bucket_df, per_partition=False)
+        prof.withColumn("bucket", F.lit(bucket)).write.mode("overwrite") \
+            .parquet(os.path.join(out_dir, "profile", f"bucket={bucket}"))
+        bucket_df.unpersist()
+        return {"rows": n_rows, "violations": n_viol}
+
+    metrics = checkpoint.run_resumable(clips, "clip_id", num_buckets,
+                                       manifest, process)
+
+    # global (cross-bucket) checks — cheap aggregates over keys only
+    dup = uniqueness.uniqueness_violations(clips, "clip_id")
+    dup.write.mode("overwrite").parquet(os.path.join(out_dir, "violations_unique"))
+    if transcripts_ref is not None:
+        orph = referential.referential_violations(clips, transcripts_ref, "clip_id")
+        orph.write.mode("overwrite").parquet(os.path.join(out_dir, "violations_ref"))
+    if baseline_profile is not None:
+        cur = stats.profile(clips)
+        drift_report(cur, baseline_profile).write.mode("overwrite") \
+            .parquet(os.path.join(out_dir, "drift"))
+    return metrics
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="clips parquet/iceberg path")
+    p.add_argument("--out", required=True)
+    p.add_argument("--schema", help="path to a JSON schema document")
+    p.add_argument("--transcripts-ref", help="reference transcripts parquet")
+    p.add_argument("--baseline-profile", help="baseline profile parquet")
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--no-audio", action="store_true")
+    args = p.parse_args()
+
+    spark = SparkSession.builder.appName("json_skema_spark_validate").getOrCreate()
+    clips = spark.read.parquet(args.input)
+    schema_doc = None
+    if args.schema:
+        with open(args.schema) as f:
+            schema_doc = json.load(f)
+    tref = spark.read.parquet(args.transcripts_ref) if args.transcripts_ref else None
+    base = spark.read.parquet(args.baseline_profile) if args.baseline_profile else None
+    metrics = validate_table(spark, clips, args.out, schema_doc=schema_doc,
+                             transcripts_ref=tref, baseline_profile=base,
+                             num_buckets=args.buckets,
+                             check_audio=not args.no_audio)
+    total = {"rows": sum(m.get("rows", 0) for m in metrics.values()),
+             "violations": sum(m.get("violations", 0) for m in metrics.values()),
+             "buckets": len(metrics)}
+    print(json.dumps(total))
+
+
+if __name__ == "__main__":
+    main()

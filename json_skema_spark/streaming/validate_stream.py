@@ -1,0 +1,59 @@
+"""Streaming validation: the compiled constraint plan applied to unbounded
+input.
+
+The reference is strictly batch/one-document (SURVEY.md §2.g: "Streaming:
+out of scope" for the north rule, which wants batch + manifest resume), but
+the engine's predicates are stateless per-row Column expressions, so they
+apply to a ``readStream`` DataFrame unchanged — this module is the thin
+wiring plus a windowed violation-rate aggregation with watermarked late-data
+handling for monitoring pipelines.
+
+Scale notes: per-row verdicts add no state; the only stateful operator is
+the windowed count, whose state is bounded by (window x keyword) cardinality.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from json_skema_spark.plans.compile import Compiler
+from json_skema_spark.plans.verdict import ValidationPlan
+
+
+def validate_stream(stream_df: DataFrame, schema_doc: Any,
+                    **compiler_kwargs) -> DataFrame:
+    """Attach ``passed`` + ``failures`` to a streaming DataFrame."""
+    plan = ValidationPlan(Compiler(schema_doc, **compiler_kwargs),
+                          stream_df.schema)
+    return plan.apply(stream_df)
+
+
+def violations_stream(stream_df: DataFrame, schema_doc: Any, row_key: str,
+                      **compiler_kwargs) -> DataFrame:
+    """Exploded violation rows from a stream (append-mode friendly:
+    stateless select/filter/explode only)."""
+    plan = ValidationPlan(Compiler(schema_doc, **compiler_kwargs),
+                          stream_df.schema)
+    return plan.violations(stream_df, row_key)
+
+
+def violation_rate(stream_df: DataFrame, schema_doc: Any, ts_col: str,
+                   window: str = "1 minute", watermark: str = "2 minutes",
+                   **compiler_kwargs) -> DataFrame:
+    """Watermarked per-window violation counts by keyword — the streaming
+    analogue of ``ValidationPlan.summary``."""
+    plan = ValidationPlan(Compiler(schema_doc, **compiler_kwargs),
+                          stream_df.schema)
+    flagged = stream_df.withColumn("_failures", plan.failures)
+    return (
+        flagged.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), F.explode("_failures").alias("f"))
+        .groupBy(F.window(F.col(ts_col), window).alias("w"),
+                 F.col("f.keyword").alias("keyword"))
+        .agg(F.count("*").alias("n_violations"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "keyword", "n_violations")
+    )
