@@ -162,6 +162,29 @@ def _q_simhash_documents(spark, sf_dir):
     return docs.select("doc_id", dedup.simhash(F.col("text")).alias("fp"))
 
 
+EVENTS_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "event_type": {"enum": ["click", "view", "signup", "purchase", "error"]},
+        "value": {"exclusiveMinimum": 0, "maximum": 450},
+    },
+    "required": ["event_id", "ts", "user_id"],
+}
+
+
+def _q_events_verdict(spark, sf_dir):
+    """Typed-column validation + JSON-payload validation (from_json path)."""
+    from json_skema_spark.plans.verdict import validate_json_column
+    ev = _t(spark, sf_dir, "events")
+    plan = compile_schema(EVENTS_SCHEMA, ev.schema)
+    with_json = validate_json_column(
+        ev, "props", "struct<k:int>",
+        {"properties": {"k": {"minimum": 0, "maximum": 80}}, "required": ["k"]})
+    return with_json.select(
+        "event_id", plan.passed.alias("passed"),
+        F.col("json_passed").alias("props_passed"))
+
+
 def _q_canonical_order_per_customer(spark, sf_dir):
     from pyspark.sql import Window as W
     o = _t(spark, sf_dir, "orders")
@@ -201,6 +224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_fingerprints": _q_simhash_documents,
         "window_canonical_order": _q_canonical_order_per_customer,
         "agg_pricing_summary": _q_pricing_summary,
+        "validate_events_json_payload": _q_events_verdict,
     }
 
 
@@ -360,6 +384,19 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY o_custkey
                                           ORDER BY o_orderdate, o_orderkey) AS rn
                 FROM orders) WHERE rn = 1
+        """,
+        "validate_events_json_payload": """
+            SELECT event_id,
+                   (event_type IS NULL OR event_type IN
+                        ('click','view','signup','purchase','error'))
+                   AND (value IS NULL OR (value > 0 AND value <= 450))
+                   AND event_id IS NOT NULL AND ts IS NOT NULL
+                   AND user_id IS NOT NULL AS passed,
+                   CASE WHEN json_extract(props, '$.k') IS NULL THEN false
+                        ELSE CAST(json_extract(props, '$.k') AS INT) >= 0
+                             AND CAST(json_extract(props, '$.k') AS INT) <= 80
+                   END AS props_passed
+            FROM events
         """,
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

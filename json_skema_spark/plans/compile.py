@@ -342,12 +342,14 @@ class Compiler:
         base_uri: str = "",
         format_assertion: bool | None = None,
         rw_context: str | None = None,   # None | "read" | "write" (Validator.kt:912-924)
+        lenient: bool = False,           # LENIENT primitive coercion (Validator.kt:324-365)
         max_depth: int = 64,
     ):
         self.doc = schema_doc
         self.resolver = Resolver(schema_doc, registry=registry, base_uri=base_uri)
         self.max_depth = max_depth
         self.rw_context = rw_context
+        self.lenient = lenient
         if format_assertion is None:
             # DEPENDS_ON_VOCABULARY default (Validator.kt:250-261): assert iff
             # the schema opts into the format-assertion vocabulary.
@@ -512,6 +514,20 @@ class Compiler:
         if t == "integer" and actual == "number":
             # "x.0 is an integer": zero-fractional check (Validator.kt:271-281)
             return inst.col == F.floor(inst.col)
+        if self.lenient:
+            # LENIENT primitive coercion (reference Validator.kt:324-365):
+            # "5" -> 5, yes/no/on/off -> bool, scalar -> string
+            col = inst.col
+            if t == "number" and actual == "string":
+                return col.try_cast("double").isNotNull()
+            if t == "integer" and actual == "string":
+                d = col.try_cast("double")
+                return d.isNotNull() & (d == F.floor(d))
+            if t == "boolean" and actual == "string":
+                # YAML boolean literal sets (Validator.kt:288-318)
+                return F.lower(col).isin("true", "false", "yes", "no", "on", "off")
+            if t == "string" and actual in ("integer", "number", "boolean"):
+                return F.lit(True)
         return F.lit(False)
 
     def _kw_const(self, value: Any, inst: Inst, kw_loc: str, dyn: str) -> Compiled:

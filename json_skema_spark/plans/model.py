@@ -65,6 +65,22 @@ def _step(node: Any, key: str) -> Any:
     raise SchemaError(f"cannot descend into {type(node).__name__} with {key!r}")
 
 
+def load_schema_document(text: str) -> Any:
+    """Parse a schema document from text: JSON first, YAML fallback —
+    mirrors the reference's dual-format loading (JsonValue.kt:234-251,
+    YamlSupport.kt:12-54). Driver-side only; schema documents are tiny."""
+    import json
+
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        try:
+            import yaml
+        except ImportError as exc:  # pragma: no cover
+            raise SchemaError("schema is not JSON and pyyaml is unavailable") from exc
+        return yaml.safe_load(text)
+
+
 _ANCHOR_STOP_KEYWORDS = {"enum", "const"}  # raw-data subtrees; cf. SchemaLoader.kt:300-315
 
 

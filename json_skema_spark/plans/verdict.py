@@ -106,6 +106,26 @@ class ValidationPlan:
         )
 
 
+def validate_json_column(df: DataFrame, json_col: str, payload_type: T.DataType | str,
+                         schema_doc: Any, *, out_col: str = "json_passed",
+                         **compiler_kwargs) -> DataFrame:
+    """Validate a JSON *string* column against a schema: ``from_json`` with a
+    caller-supplied Spark type, then the same compiled predicates over the
+    parsed struct — the open-document path (reference JsonParser.kt:194-285;
+    here Spark's native JSON parser does the scan and the compiler works on
+    the resulting StructType). Malformed JSON parses to NULL = absent,
+    which passes value keywords; pair with ``required``/``type`` on the
+    payload itself to reject unparseable rows.
+    """
+    if isinstance(payload_type, str):
+        payload_type = T._parse_datatype_string(payload_type)
+    parsed = F.from_json(F.col(json_col), payload_type)
+    comp = Compiler(schema_doc, **compiler_kwargs)
+    compiled = comp.compile_value(parsed, payload_type,
+                                  loc=F.lit("#/" + json_col))
+    return df.withColumn(out_col, compiled.passed)
+
+
 def validate(df: DataFrame, schema_doc: Any, *, row_key: str | None = None,
              mode: str = "full", **compiler_kwargs) -> DataFrame:
     """One-shot convenience: compile + apply.

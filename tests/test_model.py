@@ -1,0 +1,67 @@
+"""Schema-document model: pointers, anchors, registry, YAML loading —
+mirrors the reference's loader tests (SchemaLoaderTest / RefResolutionTest)."""
+
+import pytest
+
+from json_skema_spark.plans.model import (Resolver, SchemaError,
+                                          evaluate_pointer,
+                                          load_schema_document,
+                                          pointer_escape, pointer_unescape)
+
+
+def test_pointer_escaping_rfc6901():
+    assert pointer_unescape("a~1b") == "a/b"
+    assert pointer_unescape("m~0n") == "m~n"
+    assert pointer_escape("a/b~c") == "a~1b~0c"
+
+
+def test_evaluate_pointer():
+    doc = {"a": {"b": [10, {"c": 3}]}, "x/y": 7, "": 9}
+    assert evaluate_pointer(doc, "/a/b/0") == 10
+    assert evaluate_pointer(doc, "/a/b/1/c") == 3
+    assert evaluate_pointer(doc, "/x~1y") == 7
+    assert evaluate_pointer(doc, "") == doc
+    with pytest.raises(SchemaError):
+        evaluate_pointer(doc, "/missing")
+    with pytest.raises(SchemaError):
+        evaluate_pointer(doc, "/a/b/9")
+
+
+def test_resolver_anchors_and_ids():
+    doc = {
+        "$id": "https://example.test/root.json",
+        "$defs": {
+            "a": {"$anchor": "alpha", "minimum": 1},
+            "sub": {"$id": "sub.json",
+                    "$defs": {"b": {"$anchor": "beta", "maximum": 2}}},
+        },
+    }
+    r = Resolver(doc)
+    node, _ = r.resolve("#alpha", "https://example.test/root.json")
+    assert node["minimum"] == 1
+    node, scope = r.resolve("sub.json#beta", "https://example.test/root.json")
+    assert node["maximum"] == 2
+    node, _ = r.resolve("#/$defs/a", "https://example.test/root.json")
+    assert node["minimum"] == 1
+    with pytest.raises(SchemaError):
+        r.resolve("#nope", "https://example.test/root.json")
+    with pytest.raises(SchemaError):
+        r.resolve("https://other.test/x.json#/a", "https://example.test/root.json")
+
+
+def test_dynamic_anchor_outermost_wins():
+    doc = {
+        "$id": "https://e.test/r",
+        "$dynamicAnchor": "node", "minimum": 0,
+        "$defs": {"inner": {"$id": "https://e.test/inner",
+                            "$dynamicAnchor": "node", "maximum": 5}},
+    }
+    r = Resolver(doc)
+    hit = r.resolve_dynamic("#node", ["https://e.test/r", "https://e.test/inner"])
+    assert hit is not None and hit[0]["minimum"] == 0  # outermost scope wins
+
+
+def test_load_schema_document_json_and_yaml():
+    assert load_schema_document('{"type": "string"}') == {"type": "string"}
+    assert load_schema_document("type: string\nminLength: 2\n") == {
+        "type": "string", "minLength": 2}
