@@ -87,12 +87,14 @@ def main() -> None:
         secs, _ = timed(lambda: queries[name](spark, SF_DIR).count())
         q_secs[name] = round(secs, 3)
 
-    # -- scaling probe: constraint-eval over generated clips (no audio) -----
-    # JVM-side generation (pure codegen) so 20M rows materialize in seconds;
-    # cached so the timed window measures constraint evaluation, not datagen.
-    clips = clips_src.clips_df_fast(spark, CLIPS_N, inject=True,
-                                    partitions=CPUS * 4).cache()
-    n = clips.count()  # materialize generation outside the timed window
+    # -- scaling probe: constraint-eval over a clips parquet table ----------
+    # Production shape: parquet scan -> codegen'd predicates -> tiny agg.
+    # The table is materialized once under /tmp and reused across runs and
+    # parallelism levels (identical input at N and 4N cores). Timing is
+    # best-of-3 after a warm-up pass: steady state, page cache + JIT warm.
+    cpath = clips_src.ensure_clips_parquet(spark, CLIPS_N, audio=False)
+    clips = spark.read.parquet(cpath)
+    n = CLIPS_N
     plan = compile_schema({
         "type": "object",
         "properties": {
@@ -104,28 +106,27 @@ def main() -> None:
         },
         "required": ["clip_id", "sr_hz", "dur_ms", "codec", "transcript"],
     }, clips.schema)
+
     def run_probe():
         return plan.apply(clips, mode="verdict").groupBy("passed").count().collect()
 
-    timed(run_probe)  # warm-up pass (cache read path + codegen JIT)
-    probe_secs, verdicts = timed(run_probe)
+    timed(run_probe)  # warm-up pass (page cache + codegen JIT)
+    probe_secs = min(timed(run_probe)[0] for _ in range(3))
     q_secs["clips_constraint_eval"] = round(probe_secs, 3)
     clips_per_sec = n / probe_secs
-    clips.unpersist()
 
     # -- audio decode + SNR invariant probe (Arrow-batched pandas UDF) ------
-    aclips = clips_src.clips_df(spark, AUDIO_N, audio=True, inject=True,
-                                partitions=CPUS * 2).cache()
-    an = aclips.count()
+    apath = clips_src.ensure_clips_parquet(spark, AUDIO_N, audio=True)
+    aclips = spark.read.parquet(apath)
+    an = AUDIO_N
 
     def run_audio():
         return audio.pcm_invariant_check(aclips).groupBy("decode_ok").count().collect()
 
-    timed(run_audio)  # warm-up pass
-    audio_secs, _ = timed(run_audio)
+    timed(run_audio)  # warm-up pass (spins up every Python worker)
+    audio_secs = min(timed(run_audio)[0] for _ in range(2))
     q_secs["clips_audio_snr"] = round(audio_secs, 3)
     audio_clips_per_sec = an / audio_secs
-    aclips.unpersist()
 
     total = round(sum(q_secs.values()), 3)
     print(json.dumps({

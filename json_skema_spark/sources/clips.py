@@ -156,6 +156,25 @@ def clips_df_fast(spark: SparkSession, n: int, *, inject: bool = True,
     )
 
 
+def ensure_clips_parquet(spark: SparkSession, n: int, *, audio: bool = False,
+                         seed: int = SEED, base_dir: str = "/tmp/jss_bench",
+                         partitions: int | None = None) -> str:
+    """Materialize a deterministic clips table as parquet once and reuse it
+    across bench runs / parallelism levels (identical input is what makes the
+    N-vs-4N comparison valid). Returns the path."""
+    import os
+    kind = "audio" if audio else "fast"
+    path = f"{base_dir}/clips_{kind}_{n}_s{seed}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        parts = partitions or max(spark.sparkContext.defaultParallelism * 4, 64)
+        df = (clips_df(spark, n, audio=True, inject=True, seed=seed,
+                       partitions=parts) if audio
+              else clips_df_fast(spark, n, inject=True, seed=seed,
+                                 partitions=parts))
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
 def transcripts_ref_df(spark: SparkSession, n: int, *, seed: int = SEED,
                        partitions: int | None = None) -> DataFrame:
     """Referential side table (FIXTURES.md §2): clips ids minus a 0.3%
