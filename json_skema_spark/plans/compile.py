@@ -738,9 +738,22 @@ class Compiler:
                             add(child.compiled)
                             res.prop_cov.setdefault(pname, []).append(F.lit(True))
             else:
-                raise CompileError(
-                    "patternProperties over MapType requires map_filter lowering "
-                    "of subschemas; only boolean subschemas supported")
+                # MapType: dynamic key match — subschema applied to every
+                # value whose key matches, via map higher-order functions
+                vt = inst.dtype.valueType
+                for pat, pschema in pattern_props.items():
+                    ploc = f"{kw_loc}/patternProperties/{pointer_escape(pat)}"
+                    pdyn = dyn + "/patternProperties"
+                    elem_fn = self._element_fn(pschema, vt, inst.loc, ploc,
+                                               pdyn, scope, depth)
+                    matched = F.map_filter(inst.col, lambda k, v: k.rlike(pat))
+                    ok = F.forall(F.map_values(matched),
+                                  lambda v: elem_fn(v, F.lit(0)).passed)
+                    add(Compiled.simple(
+                        ~inst.is_absent() & ~F.coalesce(ok, F.lit(True)),
+                        "patternProperties", ploc, inst.loc, pdyn,
+                        F.lit(f"object properties matching {pat} failed to "
+                              "validate against the subschema")))
 
         # required (Validator.kt:632-641)
         if "required" in node:
@@ -774,14 +787,33 @@ class Compiler:
             res.all_props_cov.append(F.lit(True))
         elif "additionalProperties" in node and isinstance(inst.dtype, T.MapType):
             ap = node["additionalProperties"]
+            aloc = f"{kw_loc}/additionalProperties"
+            adyn = dyn + "/additionalProperties"
+            allowed = list(prop_schemas)
+            patterns = list(pattern_props)
+
+            def residual_keys(col):
+                def is_residual(k):
+                    cond = ~k.isin(*allowed) if allowed else F.lit(True)
+                    for pat in patterns:
+                        cond = cond & ~k.rlike(pat)
+                    return cond
+                return F.map_filter(col, lambda k, v: is_residual(k))
+
             if ap is False:
-                allowed = list(prop_schemas)
-                extra = F.filter(F.map_keys(inst.col),
-                                 lambda k: ~k.isin(*allowed) if allowed else F.lit(True))
+                extra = residual_keys(inst.col)
                 add(Compiled.simple(
                     ~inst.is_absent() & (F.size(extra) > 0), "additionalProperties",
-                    f"{kw_loc}/additionalProperties", inst.loc,
-                    dyn + "/additionalProperties",
+                    aloc, inst.loc, adyn,
+                    F.lit("additional properties do not match subschema")))
+            elif ap is not True:
+                vt = inst.dtype.valueType
+                elem_fn = self._element_fn(ap, vt, inst.loc, aloc, adyn, scope, depth)
+                ok = F.forall(F.map_values(residual_keys(inst.col)),
+                              lambda v: elem_fn(v, F.lit(0)).passed)
+                add(Compiled.simple(
+                    ~inst.is_absent() & ~F.coalesce(ok, F.lit(True)),
+                    "additionalProperties", aloc, inst.loc, adyn,
                     F.lit("additional properties do not match subschema")))
             res.all_props_cov.append(F.lit(True))
 
