@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from json_skema_spark.operators.util import ensure_parallelism
+
 
 # -- exact ------------------------------------------------------------------
 
@@ -66,17 +68,25 @@ def shingles(col: Column, n: int = 3) -> Column:
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64,
                       seed: int = 42) -> Column:
-    """Array of ``num_hashes`` min-hash values (xxhash64 with distinct salts).
+    """Array of ``num_hashes`` min-hash values in ONE pass over the shingles.
 
-    Deterministic: salts are ``seed + i`` literals baked into the plan.
+    Each shingle string is xxhash64'd once; the ``num_hashes`` hash family is
+    derived by re-hashing that 8-byte value with the hash index
+    (``xxhash64(h, i)``) — ~10x cheaper than hashing the string per family
+    member, and the element-wise ``least`` fold keeps it a single
+    ``aggregate`` (no 64 array passes). Deterministic in ``seed``.
     """
-    def min_hash(salt: int) -> Column:
-        # single-arg lambda on purpose: a two-parameter lambda would receive
-        # the element index as its second argument
-        return F.array_min(F.transform(shingle_col,
-                                       lambda s: F.xxhash64(s, F.lit(salt))))
-
-    return F.array(*[min_hash(seed + i) for i in range(num_hashes)])
+    base = F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed)))
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    max_long = (1 << 63) - 1
+    return F.aggregate(
+        base,
+        F.array_repeat(F.lit(max_long).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(idx, lambda i: F.xxhash64(h, i)),
+            lambda a, m: F.least(a, m)),
+    )
 
 
 def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
@@ -98,6 +108,7 @@ def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
     ``doc_id_a < doc_id_b``.
     """
     rows_per_band = num_hashes // bands
+    df = ensure_parallelism(df)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         shingles(F.col(text_col), shingle_n).alias("sh"),
@@ -197,7 +208,7 @@ def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
     """Near-dup pairs by SimHash: band the 48-bit fingerprint into 4 12-bit
     chunks (pigeonhole: any pair within hamming distance 3 shares at least
     one exact chunk), bucket-join on chunks, verify hamming distance."""
-    fp = df.select(F.col(id_col).alias("doc_id"),
+    fp = ensure_parallelism(df).select(F.col(id_col).alias("doc_id"),
                    simhash(F.col(text_col), seed=seed).alias("fp"))
     chunks = fp.select(
         "doc_id", "fp",

@@ -25,6 +25,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from json_skema_spark.operators.util import ensure_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     """JVM-side dot product of two array columns."""
@@ -51,7 +53,7 @@ def cosine_topk(df: DataFrame, embedding_col: str, id_col: str, query,
     Output: ``(id, score)`` ordered desc, deterministic ties by id.
     """
     q = _lit_vec(query)
-    scored = df.select(
+    scored = ensure_parallelism(df).select(
         F.col(id_col),
         cosine(F.col(embedding_col).cast("array<double>"), q).alias("score"),
     )
@@ -105,7 +107,7 @@ def embedding_near_duplicates(df: DataFrame, embedding_col: str, id_col: str, *,
     first = df.select(F.size(embedding_col).alias("d")).first()
     planes = make_hyperplanes(int(first["d"]), num_planes, seed)
     emb = F.col(embedding_col).cast("array<double>")
-    b = df.select(F.col(id_col).alias("doc_id"), emb.alias("e"),
+    b = ensure_parallelism(df).select(F.col(id_col).alias("doc_id"), emb.alias("e"),
                   lsh_bucket(emb, planes).alias("bucket"))
     x, y = b.alias("x"), b.alias("y")
     return (
