@@ -1,0 +1,173 @@
+"""Audio feature extraction / transformation over ``binary`` WAV columns.
+
+The multimodal-pipeline surface for the audio payload: decode ->
+feature-extract -> resample -> frame-sample, each as an Arrow-batched
+``mapInPandas`` stage (input_hint: vectorized pandas UDFs, no per-row
+Python). All DSP is numpy (rFFT, linear-interp resampling) — no external
+audio libraries; compressed codecs stay stubbed in functions/audio.py.
+
+Scale notes: every stage projects only the columns it needs before the UDF
+(bytes never ship unless decoding), and per-clip outputs are bounded arrays
+(n_frames x small), so downstream aggregation is cheap.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from json_skema_spark.functions.audio import _decode_dispatch
+
+FEATURES_SCHEMA = ("clip_id string, n_frames int, rms_db array<float>, "
+                   "zcr array<float>, spectral_centroid array<float>")
+RESAMPLE_SCHEMA = "clip_id string, sr_hz int, n_samples long, pcm binary"
+FRAMES_SCHEMA = ("clip_id string, frame_idx int, start_ms int, pcm binary")
+
+
+def resample_linear(sig: np.ndarray, from_sr: int, to_sr: int) -> np.ndarray:
+    """Deterministic linear-interpolation resampler (numpy)."""
+    if from_sr == to_sr or len(sig) == 0:
+        return sig
+    n_out = max(int(round(len(sig) * to_sr / from_sr)), 1)
+    x_out = np.arange(n_out, dtype=np.float64) * (from_sr / to_sr)
+    return np.interp(x_out, np.arange(len(sig), dtype=np.float64), sig)
+
+
+def frame_signal(sig: np.ndarray, frame_len: int, hop: int) -> np.ndarray:
+    """(n_frames, frame_len) view-based framing."""
+    if len(sig) < frame_len:
+        return sig[np.newaxis, :] if len(sig) else np.empty((0, frame_len))
+    n = 1 + (len(sig) - frame_len) // hop
+    idx = np.arange(frame_len)[None, :] + hop * np.arange(n)[:, None]
+    return sig[idx]
+
+
+def clip_features(sig: np.ndarray, sr: int, *, frame_ms: int = 25,
+                  hop_ms: int = 10) -> dict:
+    """Frame-level RMS (dBFS), zero-crossing rate, spectral centroid."""
+    frame_len = max(int(sr * frame_ms / 1000), 1)
+    hop = max(int(sr * hop_ms / 1000), 1)
+    frames = frame_signal(sig, frame_len, hop)
+    if frames.size == 0:
+        return {"n_frames": 0, "rms_db": [], "zcr": [], "spectral_centroid": []}
+    rms = np.sqrt(np.mean(frames * frames, axis=1))
+    rms_db = 20.0 * np.log10(np.maximum(rms, 1e-10))
+    zcr = np.mean(np.abs(np.diff(np.signbit(frames), axis=1)), axis=1)
+    spec = np.abs(np.fft.rfft(frames * np.hanning(frames.shape[1]), axis=1)) ** 2
+    freqs = np.fft.rfftfreq(frames.shape[1], d=1.0 / sr)
+    denom = spec.sum(axis=1)
+    centroid = np.where(denom > 0, (spec * freqs).sum(axis=1) / np.maximum(denom, 1e-12), 0.0)
+    return {"n_frames": int(len(frames)),
+            "rms_db": rms_db.astype(np.float32).tolist(),
+            "zcr": zcr.astype(np.float32).tolist(),
+            "spectral_centroid": centroid.astype(np.float32).tolist()}
+
+
+def extract_features(df: DataFrame, *, frame_ms: int = 25,
+                     hop_ms: int = 10) -> DataFrame:
+    """Per-clip frame features -> (clip_id, n_frames, rms_db[], zcr[],
+    spectral_centroid[]). Undecodable clips yield n_frames=0."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for cid, codec, buf in zip(pdf["clip_id"], pdf["codec"], pdf["bytes"]):
+                sig, sr, err = _decode_dispatch(codec, buf)
+                if sig is None:
+                    out.append((cid, 0, [], [], []))
+                else:
+                    f = clip_features(sig, sr, frame_ms=frame_ms, hop_ms=hop_ms)
+                    out.append((cid, f["n_frames"], f["rms_db"], f["zcr"],
+                                f["spectral_centroid"]))
+            yield pd.DataFrame(out, columns=["clip_id", "n_frames", "rms_db",
+                                             "zcr", "spectral_centroid"])
+
+    return df.select("clip_id", "codec", "bytes").mapInPandas(run, FEATURES_SCHEMA)
+
+
+def resample_clips(df: DataFrame, target_sr: int) -> DataFrame:
+    """Decode + resample to ``target_sr`` -> raw PCM16 bytes (no container)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for cid, codec, buf in zip(pdf["clip_id"], pdf["codec"], pdf["bytes"]):
+                sig, sr, err = _decode_dispatch(codec, buf)
+                if sig is None:
+                    out.append((cid, 0, 0, b""))
+                    continue
+                r = resample_linear(sig, sr, target_sr)
+                pcm = (np.clip(r, -1, 1) * 32767.0).astype("<i2").tobytes()
+                out.append((cid, target_sr, len(r), pcm))
+            yield pd.DataFrame(out, columns=["clip_id", "sr_hz", "n_samples", "pcm"])
+
+    return df.select("clip_id", "codec", "bytes").mapInPandas(run, RESAMPLE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, *, every_ms: int = 500,
+                  frame_ms: int = 100, max_frames: int = 16) -> DataFrame:
+    """Deterministic frame sampling (the audio analogue of video
+    frame-sampling): one row per sampled window -> (clip_id, frame_idx,
+    start_ms, pcm). Exploded rows are bounded by ``max_frames``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, codec, buf in zip(pdf["clip_id"], pdf["codec"], pdf["bytes"]):
+                sig, sr, err = _decode_dispatch(codec, buf)
+                if sig is None:
+                    continue
+                hop = max(int(sr * every_ms / 1000), 1)
+                flen = max(int(sr * frame_ms / 1000), 1)
+                for i, start in enumerate(range(0, max(len(sig) - flen, 1), hop)):
+                    if i >= max_frames:
+                        break
+                    chunk = sig[start:start + flen]
+                    pcm = (np.clip(chunk, -1, 1) * 32767.0).astype("<i2").tobytes()
+                    rows.append((cid, i, int(start * 1000 / sr), pcm))
+            yield pd.DataFrame(rows, columns=["clip_id", "frame_idx",
+                                              "start_ms", "pcm"])
+
+    return df.select("clip_id", "codec", "bytes").mapInPandas(run, FRAMES_SCHEMA)
+
+
+def duration_consistency_violations(df: DataFrame, *,
+                                    tolerance_ms: int = 50) -> DataFrame:
+    """Validation-tier content check: the decoded sample count must match the
+    claimed ``dur_ms`` within tolerance (catches truncated payloads whose
+    metadata still claims full length). Synthetic fixture caveat: generated
+    clips cap audio at 2000 ms (FIXTURES.md), so pass ``max_claim_ms`` rows
+    already filtered, or use on real tables where bytes cover dur_ms."""
+    decoded = df.select("clip_id", "codec", "bytes", "sr_hz", "dur_ms")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"clip_id": [], "claimed_ms": [], "actual_ms": []}
+            for cid, codec, buf, sr, dur in zip(
+                    pdf["clip_id"], pdf["codec"], pdf["bytes"],
+                    pdf["sr_hz"], pdf["dur_ms"]):
+                sig, dec_sr, err = _decode_dispatch(codec, buf)
+                if sig is None or not dec_sr:
+                    continue
+                actual_ms = int(len(sig) * 1000 / dec_sr)
+                if abs(actual_ms - int(dur)) > tolerance_ms:
+                    out["clip_id"].append(cid)
+                    out["claimed_ms"].append(int(dur))
+                    out["actual_ms"].append(actual_ms)
+            yield pd.DataFrame(out)
+
+    mism = decoded.mapInPandas(run, "clip_id string, claimed_ms int, actual_ms int")
+    return mism.select(
+        F.col("clip_id").alias("row_key"),
+        F.lit("const").alias("keyword"),
+        F.lit("#/properties/dur_ms/const").alias("keyword_location"),
+        F.lit("#/dur_ms").alias("instance_location"),
+        F.lit("#/properties/dur_ms/const").alias("dynamic_path"),
+        F.format_string("claimed duration %s ms but decoded %s ms",
+                        F.col("claimed_ms"), F.col("actual_ms")).alias("message"),
+        F.spark_partition_id().alias("partition_id"),
+    )

@@ -1,0 +1,77 @@
+"""Audio feature extraction / resample / frame-sample / duration checks."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from json_skema_spark.functions import audio
+from json_skema_spark.functions.audio_features import (
+    clip_features, duration_consistency_violations, extract_features,
+    frame_signal, resample_clips, resample_linear, sample_frames)
+from json_skema_spark.sources import clips as clips_src
+
+
+def test_resample_linear_preserves_tone():
+    sr1, sr2 = 48000, 16000
+    sig = audio.synth_reference_signal(0, sr1, 500)
+    r = resample_linear(sig, sr1, sr2)
+    assert abs(len(r) - len(sig) * sr2 / sr1) <= 1
+    # downsampled 220 Hz tone must still correlate with a freshly
+    # synthesized 16 kHz version
+    ref = audio.synth_reference_signal(0, sr2, 500)
+    n = min(len(r), len(ref))
+    corr = np.corrcoef(r[:n], ref[:n])[0, 1]
+    assert corr > 0.99
+
+
+def test_frame_signal_shapes():
+    sig = np.arange(1000, dtype=float)
+    frames = frame_signal(sig, 100, 50)
+    assert frames.shape == (19, 100)
+    assert frames[1][0] == 50.0
+
+
+def test_clip_features_sane():
+    sig = audio.synth_reference_signal(3, 16000, 1000)
+    f = clip_features(sig, 16000)
+    assert f["n_frames"] > 90
+    # 220 Hz tone: centroid near the low end, rms ~ -5 dBFS for 0.75 peak mix
+    assert 150 < np.median(f["spectral_centroid"]) < 700
+    assert -12 < np.median(f["rms_db"]) < -2
+
+
+def test_extract_features_df(spark):
+    df = clips_src.clips_df(spark, 30, inject=False)
+    out = extract_features(df).collect()
+    assert len(out) == 30
+    ok = [r for r in out if r.n_frames > 0]
+    assert len(ok) >= 25  # flac/opus stubs yield n_frames=0
+    assert all(len(r.rms_db) == r.n_frames for r in ok)
+
+
+def test_resample_clips_df(spark):
+    df = clips_src.clips_df(spark, 10, inject=False)
+    out = resample_clips(df, 8000).filter(F.col("n_samples") > 0).collect()
+    assert out and all(r.sr_hz == 8000 for r in out)
+    assert all(len(r.pcm) == 2 * r.n_samples for r in out)
+
+
+def test_sample_frames_df(spark):
+    df = clips_src.clips_df(spark, 10, inject=False)
+    out = sample_frames(df, every_ms=200, frame_ms=50, max_frames=4).collect()
+    assert out
+    by_clip = {}
+    for r in out:
+        by_clip.setdefault(r.clip_id, []).append(r)
+    for rows in by_clip.values():
+        assert len(rows) <= 4
+        assert [r.frame_idx for r in sorted(rows, key=lambda x: x.frame_idx)] \
+            == list(range(len(rows)))
+
+
+def test_duration_consistency(spark):
+    # fixture audio is capped at 2000ms; rows claiming more must be flagged
+    df = clips_src.clips_df(spark, 60, inject=False)
+    long_claims = df.filter(F.col("dur_ms") > 2100).count()
+    v = duration_consistency_violations(df).collect()
+    assert len(v) == long_claims
+    assert all("claimed duration" in r.message for r in v)
