@@ -1058,9 +1058,12 @@ class Compiler:
                     f"expected 1 subschema to match out of {n}, %s matched", matched))
             child_fails = F.concat(*[s.compiled.failures for s in subs]) \
                 if n > 1 else subs[0].compiled.failures
+            # absent value: oneOf never applies (all branches vacuously pass,
+            # which would read as "N matched" without this guard)
             add(Compiled(
-                passed=matched == 1,
-                failures=F.when(matched == 0, child_fails)
+                passed=inst.is_absent() | (matched == 1),
+                failures=F.when(inst.is_absent(), empty_failures())
+                .when(matched == 0, child_fails)
                 .when(matched > 1, F.array(one_struct))
                 .otherwise(empty_failures())))
             for s in subs:

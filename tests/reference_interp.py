@@ -1,0 +1,167 @@
+"""Tiny pure-Python validation interpreter used ONLY as a differential-test
+oracle: implements the engine's documented semantics (draft 2020-12 keyword
+subset + NULL=absent convention) the way the reference's interpreted walk
+does (one value at a time), so randomized schemas/instances can cross-check
+the compiled Column predicates.
+
+Semantics notes (must match plans/compile.py):
+- value None = absent: every value keyword passes; `required` fails on
+  absent members; `type: "null"` passes on absent.
+- numeric min/max compare as doubles; multipleOf is exact (Fraction).
+- pattern is unanchored search (same as rlike).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from fractions import Fraction
+
+
+def _json_type(v):
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "integer"
+    if isinstance(v, float):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, list):
+        return "array"
+    if isinstance(v, dict):
+        return "object"
+    raise TypeError(v)
+
+
+def _type_ok(t, v):
+    a = _json_type(v)
+    if t == a:
+        return True
+    if t == "number" and a == "integer":
+        return True
+    if t == "integer" and a == "number":
+        return float(v) == math.floor(v)
+    return False
+
+
+def _eq(a, b):
+    ta, tb = _json_type(a), _json_type(b)
+    if {ta, tb} <= {"integer", "number"}:
+        return float(a) == float(b) and isinstance(a, bool) == isinstance(b, bool)
+    if ta != tb:
+        return False
+    if ta == "array":
+        return len(a) == len(b) and all(_eq(x, y) for x, y in zip(a, b))
+    if ta == "object":
+        # engine convention: absent (None) members don't count as present
+        ka = {k for k, v in a.items() if v is not None}
+        kb = {k for k, v in b.items() if v is not None}
+        return ka == kb and all(_eq(a[k], b[k]) for k in ka)
+    return a == b
+
+
+def validate(value, schema) -> bool:
+    """True = valid under the engine's semantics."""
+    if schema is True or schema == {}:
+        return True
+    if schema is False:
+        return value is None  # absent passes (keyword never applies)
+
+    s = schema
+    if value is None:
+        # absent: only combinators over absent still evaluate vacuously-true
+        # except `required`-style checks live at the parent; replicate the
+        # engine: everything passes on absent except type:"null" which also
+        # passes. Combinators recurse but their leaf keywords also pass.
+        pass
+
+    ok = True
+    if "$ref" in s and isinstance(s.get("$defs_root"), dict):
+        pass  # refs resolved by caller (generator emits none)
+
+    if "type" in s and value is not None:
+        ts = s["type"] if isinstance(s["type"], list) else [s["type"]]
+        ok &= any(_type_ok(t, value) if t != "null" else value is None
+                  for t in ts)
+    if "const" in s and value is not None:
+        ok &= _eq(value, s["const"])
+    if "enum" in s and value is not None:
+        ok &= any(_eq(value, v) for v in s["enum"])
+
+    if value is not None and isinstance(value, (int, float)) \
+            and not isinstance(value, bool):
+        if "minimum" in s:
+            ok &= float(value) >= float(s["minimum"])
+        if "maximum" in s:
+            ok &= float(value) <= float(s["maximum"])
+        if "exclusiveMinimum" in s:
+            ok &= float(value) > float(s["exclusiveMinimum"])
+        if "exclusiveMaximum" in s:
+            ok &= float(value) < float(s["exclusiveMaximum"])
+        if "multipleOf" in s:
+            q = Fraction(str(value)) / Fraction(str(s["multipleOf"]))
+            ok &= q.denominator == 1
+
+    if value is not None and isinstance(value, str):
+        if "minLength" in s:
+            ok &= len(value) >= s["minLength"]
+        if "maxLength" in s:
+            ok &= len(value) <= s["maxLength"]
+        if "pattern" in s:
+            ok &= re.search(s["pattern"], value) is not None
+
+    if value is not None and isinstance(value, dict):
+        present = {k for k, v in value.items() if v is not None}
+        if "required" in s:
+            ok &= all(k in present for k in s["required"])
+        if "minProperties" in s:
+            ok &= len(present) >= s["minProperties"]
+        if "maxProperties" in s:
+            ok &= len(present) <= s["maxProperties"]
+        for k, sub in (s.get("properties") or {}).items():
+            if k in value:
+                ok &= validate(value.get(k), sub)
+        for k, deps in (s.get("dependentRequired") or {}).items():
+            if k in present:
+                ok &= all(d in present for d in deps)
+
+    if value is not None and isinstance(value, list):
+        if "minItems" in s:
+            ok &= len(value) >= s["minItems"]
+        if "maxItems" in s:
+            ok &= len(value) <= s["maxItems"]
+        if s.get("uniqueItems"):
+            for i in range(len(value)):
+                for j in range(i + 1, len(value)):
+                    if _eq(value[i], value[j]):
+                        ok = False
+        prefix = s.get("prefixItems") or []
+        for i, sub in enumerate(prefix):
+            if i < len(value):
+                ok &= validate(value[i], sub)
+        if "items" in s:
+            for x in value[len(prefix):]:
+                ok &= validate(x, s["items"])
+        if "contains" in s:
+            cnt = sum(1 for x in value if validate(x, s["contains"]))
+            lo = s.get("minContains", 1)
+            hi = s.get("maxContains")
+            ok &= cnt >= lo and (hi is None or cnt <= hi)
+
+    if "allOf" in s:
+        ok &= all(validate(value, sub) for sub in s["allOf"])
+    if "anyOf" in s:
+        ok &= any(validate(value, sub) for sub in s["anyOf"])
+    if "oneOf" in s and value is not None:
+        ok &= sum(1 for sub in s["oneOf"] if validate(value, sub)) == 1
+    if "not" in s:
+        ok &= not (value is not None and validate(value, s["not"]))
+    if "if" in s:
+        if validate(value, s["if"]):
+            ok &= validate(value, s["then"]) if "then" in s else True
+        else:
+            ok &= validate(value, s["else"]) if "else" in s else True
+    return bool(ok)

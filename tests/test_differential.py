@@ -1,0 +1,161 @@
+"""Differential testing: the compiled Column predicates vs a pure-Python
+reference interpreter (tests/reference_interp.py) over seeded-random
+schemas and instances — the randomized complement of the hand-written
+conformance corpus (reference test strategy, SURVEY.md §5).
+
+Deterministic (numpy PRNG, seed 42); each dtype shape runs as ONE Spark job
+over all its (schema x instance) pairs, so the whole sweep costs a handful
+of collects.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from json_skema_spark.plans.compile import Compiler
+from tests.reference_interp import validate as ref_validate
+
+RNG = np.random.default_rng(42)
+
+INTS = [-5, -1, 0, 1, 2, 3, 4, 5, 7, 10, 12, None]
+DOUBLES = [-2.5, -1.0, 0.0, 0.5, 1.0, 2.0, 2.5, 3.0, 4.5, 10.0, None]
+STRINGS = ["", "a", "ab", "abc", "b7", "aXbY", "zzz", "a b", None]
+ARRAYS = [[], [1], [1, 2], [2, 2], [1, 2, 3, 4], [5, 5, 5], [0, 9], None]
+
+
+def _num_schema(rng, integer=False):
+    pool = []
+    lo, hi = sorted(rng.choice([-3, -1, 0, 1, 2, 3, 5, 8], 2, replace=False).tolist())
+    opts = {
+        "minimum": lo, "maximum": hi, "exclusiveMinimum": lo,
+        "exclusiveMaximum": hi,
+        "multipleOf": int(rng.choice([1, 2, 3])) if integer else float(rng.choice([0.5, 1, 2])),
+        "enum": sorted(rng.choice(INTS[:-1], 3, replace=False).tolist()),
+        "const": int(rng.choice(INTS[:-1])),
+        "type": "integer" if integer else "number",
+    }
+    for k in rng.choice(list(opts), rng.integers(1, 4), replace=False):
+        pool.append((k, opts[k]))
+    return dict(pool)
+
+
+def _str_schema(rng):
+    opts = {
+        "minLength": int(rng.integers(0, 4)),
+        "maxLength": int(rng.integers(1, 5)),
+        "pattern": str(rng.choice(["^a", "b$", "[0-9]", "a.b", "^$"])),
+        "enum": ["a", "ab", "zzz"],
+        "const": str(rng.choice(["a", "abc"])),
+        "type": "string",
+    }
+    keys = rng.choice(list(opts), rng.integers(1, 4), replace=False)
+    return {k: opts[k] for k in keys}
+
+
+def _arr_schema(rng):
+    opts = {
+        "minItems": int(rng.integers(0, 3)),
+        "maxItems": int(rng.integers(1, 5)),
+        "uniqueItems": True,
+        "items": _num_schema(rng, integer=True),
+        "prefixItems": [_num_schema(rng, integer=True)],
+        "contains": {"minimum": int(rng.integers(0, 6))},
+    }
+    keys = rng.choice(list(opts), rng.integers(1, 4), replace=False)
+    s = {k: opts[k] for k in keys}
+    if "contains" in s and rng.random() < 0.5:
+        s["minContains"] = int(rng.integers(0, 3))
+    if "contains" in s and rng.random() < 0.3:
+        s["maxContains"] = int(rng.integers(1, 4))
+    return s
+
+
+def _combinator(rng, leaf_fn):
+    kind = rng.choice(["allOf", "anyOf", "oneOf", "not", "ifte", "plain"])
+    if kind == "plain":
+        return leaf_fn(rng)
+    if kind == "not":
+        return {"not": leaf_fn(rng)}
+    if kind == "ifte":
+        return {"if": leaf_fn(rng), "then": leaf_fn(rng), "else": leaf_fn(rng)}
+    return {kind: [leaf_fn(rng) for _ in range(int(rng.integers(2, 4)))]}
+
+
+def _struct_schema(rng):
+    s = {"properties": {
+        "a": _combinator(rng, lambda r: _num_schema(r, integer=True)),
+        "b": _str_schema(rng),
+    }}
+    if rng.random() < 0.5:
+        s["required"] = rng.choice(["a", "b", "c"],
+                                   rng.integers(1, 3), replace=False).tolist()
+    if rng.random() < 0.3:
+        s["minProperties"] = int(rng.integers(0, 3))
+    if rng.random() < 0.3:
+        s["maxProperties"] = int(rng.integers(1, 3))
+    if rng.random() < 0.3:
+        s["dependentRequired"] = {"a": ["b"]}
+    return s
+
+
+SHAPES = [
+    ("int", lambda r: _combinator(r, lambda g: _num_schema(g, integer=True)), INTS),
+    ("double", lambda r: _combinator(r, lambda g: _num_schema(g)), DOUBLES),
+    ("string", lambda r: _combinator(r, _str_schema), STRINGS),
+    ("array<int>", _arr_schema, ARRAYS),
+    ("struct<a:int,b:string,c:double>", _struct_schema, None),
+]
+
+
+def _struct_instances(rng, n):
+    out = []
+    for _ in range(n):
+        out.append((
+            None if rng.random() < 0.3 else int(rng.choice(INTS[:-1])),
+            None if rng.random() < 0.3 else str(rng.choice(STRINGS[:-1])),
+            None if rng.random() < 0.5 else float(rng.choice(DOUBLES[:-1])),
+        ))
+    return out
+
+
+def _to_py(dtype_ddl, v):
+    if v is None:
+        return None
+    if dtype_ddl.startswith("struct"):
+        d = {}
+        for name, x in zip(["a", "b", "c"], v):
+            d[name] = x
+        return d
+    return v
+
+
+@pytest.mark.parametrize("shape", [s[0] for s in SHAPES])
+def test_differential_random(spark, shape):
+    name = shape
+    gen = dict((s[0], s) for s in SHAPES)[name]
+    _, schema_fn, instances = gen
+    rng = np.random.default_rng([42, hash(name) % (2**31)])
+    dtype = T._parse_datatype_string(name)
+    n_schemas = 25
+
+    mismatches = []
+    for si in range(n_schemas):
+        schema = schema_fn(rng)
+        if instances is None:
+            insts = _struct_instances(rng, 10)
+        else:
+            insts = instances
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(insts)],
+            T.StructType([T.StructField("i", T.IntegerType()),
+                          T.StructField("v", dtype)]))
+        comp = Compiler(schema)
+        c = comp.compile_value(F.col("v"), dtype)
+        got = {r.i: r.p for r in df.select("i", c.passed.alias("p")).collect()}
+        for i, v in enumerate(insts):
+            expected = ref_validate(_to_py(name, v), schema)
+            if got[i] != expected:
+                mismatches.append((schema, v, got[i], expected))
+    assert not mismatches, \
+        f"{len(mismatches)} mismatches, first: {mismatches[0]}"
