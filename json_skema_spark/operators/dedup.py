@@ -93,7 +93,8 @@ def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
                             shingle_n: int = 3, num_hashes: int = 64,
                             bands: int = 16, seed: int = 42,
                             jaccard_threshold: float = 0.8,
-                            verify: bool = True) -> DataFrame:
+                            verify: bool = True,
+                            max_bucket: int = 1000) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH.
 
     Pipeline: shingle -> signature -> split into ``bands`` bands of
@@ -109,6 +110,11 @@ def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
     """
     rows_per_band = num_hashes // bands
     df = ensure_parallelism(df)
+    # max_bucket guards the self-join against degenerate buckets (e.g. empty
+    # or boilerplate docs all hashing identically): a bucket of m members
+    # contributes m^2/2 candidate pairs, so one hot bucket at 10^12-row scale
+    # is quadratic blow-up. Oversized buckets are dropped (their members are
+    # still compared through their other bands).
     base = df.select(
         F.col(id_col).alias("doc_id"),
         shingles(F.col(text_col), shingle_n).alias("sh"),
@@ -126,6 +132,14 @@ def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
         ])).alias("bh"),
     ).select("doc_id", F.col("bh.band").alias("band"),
              F.col("bh.band_hash").alias("band_hash"))
+
+    if max_bucket:
+        bucket_sizes = (banded.groupBy("band", "band_hash")
+                        .agg(F.count("*").alias("_bsz"))
+                        .filter(F.col("_bsz") <= max_bucket)
+                        .drop("_bsz"))
+        banded = banded.join(bucket_sizes, on=["band", "band_hash"],
+                             how="left_semi")
 
     a = banded.alias("a")
     b = banded.alias("b")

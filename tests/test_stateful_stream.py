@@ -1,0 +1,43 @@
+"""applyInPandasWithState running-tally operator: state persists across
+micro-batches."""
+
+import time
+
+from json_skema_spark.streaming.stateful import running_violation_tally
+
+
+def test_running_tally_across_batches(spark, tmp_path):
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    schema_ddl = "key string, sr_hz int"
+    doc = {"properties": {"sr_hz": {"enum": [8000, 16000]}}}
+
+    # batch 1: key a -> 1 bad of 2; key b -> 1 good
+    spark.createDataFrame(
+        [("a", 8000), ("a", 99), ("b", 16000)], schema_ddl) \
+        .write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema_ddl).parquet(src)
+    out = running_violation_tally(stream, doc, "key")
+    results = {}
+
+    def sink(bdf, _id):
+        for r in bdf.collect():
+            results[r.key] = (r.rows_seen, r.rows_failed)
+
+    q = (out.writeStream.outputMode("update").foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert results == {"a": (2, 1), "b": (1, 0)}
+
+    # batch 2 (new file): state must accumulate, not reset
+    spark.createDataFrame([("a", 99)], schema_ddl) \
+        .write.mode("append").parquet(src)
+    q2 = (running_violation_tally(
+        spark.readStream.schema(schema_ddl).parquet(src), doc, "key")
+        .writeStream.outputMode("update").foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    assert results["a"] == (3, 2)
