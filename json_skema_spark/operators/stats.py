@@ -43,6 +43,10 @@ def _col_aggs(name: str, dtype: T.DataType, quantiles: list[float],
     return aggs
 
 
+_PROFILE_FIELDS = ("n_rows", "null_fraction", "min_value", "max_value",
+                   "approx_distinct", "quantiles")
+
+
 def profile(df: DataFrame, columns: list[str] | None = None, *,
             quantiles: list[float] | None = None, rsd: float = 0.02,
             per_partition: bool = False, exact_distinct: bool = False) -> DataFrame:
@@ -52,48 +56,55 @@ def profile(df: DataFrame, columns: list[str] | None = None, *,
     ``(column_name, [partition_id], n_rows, null_fraction, min_value,
     max_value, approx_distinct, quantiles)``.
 
-    Implementation: one aggregation pass per column over a shared scan —
-    Spark computes them in a single stage when unioned, and column pruning
-    ensures each branch reads only its column. For wide tables prefer
-    ``profile_wide`` (single groupBy, one pass over all columns).
+    Implementation: ONE aggregation pass computes every column's aggregates
+    side by side (prefixed aliases), then the single result row unpivots to
+    per-column rows via explode — one table scan total regardless of how
+    many columns are profiled (a per-column union would re-scan the table
+    per column: at 100 TB that's the difference between 1 pass and N).
     """
     qs = quantiles or DEFAULT_QUANTILES
     columns = columns or [f.name for f in df.schema.fields
                           if not isinstance(f.dataType, (T.BinaryType, T.ArrayType,
                                                          T.MapType, T.StructType))]
-    parts = []
+    base = df.withColumn("partition_id", F.spark_partition_id()) \
+        if per_partition else df
+    g = base.groupBy("partition_id") if per_partition else base.groupBy()
+    aggs = []
     for name in columns:
         dtype = df.schema[name].dataType
-        base = df.withColumn("partition_id", F.spark_partition_id()) if per_partition else df
-        keys = [F.lit(name).alias("column_name")]
-        if per_partition:
-            g = base.groupBy("partition_id")
-        else:
-            g = base.groupBy()
-        agg = g.agg(*_col_aggs(name, dtype, qs, rsd, exact_distinct))
-        sel = keys + [F.col(c) for c in agg.columns]
-        parts.append(agg.select(*sel))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        cols = _col_aggs(name, dtype, qs, rsd, exact_distinct)
+        for fieldname, c in zip(_PROFILE_FIELDS, cols):
+            aggs.append(c.alias(f"{name}__prof_{fieldname}"))
+    wide = g.agg(*aggs)
+    per_col_structs = F.array(*[
+        F.struct(
+            F.lit(name).alias("column_name"),
+            *[F.col(f"`{name}__prof_{fieldname}`").alias(fieldname)
+              for fieldname in _PROFILE_FIELDS],
+        )
+        for name in columns
+    ])
+    keys = (["partition_id"] if per_partition else [])
+    return (wide.select(*keys, F.explode(per_col_structs).alias("p"))
+            .select(*(["p.column_name"] + keys
+                      + [f"p.{f}" for f in _PROFILE_FIELDS])))
 
 
 def hll_sketches(df: DataFrame, columns: list[str], *,
                  lg_k: int = 12) -> DataFrame:
     """Mergeable HLL sketches per column (partial+final pattern: sketch per
     partition-run here, ``hll_union_agg`` across runs — the incremental-
-    profile path for checkpointed resume)."""
-    parts = []
-    for name in columns:
-        parts.append(df.select(
-            F.lit(name).alias("column_name"),
-            F.hll_sketch_agg(F.col(name).cast("string"), F.lit(lg_k)).alias("sketch"),
-        ))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    profile path for checkpointed resume). Single scan: all sketches in one
+    aggregate, unpivoted to rows."""
+    wide = df.groupBy().agg(*[
+        F.hll_sketch_agg(F.col(name).cast("string"), F.lit(lg_k))
+        .alias(f"{name}__sketch") for name in columns])
+    structs = F.array(*[
+        F.struct(F.lit(name).alias("column_name"),
+                 F.col(f"`{name}__sketch`").alias("sketch"))
+        for name in columns])
+    return wide.select(F.explode(structs).alias("s")).select("s.column_name",
+                                                             "s.sketch")
 
 
 def merge_hll(sketches: DataFrame) -> DataFrame:

@@ -40,14 +40,14 @@ Scale notes (100 TB target):
 from __future__ import annotations
 
 import re as _re
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 from typing import Any, Callable
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from json_skema_spark.plans.model import Resolver, SchemaError, pointer_escape
+from json_skema_spark.plans.model import Resolver, pointer_escape
 
 
 class CompileError(Exception):

@@ -1,0 +1,116 @@
+"""One parallelism level of the north-rule scaling probe (fresh JVM).
+
+Runs ONLY the two throughput probes (constraint-eval over the shared clips
+parquet; audio decode+SNR over the shared audio parquet) with per-run
+/proc/stat steal accounting: this box is a VM with intermittent
+noisy-neighbor interference (observed: identical probe runs ranging
+2.9s..67s), so each timed run records its CPU-steal percentage and the
+reported figure is the best run with steal below the threshold.
+
+Prints one JSON line:
+  {"cpus": N, "constraint": {"best_s":..., "rows_per_s":..., "runs": [[s, steal_pct]...]},
+   "audio": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+CLIPS_N = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "20000000"))
+AUDIO_N = int(os.environ.get("SPARK_GRAFT_AUDIO_N", "40000"))
+REPS = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "5"))
+
+SCHEMA = {
+    "type": "object",
+    "properties": {
+        "clip_id": {"type": "string", "pattern": "^clip_[0-9a-f]{12}$"},
+        "sr_hz": {"enum": [8000, 16000, 22050, 44100, 48000]},
+        "dur_ms": {"type": "integer", "minimum": 1, "maximum": 600000},
+        "codec": {"enum": ["pcm_s16le", "flac", "opus"]},
+        "transcript": {"type": "string", "minLength": 1},
+    },
+    "required": ["clip_id", "sr_hz", "dur_ms", "codec", "transcript"],
+}
+
+
+def _cpu_counters():
+    with open("/proc/stat") as f:
+        vals = list(map(int, f.readline().split()[1:]))
+    return vals
+
+
+def timed_with_steal(fn):
+    c0 = _cpu_counters()
+    t0 = time.time()
+    fn()
+    secs = time.time() - t0
+    c1 = _cpu_counters()
+    d = [b - a for a, b in zip(c0, c1)]
+    total = sum(d) or 1
+    steal_pct = 100.0 * d[7] / total
+    return secs, round(steal_pct, 2)
+
+
+def best_clean(runs, steal_threshold=1.0):
+    clean = [s for s, st in runs if st <= steal_threshold]
+    return min(clean) if clean else min(s for s, _ in runs)
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from json_skema_spark import compile_schema
+    from json_skema_spark.functions import audio
+    from json_skema_spark.sources import clips as clips_src
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("scaling_probe")
+        .config("spark.sql.shuffle.partitions", str(2 * CPUS))
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    cpath = clips_src.ensure_clips_parquet(spark, CLIPS_N, audio=False)
+    clips = spark.read.parquet(cpath)
+    plan = compile_schema(SCHEMA, clips.schema)
+
+    def probe():
+        plan.apply(clips, mode="verdict").groupBy("passed").count().collect()
+
+    probe()  # warm-up (page cache, codegen JIT)
+    c_runs = [timed_with_steal(probe) for _ in range(REPS)]
+    c_best = best_clean(c_runs)
+
+    apath = clips_src.ensure_clips_parquet(spark, AUDIO_N, audio=True)
+    aclips = spark.read.parquet(apath)
+
+    def aprobe():
+        audio.pcm_invariant_check(aclips).groupBy("decode_ok").count().collect()
+
+    aprobe()  # warm-up (spins up Python workers)
+    a_runs = [timed_with_steal(aprobe) for _ in range(max(REPS - 2, 2))]
+    a_best = best_clean(a_runs)
+
+    print(json.dumps({
+        "cpus": CPUS,
+        "constraint": {"best_s": round(c_best, 3),
+                       "rows_per_s": round(CLIPS_N / c_best, 1),
+                       "runs": [[round(s, 3), st] for s, st in c_runs]},
+        "audio": {"best_s": round(a_best, 3),
+                  "rows_per_s": round(AUDIO_N / a_best, 1),
+                  "runs": [[round(s, 3), st] for s, st in a_runs]},
+    }))
+
+
+if __name__ == "__main__":
+    main()
