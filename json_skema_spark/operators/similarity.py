@@ -99,6 +99,58 @@ def ann_topk(df: DataFrame, embedding_col: str, id_col: str, query,
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def train_ivf_centroids(df: DataFrame, embedding_col: str, *, n_lists: int = 16,
+                        seed: int = 42, max_iter: int = 20,
+                        sample_rows: int = 100_000) -> np.ndarray:
+    """Coarse quantizer for IVF: KMeans (Spark MLlib) on a deterministic
+    sample. Returns (n_lists, dim) centroids. At 100 TB the sample is a tiny
+    seeded fraction; the model is centroids-only (broadcast as literals)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    frac_df = df.select(F.col(embedding_col).cast("array<double>").alias("e"))
+    n = frac_df.count()
+    if n > sample_rows:
+        frac_df = frac_df.sample(fraction=sample_rows / n, seed=seed)
+    train = frac_df.select(array_to_vector(F.col("e")).alias("features"))
+    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(train)
+    return np.array(km.clusterCenters())
+
+
+def ivf_list_id(embedding: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid list id, pure Column expressions (argmin over
+    ||x||^2 - 2 x.c + ||c||^2; ||x||^2 is common so dropped)."""
+    dists = F.array(*[
+        (F.lit(float(np.dot(c, c))) - 2.0 * dot(embedding, _lit_vec(c)))
+        for c in centroids
+    ])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_topk(df: DataFrame, embedding_col: str, id_col: str, query, k: int = 10,
+             *, centroids: np.ndarray | None = None, n_lists: int = 16,
+             n_probe: int = 3, seed: int = 42) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` inverted lists whose
+    centroids are nearest the query, brute-force cosine inside them.
+
+    At scale the table would be written partitioned by ``ivf_list_id`` so the
+    probe prunes partitions at the source; pass precomputed ``centroids`` to
+    skip training (e.g. loaded from the index build job)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(df, embedding_col, n_lists=n_lists,
+                                        seed=seed)
+    q = np.asarray(query, dtype=float)
+    d2 = ((centroids - q) ** 2).sum(axis=1)
+    probe_lists = [int(i) for i in np.argsort(d2)[:n_probe]]
+    emb = F.col(embedding_col).cast("array<double>")
+    assigned = df.select(F.col(id_col), emb.alias("_e"),
+                         ivf_list_id(emb, centroids).alias("_list"))
+    probed = assigned.filter(F.col("_list").isin(probe_lists))
+    scored = probed.select(F.col(id_col),
+                           cosine(F.col("_e"), _lit_vec(query)).alias("score"))
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
 def embedding_near_duplicates(df: DataFrame, embedding_col: str, id_col: str, *,
                               cosine_threshold: float = 0.95,
                               num_planes: int = 12, seed: int = 42) -> DataFrame:

@@ -81,6 +81,26 @@ def load_schema_document(text: str) -> Any:
         return yaml.safe_load(text)
 
 
+def registry_from_dir(directory: str, base_uri: str = "") -> dict[str, Any]:
+    """Build a $ref registry from a directory of schema documents
+    (*.json / *.yaml / *.yml): each file registers under
+    ``base_uri + filename`` and additionally under its own ``$id`` if it
+    declares one — the filesystem analogue of the reference's pre-registered
+    schema client (SchemaClient.kt:28-34); no network, ever."""
+    import os
+
+    registry: dict[str, Any] = {}
+    for fname in sorted(os.listdir(directory)):
+        if not fname.endswith((".json", ".yaml", ".yml")):
+            continue
+        with open(os.path.join(directory, fname)) as f:
+            doc = load_schema_document(f.read())
+        registry[base_uri + fname] = doc
+        if isinstance(doc, dict) and isinstance(doc.get("$id"), str):
+            registry[doc["$id"]] = doc
+    return registry
+
+
 _ANCHOR_STOP_KEYWORDS = {"enum", "const"}  # raw-data subtrees; cf. SchemaLoader.kt:300-315
 
 

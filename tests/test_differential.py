@@ -99,11 +99,27 @@ def _struct_schema(rng):
     return s
 
 
+STR_ARRAYS = [[], ["a"], ["a", "a"], ["a", "ab", "zzz"], ["", "b7"], None]
+
+
+def _str_arr_schema(rng):
+    opts = {
+        "minItems": int(rng.integers(0, 3)),
+        "maxItems": int(rng.integers(1, 4)),
+        "uniqueItems": True,
+        "items": _str_schema(rng),
+        "contains": {"minLength": int(rng.integers(0, 3))},
+    }
+    keys = rng.choice(list(opts), rng.integers(1, 4), replace=False)
+    return {k: opts[k] for k in keys}
+
+
 SHAPES = [
     ("int", lambda r: _combinator(r, lambda g: _num_schema(g, integer=True)), INTS),
     ("double", lambda r: _combinator(r, lambda g: _num_schema(g)), DOUBLES),
     ("string", lambda r: _combinator(r, _str_schema), STRINGS),
     ("array<int>", _arr_schema, ARRAYS),
+    ("array<string>", _str_arr_schema, STR_ARRAYS),
     ("struct<a:int,b:string,c:double>", _struct_schema, None),
 ]
 

@@ -1,0 +1,43 @@
+"""IVF approximate nearest-neighbor: recall vs the exact baseline."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from json_skema_spark.operators.similarity import (cosine_topk, ivf_list_id,
+                                                   ivf_topk,
+                                                   train_ivf_centroids)
+
+
+def test_ivf_topk_recall(spark):
+    rng = np.random.default_rng(11)
+    # 8 well-separated clusters in 16d
+    centers = rng.standard_normal((8, 16)) * 10
+    vecs = np.concatenate([
+        c + rng.standard_normal((60, 16)) for c in centers])
+    df = spark.createDataFrame(
+        [(f"v{i}", [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id string, embedding array<double>").cache()
+    df.count()
+
+    q = [float(x) for x in (centers[2] + 0.1)]
+    exact = [r.vec_id for r in cosine_topk(df, "embedding", "vec_id", q, k=10).collect()]
+    cents = train_ivf_centroids(df, "embedding", n_lists=8, seed=42)
+    approx = [r.vec_id for r in ivf_topk(df, "embedding", "vec_id", q, k=10,
+                                         centroids=cents, n_probe=2).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9, (recall, exact, approx)
+    df.unpersist()
+
+
+def test_ivf_list_assignment_balanced(spark):
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((400, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id int, embedding array<double>")
+    cents = train_ivf_centroids(df, "embedding", n_lists=4, seed=42)
+    counts = (df.select(ivf_list_id(
+        F.col("embedding").cast("array<double>"), cents).alias("l"))
+        .groupBy("l").count().collect())
+    assert len(counts) == 4
+    assert all(r["count"] > 20 for r in counts)  # no empty/degenerate list

@@ -61,6 +61,19 @@ def test_dynamic_anchor_outermost_wins():
     assert hit is not None and hit[0]["minimum"] == 0  # outermost scope wins
 
 
+def test_registry_from_dir(tmp_path):
+    from json_skema_spark.plans.model import registry_from_dir
+    (tmp_path / "pos.json").write_text('{"$id": "https://e.test/pos", "minimum": 0}')
+    (tmp_path / "name.yaml").write_text("type: string\nminLength: 1\n")
+    reg = registry_from_dir(str(tmp_path), base_uri="https://e.test/schemas/")
+    assert reg["https://e.test/pos"]["minimum"] == 0
+    assert reg["https://e.test/schemas/pos.json"]["minimum"] == 0
+    assert reg["https://e.test/schemas/name.yaml"]["minLength"] == 1
+    r = Resolver({"$ref": "https://e.test/pos"}, registry=reg)
+    node, _ = r.resolve("https://e.test/pos", "")
+    assert node["minimum"] == 0
+
+
 def test_load_schema_document_json_and_yaml():
     assert load_schema_document('{"type": "string"}') == {"type": "string"}
     assert load_schema_document("type: string\nminLength: 2\n") == {
