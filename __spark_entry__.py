@@ -157,6 +157,13 @@ def _q_minhash_pairs_documents(spark, sf_dir):
     return pairs.select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_ivf_topk_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    top = similarity.ivf_topk(emb, "embedding", "vec_id", EMBED_QUERY, k=10,
+                              n_lists=8, n_probe=3)
+    return top.select("vec_id", F.round("score", 6).alias("score"))
+
+
 def _q_simhash_documents(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", dedup.simhash(F.col("text")).alias("fp"))
@@ -225,6 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_canonical_order": _q_canonical_order_per_customer,
         "agg_pricing_summary": _q_pricing_summary,
         "validate_events_json_payload": _q_events_verdict,
+        "similarity_ivf_topk": _q_ivf_topk_embeddings,
     }
 
 
