@@ -35,6 +35,7 @@ def build_spark() -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
@@ -47,6 +48,28 @@ def timed(fn):
     t0 = time.time()
     out = fn()
     return time.time() - t0, out
+
+
+def _cpu_counters():
+    with open("/proc/stat") as f:
+        return list(map(int, f.readline().split()[1:]))
+
+
+def timed_best_clean(fn, reps: int, steal_threshold: float = 1.0) -> float:
+    """Best steal-clean run of ``reps`` (this VM shows intermittent
+    noisy-neighbor CPU steal; an interfered run misreports throughput)."""
+    runs = []
+    for _ in range(reps):
+        c0 = _cpu_counters()
+        t0 = time.time()
+        fn()
+        secs = time.time() - t0
+        c1 = _cpu_counters()
+        d = [b - a for a, b in zip(c0, c1)]
+        steal = 100.0 * d[7] / (sum(d) or 1)
+        runs.append((secs, steal))
+    clean = [s for s, st in runs if st <= steal_threshold]
+    return min(clean) if clean else min(s for s, _ in runs)
 
 
 def main() -> None:
@@ -111,7 +134,7 @@ def main() -> None:
         return plan.apply(clips, mode="verdict").groupBy("passed").count().collect()
 
     timed(run_probe)  # warm-up pass (page cache + codegen JIT)
-    probe_secs = min(timed(run_probe)[0] for _ in range(3))
+    probe_secs = timed_best_clean(run_probe, 3)
     q_secs["clips_constraint_eval"] = round(probe_secs, 3)
     clips_per_sec = n / probe_secs
 
@@ -124,7 +147,7 @@ def main() -> None:
         return audio.pcm_invariant_check(aclips).groupBy("decode_ok").count().collect()
 
     timed(run_audio)  # warm-up pass (spins up every Python worker)
-    audio_secs = min(timed(run_audio)[0] for _ in range(2))
+    audio_secs = timed_best_clean(run_audio, 3)
     q_secs["clips_audio_snr"] = round(audio_secs, 3)
     audio_clips_per_sec = an / audio_secs
 
