@@ -47,7 +47,17 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from json_skema_spark.plans import variant as vt
 from json_skema_spark.plans.model import Resolver, pointer_escape
+
+try:
+    _VARIANT_TYPES: tuple = (T.VariantType,)
+except AttributeError:  # pyspark < 4.0
+    _VARIANT_TYPES = ()
+
+
+def _is_variant(dtype: T.DataType) -> bool:
+    return bool(_VARIANT_TYPES) and isinstance(dtype, _VARIANT_TYPES)
 
 
 class CompileError(Exception):
@@ -163,6 +173,8 @@ class Inst:
     def is_absent(self) -> Column:
         if self.root:
             return F.lit(False)
+        if _is_variant(self.dtype):
+            return vt.is_absent(self.col)
         return self.col.isNull()
 
     def value(self) -> Column:
@@ -178,6 +190,8 @@ class Inst:
 
     def child(self, name: str) -> "Inst":
         loc = F.concat(self.loc, F.lit("/" + pointer_escape(name)))
+        if _is_variant(self.dtype):
+            return Inst(vt.get_field(self.col, name), _VARIANT_TYPES[0](), loc)
         if isinstance(self.dtype, T.StructType):
             if self.root:
                 col = F.col("`" + name.replace("`", "``") + "`")
@@ -189,12 +203,19 @@ class Inst:
         raise CompileError(f"cannot access property {name!r} on {self.dtype}")
 
     def present(self, name: str) -> Column:
+        if _is_variant(self.dtype):
+            c = vt.get_field(self.col, name)
+            return c.isNotNull() & ~vt.is_json_null(c)
         if isinstance(self.dtype, T.StructType):
             if name not in self.dtype.fieldNames():
                 return F.lit(False)
             return self.child(name).col.isNotNull()
         if isinstance(self.dtype, T.MapType):
-            return F.coalesce(F.map_contains_key(self.col, F.lit(name)), F.lit(False))
+            has = F.coalesce(F.map_contains_key(self.col, F.lit(name)), F.lit(False))
+            if _is_variant(self.dtype.valueType):
+                val = F.element_at(self.col, F.lit(name))
+                return has & ~F.coalesce(vt.is_json_null(val), F.lit(False))
+            return has
         return F.lit(False)
 
 
@@ -383,7 +404,7 @@ class Compiler:
             return NodeResult(Compiled.ok())
         if node is False:
             # FalseSchema (reference False.kt:3-11): fails for any present value
-            cond = F.lit(True) if inst.root else inst.col.isNotNull()
+            cond = F.lit(True) if inst.root else ~inst.is_absent()
             return NodeResult(Compiled.simple(
                 cond, "false", kw_loc, inst.loc, dyn + "/false",
                 F.lit("false schema always fails")))
@@ -443,12 +464,45 @@ class Compiler:
                          F.lit('" should not be present in read context'))))
 
         # ---- object keywords --------------------------------------------
+        _OBJ_KW = ("properties", "patternProperties", "required",
+                   "additionalProperties", "propertyNames", "minProperties",
+                   "maxProperties", "dependentRequired", "dependentSchemas")
+        _ARR_KW = ("items", "prefixItems", "contains", "uniqueItems",
+                   "minItems", "maxItems", "minContains", "maxContains")
         if isinstance(inst.dtype, (T.StructType, T.MapType)):
             self._object_keywords(node, inst, kw_loc, dyn, scope, depth, res, add)
+        elif _is_variant(inst.dtype) and any(k in node for k in _OBJ_KW):
+            # runtime dispatch: apply object keywords through a
+            # map<string,variant> view, gated on the value being an object
+            minst = Inst(F.try_variant_get(inst.col, "$", "map<string,variant>"),
+                         T.MapType(T.StringType(), _VARIANT_TYPES[0]()), inst.loc)
+            sub_parts: list[Compiled] = []
+            sub_res = NodeResult(Compiled.ok())
+            self._object_keywords(node, minst, kw_loc, dyn, scope, depth,
+                                  sub_res, sub_parts.append)
+            if sub_parts:
+                sub = conj(sub_parts)
+                gate = F.coalesce(vt.is_object(inst.col), F.lit(False))
+                add(Compiled(
+                    passed=F.when(gate, sub.passed).otherwise(F.lit(True)),
+                    failures=F.when(gate, sub.failures).otherwise(empty_failures())))
 
         # ---- array keywords ---------------------------------------------
         if isinstance(inst.dtype, T.ArrayType):
             self._array_keywords(node, inst, kw_loc, dyn, scope, depth, res, add)
+        elif _is_variant(inst.dtype) and any(k in node for k in _ARR_KW):
+            ainst = Inst(vt.as_array(inst.col),
+                         T.ArrayType(_VARIANT_TYPES[0]()), inst.loc)
+            sub_parts = []
+            sub_res = NodeResult(Compiled.ok())
+            self._array_keywords(node, ainst, kw_loc, dyn, scope, depth,
+                                 sub_res, sub_parts.append)
+            if sub_parts:
+                sub = conj(sub_parts)
+                gate = F.coalesce(vt.is_array(inst.col), F.lit(False))
+                add(Compiled(
+                    passed=F.when(gate, sub.passed).otherwise(F.lit(True)),
+                    failures=F.when(gate, sub.failures).otherwise(empty_failures())))
 
         # ---- combinators -------------------------------------------------
         self._combinators(node, inst, kw_loc, dyn, scope, depth, res, add)
@@ -456,6 +510,12 @@ class Compiler:
         # ---- unevaluated* (after everything else; Validator.kt:419) ------
         base = conj(parts)
         uneval_parts: list[Compiled] = []
+        if ("unevaluatedProperties" in node or "unevaluatedItems" in node) \
+                and _is_variant(inst.dtype):
+            raise CompileError(
+                "unevaluatedProperties/unevaluatedItems are not supported on "
+                "VariantType instances (coverage tracking needs a static or "
+                "map-typed shape)")
         if "unevaluatedProperties" in node and isinstance(inst.dtype, T.StructType):
             uneval_parts.append(self._kw_unevaluated_properties(
                 node["unevaluatedProperties"], inst, kw_loc, dyn, scope, depth, res))
@@ -490,6 +550,20 @@ class Compiler:
                 F.lit(True), "type", f"{kw_loc}/type", inst.loc, dyn + "/type",
                 F.lit(f"expected type: {types[0]}, actual: object"))
         types = [tval] if isinstance(tval, str) else list(tval)
+        if _is_variant(inst.dtype):
+            checks = {"string": vt.is_string, "boolean": vt.is_boolean,
+                      "number": vt.is_number, "integer": vt.is_integer,
+                      "array": vt.is_array, "object": vt.is_object,
+                      "null": vt.is_absent}
+            ok = F.lit(False)
+            for t in types:
+                ok = ok | F.coalesce(checks[t](inst.col), F.lit(False))
+            prefix = (f"expected type: {types[0]}" if isinstance(tval, str)
+                      else "expected type: one of " + ", ".join(types))
+            msg = F.concat(F.lit(prefix + ", actual: "),
+                           vt.json_type_name(inst.col))
+            return Compiled.simple(~inst.is_absent() & ~ok, "type",
+                                   f"{kw_loc}/type", inst.loc, dyn + "/type", msg)
         actual = _json_type_of(inst.dtype)
         ok = F.lit(False)
         for t in types:
@@ -551,6 +625,8 @@ class Compiler:
         (BigDecimal.compareTo, reference JsonValue.kt:288-292): Spark's
         numeric type promotion in ``==`` gives the same value-based result."""
         col, dtype = inst.col, inst.dtype
+        if _is_variant(dtype):
+            return self._variant_equals(col, value)
         if value is None:
             return col.isNull()
         if isinstance(value, bool):
@@ -602,52 +678,93 @@ class Compiler:
             return F.lit(False)
         raise CompileError(f"unsupported const/enum value: {value!r}")
 
+    def _variant_equals(self, col: Column, value: Any) -> Column:
+        """Deep equality for runtime-dispatched variant values."""
+        import json as _json
+
+        if value is None:
+            return vt.is_absent(col)
+        if isinstance(value, bool):
+            return vt.is_boolean(col) & (vt.as_boolean(col) == F.lit(value))
+        if _is_number(value):
+            return vt.is_number(col) & (vt.as_double(col) == F.lit(float(value)))
+        if isinstance(value, str):
+            return vt.is_string(col) & (vt.as_string(col) == F.lit(value))
+        if isinstance(value, list):
+            arr = vt.as_array(col)
+            out = vt.is_array(col) & (F.size(arr) == len(value))
+            for i, v in enumerate(value):
+                out = out & F.coalesce(
+                    self._variant_equals(F.element_at(arr, i + 1), v), F.lit(False))
+            return out
+        if isinstance(value, dict):
+            m = F.try_variant_get(col, "$", "map<string,variant>")
+            out = vt.is_object(col) & (F.size(F.map_keys(m)) == len(value))
+            for k, v in value.items():
+                out = out & F.coalesce(
+                    self._variant_equals(vt.get_field(col, k), v), F.lit(False))
+            return out
+        raise CompileError(f"unsupported const/enum value: {value!r}")
+
     def _numeric_keywords(self, node: dict, inst: Inst, kw_loc: str,
                           dyn: str) -> Compiled | None:
         keys = ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum", "multipleOf")
         if inst.root or not any(k in node for k in keys):
             return None
+        if _is_variant(inst.dtype):
+            # runtime gate: numeric keywords apply only to number-kind values
+            gate = F.coalesce(vt.is_number(inst.col), F.lit(False))
+            num = vt.as_double(inst.col)
+            sval = num.cast("string")
+            return self._numeric_parts(node, inst, kw_loc, dyn, num, sval, gate,
+                                       vt.as_string(inst.col))
         if not isinstance(inst.dtype, _NUMERIC_TYPES):
             return None  # numeric keywords ignore non-numeric instances
         col = inst.col
-        parts = []
         num = col.cast("double")  # toDouble() comparison (Validator.kt:645,656)
         sval = col.cast("string")
+        return self._numeric_parts(node, inst, kw_loc, dyn, num, sval,
+                                   F.lit(True), sval)
+
+    def _numeric_parts(self, node: dict, inst: Inst, kw_loc: str, dyn: str,
+                       num: Column, sval: Column, gate: Column,
+                       exact_repr: Column) -> Compiled | None:
+        parts = []
         if "minimum" in node:
             lo = node["minimum"]
             parts.append(Compiled.simple(
-                ~inst.is_absent() & (num < F.lit(float(lo))),
+                gate & ~inst.is_absent() & (num < F.lit(float(lo))),
                 "minimum", f"{kw_loc}/minimum", inst.loc, dyn + "/minimum",
                 F.concat(sval, F.lit(f" is lower than minimum {lo}"))))
         if "maximum" in node:
             hi = node["maximum"]
             parts.append(Compiled.simple(
-                ~inst.is_absent() & (num > F.lit(float(hi))),
+                gate & ~inst.is_absent() & (num > F.lit(float(hi))),
                 "maximum", f"{kw_loc}/maximum", inst.loc, dyn + "/maximum",
                 F.concat(sval, F.lit(f" is greater than maximum {hi}"))))
         if "exclusiveMinimum" in node:
             lo = node["exclusiveMinimum"]
             parts.append(Compiled.simple(
-                ~inst.is_absent() & (num <= F.lit(float(lo))),
+                gate & ~inst.is_absent() & (num <= F.lit(float(lo))),
                 "exclusiveMinimum", f"{kw_loc}/exclusiveMinimum", inst.loc,
                 dyn + "/exclusiveMinimum",
                 F.concat(sval, F.lit(f" is lower than or equal to minimum {lo}"))))
         if "exclusiveMaximum" in node:
             hi = node["exclusiveMaximum"]
             parts.append(Compiled.simple(
-                ~inst.is_absent() & (num >= F.lit(float(hi))),
+                gate & ~inst.is_absent() & (num >= F.lit(float(hi))),
                 "exclusiveMaximum", f"{kw_loc}/exclusiveMaximum", inst.loc,
                 dyn + "/exclusiveMaximum",
                 F.concat(sval, F.lit(f" is greater than or equal to maximum {hi}"))))
         if "multipleOf" in node:
             d = node["multipleOf"]
             # exact remainder via DecimalType, not float (BigDecimal.remainder,
-            # Validator.kt:680-686)
+            # Validator.kt:680-686); exact_repr is the value's decimal string
             if isinstance(inst.dtype, _INTEGERISH) and isinstance(d, int):
-                fail = ~inst.is_absent() & (F.pmod(col, F.lit(d)) != 0)
+                fail = gate & ~inst.is_absent() & (F.pmod(inst.col, F.lit(d)) != 0)
             else:
-                dec = col.cast(T.DecimalType(38, 12))
-                fail = ~inst.is_absent() & (
+                dec = exact_repr.cast(T.DecimalType(38, 12))
+                fail = gate & ~inst.is_absent() & (
                     F.pmod(dec, F.lit(d).cast(T.DecimalType(38, 12)))
                     != F.lit(0).cast(T.DecimalType(38, 12)))
             parts.append(Compiled.simple(
@@ -661,9 +778,14 @@ class Compiler:
         keys = ("minLength", "maxLength", "pattern")
         if inst.root or not any(k in node for k in keys):
             return None
-        if not isinstance(inst.dtype, (*_STRINGISH, T.BinaryType)):
+        if _is_variant(inst.dtype):
+            gate = F.coalesce(vt.is_string(inst.col), F.lit(False))
+            col = F.when(gate, vt.as_string(inst.col))
+        elif not isinstance(inst.dtype, (*_STRINGISH, T.BinaryType)):
             return None  # string keywords ignore non-string instances
-        col = inst.col
+        else:
+            gate = F.lit(True)
+            col = inst.col
         # F.length counts code points on strings — matches codePointCount
         # (Validator.kt:454,574); on binary it counts bytes.
         ln = F.length(col)
@@ -693,11 +815,19 @@ class Compiler:
         return conj(parts) if parts else None
 
     def _kw_format(self, fmt: str, inst: Inst, kw_loc: str, dyn: str) -> Compiled | None:
-        if inst.root or not isinstance(inst.dtype, _STRINGISH):
+        if inst.root:
             return None  # format applies to strings only (Format.kt:23-160)
+        if _is_variant(inst.dtype):
+            scol = F.when(vt.is_string(inst.col), vt.as_string(inst.col))
+        elif isinstance(inst.dtype, _STRINGISH):
+            scol = inst.col
+        else:
+            return None
         if fmt not in _FORMAT_BUILDERS:
             return None  # unknown formats are annotations
-        ok = _FORMAT_BUILDERS[fmt](inst.col)
+        ok = _FORMAT_BUILDERS[fmt](scol)
+        if _is_variant(inst.dtype):
+            ok = ok | ~F.coalesce(vt.is_string(inst.col), F.lit(False))
         return Compiled.simple(
             ~inst.is_absent() & ~F.coalesce(ok, F.lit(False)), "format",
             f"{kw_loc}/format", inst.loc, dyn + "/format",
@@ -930,10 +1060,14 @@ class Compiler:
 
         # uniqueItems (Validator.kt:692-708): report first duplicate pair
         if node.get("uniqueItems") is True:
-            dup = size != F.size(F.array_distinct(arr))
+            # variant elements have no ordering; compare canonical equality
+            # keys (JSON value-equality classes) instead of raw values
+            cmp_arr = (F.transform(arr, lambda x: vt.equality_key(x))
+                       if _is_variant(elem_t) else arr)
+            dup = size != F.size(F.array_distinct(cmp_arr))
             pairs = F.filter(
-                F.transform(arr, lambda x, i: F.struct(
-                    (F.array_position(arr, x) - 1).alias("first"),
+                F.transform(cmp_arr, lambda x, i: F.struct(
+                    (F.array_position(cmp_arr, x) - 1).alias("first"),
                     i.cast("long").alias("second"))),
                 lambda s: s.getField("first") < s.getField("second"))
             first_pair = F.element_at(pairs, 1)

@@ -126,6 +126,21 @@ def validate_json_column(df: DataFrame, json_col: str, payload_type: T.DataType 
     return df.withColumn(out_col, compiled.passed)
 
 
+def validate_open_json(df: DataFrame, json_col: str, schema_doc: Any, *,
+                       out_col: str = "json_passed",
+                       **compiler_kwargs) -> DataFrame:
+    """Validate a JSON string column with NO predeclared Spark type:
+    ``parse_json`` -> VariantType -> runtime type dispatch (plans/variant.py).
+    This is the engine's closest equivalent of the reference's fully dynamic
+    per-document walk (heterogeneous shapes per row), still evaluated as
+    Column expressions."""
+    parsed = F.parse_json(F.col(json_col))
+    comp = Compiler(schema_doc, **compiler_kwargs)
+    vtype = T.VariantType()
+    compiled = comp.compile_value(parsed, vtype, loc=F.lit("#/" + json_col))
+    return df.withColumn(out_col, compiled.passed)
+
+
 def validate(df: DataFrame, schema_doc: Any, *, row_key: str | None = None,
              mode: str = "full", **compiler_kwargs) -> DataFrame:
     """One-shot convenience: compile + apply.

@@ -1,0 +1,122 @@
+"""Open-document validation over VariantType: runtime type dispatch."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from json_skema_spark.plans.compile import CompileError, Compiler
+from json_skema_spark.plans.verdict import validate_open_json
+
+
+def _run(spark, schema, json_values, **kw):
+    df = spark.createDataFrame([(i, j) for i, j in enumerate(json_values)],
+                               "i int, j string")
+    comp = Compiler(schema, **kw)
+    c = comp.compile_value(F.parse_json(F.col("j")), T.VariantType())
+    out = df.select("i", c.passed.alias("p"),
+                    F.transform(c.failures, lambda f: f.getField("keyword"))
+                    .alias("kws")).collect()
+    return {r.i: (r.p, list(r.kws)) for r in out}
+
+
+def test_variant_type_dispatch(spark):
+    got = _run(spark, {"type": "string"},
+               ['"hello"', '5', 'true', '[1]', '{"a":1}', 'null'])
+    assert [got[i][0] for i in range(6)] == [True, False, False, False, False,
+                                             True]  # JSON null = absent
+
+
+def test_variant_integer_vs_number(spark):
+    got = _run(spark, {"type": "integer"}, ['5', '5.0', '5.5', '"5"'])
+    assert [got[i][0] for i in range(4)] == [True, True, False, False]
+
+
+def test_variant_numeric_keywords_gate_on_kind(spark):
+    got = _run(spark, {"minimum": 3, "maximum": 10}, ['5', '1', '"text"', '99'])
+    assert [got[i][0] for i in range(4)] == [True, False, True, False]
+
+
+def test_variant_string_keywords(spark):
+    got = _run(spark, {"minLength": 2, "pattern": "^a"}, ['"ab"', '"a"', '"xb"', '7'])
+    assert [got[i][0] for i in range(4)] == [True, False, False, True]
+
+
+def test_variant_enum_const(spark):
+    got = _run(spark, {"enum": [1, "two", True, [1, 2]]},
+               ['1', '1.0', '"two"', 'true', '[1,2]', '[2,1]', '"1"', '2'])
+    assert [got[i][0] for i in range(8)] == [True, True, True, True, True,
+                                             False, False, False]
+    got = _run(spark, {"const": {"a": 1, "b": "x"}},
+               ['{"a":1,"b":"x"}', '{"b":"x","a":1}', '{"a":1}',
+                '{"a":1,"b":"x","c":2}', '{"a":2,"b":"x"}'])
+    assert [got[i][0] for i in range(5)] == [True, True, False, False, False]
+
+
+def test_variant_object_keywords(spark):
+    schema = {"required": ["a"], "properties": {"a": {"minimum": 5}},
+              "minProperties": 1, "maxProperties": 2}
+    got = _run(spark, schema,
+               ['{"a": 6}', '{"a": 1}', '{"b": 1}', '{}',
+                '{"a":5,"b":1,"c":2}', '"not-an-object"'])
+    assert got[0][0] is True
+    assert got[1] == (False, ["minimum"])
+    assert got[2][0] is False and "required" in got[2][1]
+    assert got[3][0] is False
+    assert got[4][0] is False and "maxProperties" in got[4][1]
+    assert got[5][0] is True  # object keywords don't apply to non-objects
+
+
+def test_variant_json_null_member_is_absent(spark):
+    got = _run(spark, {"required": ["a"]}, ['{"a": null}', '{"a": 1}'])
+    assert got[0][0] is False and got[1][0] is True
+
+
+def test_variant_array_keywords(spark):
+    schema = {"minItems": 2, "items": {"type": "integer"}, "uniqueItems": True}
+    got = _run(spark, schema,
+               ['[1,2,3]', '[1]', '[1,"x"]', '[1,2,2]', '[1,2,2.0]',
+                '"not-an-array"'])
+    assert got[0][0] is True
+    assert got[1] == (False, ["minItems"])
+    assert got[2][0] is False and "type" in got[2][1]
+    assert got[3][0] is False and "uniqueItems" in got[3][1]
+    assert got[4][0] is False  # 2 == 2.0 by JSON value equality
+    assert got[5][0] is True
+
+
+def test_variant_nested_and_combinators(spark):
+    schema = {
+        "properties": {
+            "user": {"required": ["name"],
+                     "properties": {"name": {"minLength": 2},
+                                    "tags": {"items": {"type": "string"}}}},
+        },
+        "anyOf": [{"required": ["user"]}, {"required": ["admin"]}],
+    }
+    got = _run(spark, schema, [
+        '{"user": {"name": "ab", "tags": ["x"]}}',
+        '{"user": {"name": "a"}}',
+        '{"user": {"name": "ab", "tags": [1]}}',
+        '{"other": 1}',
+        '{"admin": true}',
+    ])
+    assert got[0][0] is True
+    assert got[1] == (False, ["minLength"])
+    assert got[2][0] is False and "type" in got[2][1]
+    assert got[3][0] is False
+    assert got[4][0] is True
+
+
+def test_variant_unevaluated_unsupported(spark):
+    with pytest.raises(CompileError):
+        _run(spark, {"unevaluatedProperties": False}, ['{}'])
+
+
+def test_validate_open_json_api(spark):
+    df = spark.createDataFrame(
+        [("r1", '{"k": 5}'), ("r2", '{"k": 200}'), ("r3", '"free text"')],
+        "id string, payload string")
+    out = validate_open_json(df, "payload",
+                             {"properties": {"k": {"maximum": 100}}})
+    got = {r.id: r.json_passed for r in out.collect()}
+    assert got == {"r1": True, "r2": False, "r3": True}
