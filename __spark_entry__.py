@@ -192,6 +192,17 @@ def _q_events_verdict(spark, sf_dir):
         F.col("json_passed").alias("props_passed"))
 
 
+def _q_events_open_json(spark, sf_dir):
+    """Open-document (VariantType) validation: no predeclared payload type."""
+    from json_skema_spark.plans.verdict import validate_open_json
+    ev = _t(spark, sf_dir, "events")
+    out = validate_open_json(
+        ev, "props",
+        {"required": ["k"],
+         "properties": {"k": {"type": "integer", "minimum": 10, "maximum": 90}}})
+    return out.select("event_id", F.col("json_passed").alias("passed"))
+
+
 def _q_canonical_order_per_customer(spark, sf_dir):
     from pyspark.sql import Window as W
     o = _t(spark, sf_dir, "orders")
@@ -233,6 +244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": _q_pricing_summary,
         "validate_events_json_payload": _q_events_verdict,
         "similarity_ivf_topk": _q_ivf_topk_embeddings,
+        "validate_events_open_json": _q_events_open_json,
     }
 
 
@@ -404,6 +416,16 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(json_extract(props, '$.k') AS INT) >= 0
                              AND CAST(json_extract(props, '$.k') AS INT) <= 80
                    END AS props_passed
+            FROM events
+        """,
+        "validate_events_open_json": """
+            SELECT event_id,
+                   json_extract(props, '$.k') IS NOT NULL
+                   AND json_type(props, '$.k') <> 'NULL'
+                   AND json_type(props, '$.k') IN ('UBIGINT','BIGINT','INTEGER')
+                   AND CAST(json_extract(props, '$.k') AS BIGINT) >= 10
+                   AND CAST(json_extract(props, '$.k') AS BIGINT) <= 90
+                   AS passed
             FROM events
         """,
         "agg_pricing_summary": """
