@@ -870,11 +870,11 @@ class Compiler:
             else:
                 # MapType: dynamic key match — subschema applied to every
                 # value whose key matches, via map higher-order functions
-                vt = inst.dtype.valueType
+                val_t = inst.dtype.valueType
                 for pat, pschema in pattern_props.items():
                     ploc = f"{kw_loc}/patternProperties/{pointer_escape(pat)}"
                     pdyn = dyn + "/patternProperties"
-                    elem_fn = self._element_fn(pschema, vt, inst.loc, ploc,
+                    elem_fn = self._element_fn(pschema, val_t, inst.loc, ploc,
                                                pdyn, scope, depth)
                     matched = F.map_filter(inst.col, lambda k, v: k.rlike(pat))
                     ok = F.forall(F.map_values(matched),
@@ -937,8 +937,8 @@ class Compiler:
                     aloc, inst.loc, adyn,
                     F.lit("additional properties do not match subschema")))
             elif ap is not True:
-                vt = inst.dtype.valueType
-                elem_fn = self._element_fn(ap, vt, inst.loc, aloc, adyn, scope, depth)
+                val_t = inst.dtype.valueType
+                elem_fn = self._element_fn(ap, val_t, inst.loc, aloc, adyn, scope, depth)
                 ok = F.forall(F.map_values(residual_keys(inst.col)),
                               lambda v: elem_fn(v, F.lit(0)).passed)
                 add(Compiled.simple(
@@ -979,7 +979,12 @@ class Compiler:
                     cnt = p if cnt is None else cnt + p
                 cnt = cnt if cnt is not None else F.lit(0)
             else:
-                cnt = F.size(F.map_keys(inst.col))
+                if _is_variant(inst.dtype.valueType):
+                    # JSON-null members are absent (engine convention)
+                    cnt = F.size(F.filter(F.map_values(inst.col),
+                                          lambda v: ~vt.is_json_null(v)))
+                else:
+                    cnt = F.size(F.map_keys(inst.col))
             if "minProperties" in node:
                 n = node["minProperties"]
                 add(Compiled.simple(

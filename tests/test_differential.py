@@ -146,6 +146,37 @@ def _to_py(dtype_ddl, v):
     return v
 
 
+VARIANT_INSTANCES = [
+    5, 5.0, 5.5, -1, "a", "ab", "", True, False,
+    [1, 2], [1, 2, 2], ["a", 1], [],
+    {"a": 1, "b": "x"}, {"a": None}, {"b": "ab"}, {}, {"a": 7, "b": "a", "c": 1},
+]
+
+
+def _variant_schema(rng):
+    kind = rng.choice(["num", "str", "obj", "arr", "comb", "typed"])
+    if kind == "num":
+        return _num_schema(rng, integer=bool(rng.random() < 0.5))
+    if kind == "str":
+        return _str_schema(rng)
+    if kind == "obj":
+        s = {"properties": {"a": _num_schema(rng, integer=True),
+                            "b": _str_schema(rng)}}
+        if rng.random() < 0.5:
+            s["required"] = rng.choice(["a", "b"], rng.integers(1, 3),
+                                       replace=False).tolist()
+        if rng.random() < 0.3:
+            s["minProperties"] = int(rng.integers(0, 3))
+        return s
+    if kind == "arr":
+        return {"minItems": int(rng.integers(0, 3)),
+                "items": {"type": str(rng.choice(["integer", "string"]))}}
+    if kind == "typed":
+        return {"type": str(rng.choice(["string", "integer", "number",
+                                        "boolean", "array", "object"]))}
+    return _combinator(rng, lambda g: _num_schema(g))
+
+
 @pytest.mark.parametrize("shape", [s[0] for s in SHAPES])
 def test_differential_random(spark, shape):
     name = shape
@@ -171,6 +202,30 @@ def test_differential_random(spark, shape):
         got = {r.i: r.p for r in df.select("i", c.passed.alias("p")).collect()}
         for i, v in enumerate(insts):
             expected = ref_validate(_to_py(name, v), schema)
+            if got[i] != expected:
+                mismatches.append((schema, v, got[i], expected))
+    assert not mismatches, \
+        f"{len(mismatches)} mismatches, first: {mismatches[0]}"
+
+
+def test_differential_variant(spark):
+    """Open-document path: the same schemas evaluated over parse_json'd
+    heterogeneous values must agree with the Python interpreter."""
+    import json
+
+    from json_skema_spark.plans.compile import Compiler
+    rng = np.random.default_rng([42, 777])
+    json_strs = [json.dumps(v) for v in VARIANT_INSTANCES]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(json_strs)], "i int, j string")
+    mismatches = []
+    for si in range(30):
+        schema = _variant_schema(rng)
+        comp = Compiler(schema)
+        c = comp.compile_value(F.parse_json(F.col("j")), T.VariantType())
+        got = {r.i: r.p for r in df.select("i", c.passed.alias("p")).collect()}
+        for i, v in enumerate(VARIANT_INSTANCES):
+            expected = ref_validate(v, schema)
             if got[i] != expected:
                 mismatches.append((schema, v, got[i], expected))
     assert not mismatches, \
