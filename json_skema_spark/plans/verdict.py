@@ -55,22 +55,33 @@ class ValidationPlan:
         return df.withColumn("passed", self._compiled.passed) \
                  .withColumn("failures", self._compiled.failures)
 
-    def violations(self, df: DataFrame, row_key: str | Column) -> DataFrame:
+    def violations(self, df: DataFrame, row_key: str | Column, *,
+                   file_lineage: bool = False) -> DataFrame:
         """Explode per-row failures to one violation per row, with lineage.
 
         Output schema matches FIXTURES.md §5 (reference
         ValidationFailure.toJSON() fields + row key + partition id).
+        ``file_lineage=True`` additionally records the source file path via
+        the ``_metadata`` column (file-based sources incl. parquet/Iceberg —
+        the engine's replacement for the reference's line/character
+        SourceLocation, JsonValue.kt:63-123).
         """
         key = F.col(row_key) if isinstance(row_key, str) else row_key
-        base = df.select(
+        cols = [
             key.cast("string").alias("row_key"),
             self._compiled.passed.alias("passed"),
             self._compiled.failures.alias("failures"),
             F.spark_partition_id().alias("partition_id"),
-        )
+        ]
+        out_extra = []
+        if file_lineage:
+            cols.append(F.col("_metadata.file_path").alias("source_file"))
+            out_extra = ["source_file"]
+        base = df.select(*cols)
         return (
             base.filter(~F.col("passed"))
-            .select("row_key", F.explode("failures").alias("f"), "partition_id")
+            .select("row_key", F.explode("failures").alias("f"),
+                    "partition_id", *out_extra)
             .select(
                 "row_key",
                 F.col("f.keyword").alias("keyword"),
@@ -79,6 +90,7 @@ class ValidationPlan:
                 F.col("f.dynamic_path").alias("dynamic_path"),
                 F.col("f.message").alias("message"),
                 "partition_id",
+                *out_extra,
             )
         )
 
