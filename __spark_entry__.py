@@ -120,6 +120,17 @@ def _q_exact_dup_documents(spark, sf_dir):
         .select("digest", "n_docs", F.col("doc_ids").cast("array<string>").alias("doc_ids"))
 
 
+def _q_exact_dup_prefix(spark, sf_dir):
+    """Exact dedup with guaranteed duplicates: digest of the first 3 tokens
+    (documents share openings) — exercises the nonzero-duplicates path."""
+    docs = _t(spark, sf_dir, "documents")
+    prefixed = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),  # lexicographic sort
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ").alias("text"))
+    return dedup.exact_duplicates(prefixed, "text", "doc_id") \
+        .select("digest", "n_docs", "doc_ids")
+
+
 def _q_token_stats_documents(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -245,6 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_events_json_payload": _q_events_verdict,
         "similarity_ivf_topk": _q_ivf_topk_embeddings,
         "validate_events_open_json": _q_events_open_json,
+        "dedup_exact_prefix3": _q_exact_dup_prefix,
     }
 
 
@@ -380,6 +392,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact_documents": """
             SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS digest,
+                   count(*) AS n_docs,
+                   list_sort(list(CAST(doc_id AS VARCHAR))) AS doc_ids
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_exact_prefix3": """
+            SELECT md5(lower(trim(regexp_replace(
+                       array_to_string(string_split(text, ' ')[1:3], ' '),
+                       '\\s+', ' ', 'g')))) AS digest,
                    count(*) AS n_docs,
                    list_sort(list(CAST(doc_id AS VARCHAR))) AS doc_ids
             FROM documents GROUP BY 1 HAVING count(*) > 1
