@@ -150,6 +150,14 @@ def _q_quality_documents(spark, sf_dir):
     return docs.select("doc_id", jtext.quality_score(F.col("text")).alias("quality"))
 
 
+def _q_text_clean(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length(jtext.clean_text(F.col("text"))).alias("clean_len"),
+        F.round(jtext.repetition_ratio(F.col("text")), 6).alias("rep_ratio"))
+
+
 def _q_fingerprint_documents(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", jtext.fingerprint(F.col("text")).alias("fp"))
@@ -257,6 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": _q_ivf_topk_embeddings,
         "validate_events_open_json": _q_events_open_json,
         "dedup_exact_prefix3": _q_exact_dup_prefix,
+        "text_clean_and_repetition": _q_text_clean,
     }
 
 
@@ -417,6 +426,20 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                      [1.0] || [0.0 for _ in range(63)]) DESC, vec_id
             LIMIT 10
+        """,
+        "text_clean_and_repetition": f"""
+            SELECT doc_id,
+                   length(trim(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               'https?://[^\\s]+|www\\.[^\\s]+', '', 'g'),
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                           '', 'g'),
+                       '\\s+', ' ', 'g'))) AS clean_len,
+                   round(CASE WHEN len({_TOKENS}) > 0 THEN
+                       CAST(len(list_distinct({_TOKENS})) AS DOUBLE)
+                       / len({_TOKENS}) ELSE 0.0 END, 6) AS rep_ratio
+            FROM documents
         """,
         "window_canonical_order": """
             SELECT o_custkey, o_orderkey FROM (

@@ -81,6 +81,38 @@ def quality_score(col: Column) -> Column:
         - 0.0 * punct_ratio, 6)
 
 
+_URL_RE = r"https?://[^\s]+|www\.[^\s]+"
+_EMAIL_SCRUB_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def remove_urls(col: Column, replacement: str = "") -> Column:
+    """Strip http(s)/www URLs (training-data scrubbing)."""
+    return F.regexp_replace(col, _URL_RE, replacement)
+
+
+def remove_emails(col: Column, replacement: str = "") -> Column:
+    """Strip email addresses (PII scrubbing)."""
+    return F.regexp_replace(col, _EMAIL_SCRUB_RE, replacement)
+
+
+def normalize_whitespace(col: Column) -> Column:
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def clean_text(col: Column) -> Column:
+    """Standard scrub pipeline: URLs -> emails -> whitespace."""
+    return normalize_whitespace(remove_emails(remove_urls(col)))
+
+
+def repetition_ratio(col: Column) -> Column:
+    """distinct-token / total-token ratio (low = repetitive boilerplate —
+    the Gopher-rules style repetition signal)."""
+    toks = tokens(col)
+    return F.when(F.size(toks) > 0,
+                  F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+                  ).otherwise(F.lit(0.0))
+
+
 def fingerprint(col: Column, *, modulus: int = (1 << 31) - 1, base: int = 257) -> Column:
     """Order-sensitive rolling polynomial hash over tokens (document
     fingerprint): ``h = (h*base + xxhash64(token) mod p) mod p`` via
