@@ -115,9 +115,13 @@ def _q_profile_lineitem(spark, sf_dir):
 
 
 def _q_exact_dup_documents(spark, sf_dir):
+    # doc_ids serialized to a joined string: the driver's value-hash
+    # comparator needs hash-comparable scalar cells, not arrays
     docs = _t(spark, sf_dir, "documents")
     return dedup.exact_duplicates(docs, "text", "doc_id") \
-        .select("digest", "n_docs", F.col("doc_ids").cast("array<string>").alias("doc_ids"))
+        .select("digest", "n_docs",
+                F.array_join(F.col("doc_ids").cast("array<string>"), ",")
+                .alias("doc_ids"))
 
 
 def _q_exact_dup_prefix(spark, sf_dir):
@@ -128,7 +132,7 @@ def _q_exact_dup_prefix(spark, sf_dir):
         F.col("doc_id").cast("string").alias("doc_id"),  # lexicographic sort
         F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ").alias("text"))
     return dedup.exact_duplicates(prefixed, "text", "doc_id") \
-        .select("digest", "n_docs", "doc_ids")
+        .select("digest", "n_docs", F.array_join("doc_ids", ",").alias("doc_ids"))
 
 
 def _q_token_stats_documents(spark, sf_dir):
@@ -355,8 +359,11 @@ def oracle_sql() -> dict[str, str]:
               AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
             UNION ALL
             SELECT CAST(o_orderkey AS VARCHAR), 'required', '#/required', '#',
-                   '#/required', 'required properties are missing: o_orderkey, o_custkey'
-            FROM orders WHERE o_orderkey IS NULL AND o_custkey IS NULL
+                   '#/required',
+                   'required properties are missing: ' || concat_ws(', ',
+                       CASE WHEN o_orderkey IS NULL THEN 'o_orderkey' END,
+                       CASE WHEN o_custkey IS NULL THEN 'o_custkey' END)
+            FROM orders WHERE o_orderkey IS NULL OR o_custkey IS NULL
         """,
         "validate_lineitem_verdict": f"""
             SELECT l_orderkey, l_linenumber, {_LINEITEM_PASS} AS passed FROM lineitem
@@ -402,7 +409,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": """
             SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS digest,
                    count(*) AS n_docs,
-                   list_sort(list(CAST(doc_id AS VARCHAR))) AS doc_ids
+                   array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',') AS doc_ids
             FROM documents GROUP BY 1 HAVING count(*) > 1
         """,
         "dedup_exact_prefix3": """
@@ -410,7 +417,7 @@ def oracle_sql() -> dict[str, str]:
                        array_to_string(string_split(text, ' ')[1:3], ' '),
                        '\\s+', ' ', 'g')))) AS digest,
                    count(*) AS n_docs,
-                   list_sort(list(CAST(doc_id AS VARCHAR))) AS doc_ids
+                   array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',') AS doc_ids
             FROM documents GROUP BY 1 HAVING count(*) > 1
         """,
         "text_token_stats": f"""
