@@ -165,15 +165,22 @@ def pcm_invariant_check(df: DataFrame, ref_transcripts: DataFrame | None = None,
                 sig, dec_sr, err = _decode_dispatch(codec, buf)
                 errs[idx] = err
                 if sig is not None:
-                    try:
-                        i = int(str(cid)[5:], 16)
-                    except (ValueError, TypeError):
-                        i = 0
-                    ref = synth_reference_signal(i, int(dec_sr or sr), int(dur),
-                                                 max_samples=len(sig))
-                    s = snr_db(ref, sig)
-                    snr[idx] = s
-                    ok[idx] = s >= min_snr_db
+                    # null metadata arrives as NaN in pandas; int(NaN) would
+                    # raise and abort the whole Spark job — a dirty row must
+                    # be *reported*, never kill the validator (ADVICE r01)
+                    eff_sr = dec_sr if dec_sr else sr
+                    if pd.isna(dur) or pd.isna(eff_sr) or not eff_sr:
+                        errs[idx] = "missing_metadata"
+                    else:
+                        try:
+                            i = int(str(cid)[5:], 16)
+                        except (ValueError, TypeError):
+                            i = 0
+                        ref = synth_reference_signal(i, int(eff_sr), int(dur),
+                                                     max_samples=len(sig))
+                        s = snr_db(ref, sig)
+                        snr[idx] = s
+                        ok[idx] = s >= min_snr_db
                 terr[idx] = (tr == rtr) and tr is not None
             yield pd.DataFrame({
                 "clip_id": pdf["clip_id"], "decode_ok": ok, "snr_db": snr,

@@ -151,7 +151,10 @@ def duration_consistency_violations(df: DataFrame, *,
                     pdf["clip_id"], pdf["codec"], pdf["bytes"],
                     pdf["sr_hz"], pdf["dur_ms"]):
                 sig, dec_sr, err = _decode_dispatch(codec, buf)
-                if sig is None or not dec_sr:
+                if sig is None or not dec_sr or pd.isna(dur):
+                    # null dur_ms arrives as NaN; int(NaN) raises and would
+                    # abort the job — a missing claim is required's problem,
+                    # not a duration-consistency violation (ADVICE r01)
                     continue
                 actual_ms = int(len(sig) * 1000 / dec_sr)
                 if abs(actual_ms - int(dur)) > tolerance_ms:

@@ -88,3 +88,23 @@ def test_quality_and_fingerprint(spark):
     df2 = spark.createDataFrame([("a b c",), ("c b a",)], "t string")
     f2 = [r[0] for r in df2.select(text.fingerprint(F.col("t"))).collect()]
     assert f2[0] != f2[1]
+
+
+def test_null_metadata_reported_not_raised(spark):
+    """A dirty row (null dur_ms / sr_hz) must be *reported*, never abort the
+    job: int(NaN) inside mapInPandas would kill every task (ADVICE r01)."""
+    df = clips.clips_df(spark, 30, inject=False)
+    dirty = df.select(
+        "clip_id", "bytes",
+        F.when(F.col("clip_id").endswith("2"), F.lit(None)).otherwise(F.col("sr_hz")).alias("sr_hz"),
+        F.when(F.col("clip_id").endswith("1"), F.lit(None)).otherwise(F.col("dur_ms")).alias("dur_ms"),
+        "codec", "transcript")
+    out = audio.pcm_invariant_check(dirty).collect()
+    assert len(out) == 30
+    missing = [r for r in out if r.error == "missing_metadata"]
+    # null dur_ms rows are unverifiable -> reported; null sr_hz rows still
+    # verify via the decoded sample rate (dec_sr wins over claimed sr_hz)
+    assert missing and all(not r.decode_ok for r in missing)
+    # duration-consistency check also survives the same dirty rows
+    from json_skema_spark.functions import audio_features
+    audio_features.duration_consistency_violations(dirty).collect()
