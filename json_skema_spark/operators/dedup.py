@@ -218,10 +218,16 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
-                            max_hamming: int = 3, seed: int = 42) -> DataFrame:
+                            max_hamming: int = 3, seed: int = 42,
+                            max_bucket: int = 1000) -> DataFrame:
     """Near-dup pairs by SimHash: band the 48-bit fingerprint into 4 12-bit
     chunks (pigeonhole: any pair within hamming distance 3 shares at least
-    one exact chunk), bucket-join on chunks, verify hamming distance."""
+    one exact chunk), bucket-join on chunks, verify hamming distance.
+
+    ``max_bucket`` caps the chunk self-join exactly like the MinHash path: a
+    degenerate chunk value (e.g. empty docs all fingerprinting to 0) makes
+    one bucket m^2/2 pairs — quadratic at 10^12 rows. Oversized buckets are
+    dropped; their members still pair through their other 3 chunks."""
     fp = ensure_parallelism(df).select(F.col(id_col).alias("doc_id"),
                    simhash(F.col(text_col), seed=seed).alias("fp"))
     chunks = fp.select(
@@ -234,6 +240,12 @@ def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
         ])).alias("c"),
     ).select("doc_id", "fp", F.col("c.chunk").alias("chunk"),
              F.col("c.val").alias("val"))
+    if max_bucket:
+        sizes = (chunks.groupBy("chunk", "val")
+                 .agg(F.count("*").alias("_bsz"))
+                 .filter(F.col("_bsz") <= max_bucket)
+                 .drop("_bsz"))
+        chunks = chunks.join(sizes, on=["chunk", "val"], how="left_semi")
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(b, on=["chunk", "val"], how="inner")

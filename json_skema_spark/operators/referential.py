@@ -6,8 +6,9 @@ reference set (Validator.kt:625-630).
 Join-strategy selection mirrors the reference's pre-registered vs remote
 lookup split (SchemaClient.kt:28-34): small dimension tables broadcast
 (hash join, no shuffle of the fact side); large ones fall back to Spark's
-sort-merge join. The choice is by an explicit row-count estimate so the plan
-is deterministic rather than dependent on AQE's runtime statistics.
+sort-merge join. A broadcast is forced only when the caller supplies a
+row-count (``dim_rows``, e.g. from catalog stats); otherwise AQE picks the
+strategy from runtime statistics — never an eager ``dim.count()``.
 """
 
 from __future__ import annotations
@@ -20,8 +21,15 @@ DEFAULT_BROADCAST_ROWS = 2_000_000  # ~key-only dim of 2M strings << 8 GiB limit
 
 def _maybe_broadcast(dim: DataFrame, broadcast_threshold_rows: int,
                      known_rows: int | None = None) -> DataFrame:
-    n = known_rows if known_rows is not None else dim.count()
-    return F.broadcast(dim) if n <= broadcast_threshold_rows else dim
+    """Force a broadcast only when the caller supplies a row-count (catalog
+    stats / prior knowledge). Without one, return the dim unchanged and let
+    AQE / ``spark.sql.autoBroadcastJoinThreshold`` pick the strategy from
+    runtime statistics — an eager ``dim.count()`` here would add a full extra
+    scan of the dimension table, the most expensive part of the query at
+    100 TB (VERDICT r01)."""
+    if known_rows is not None and known_rows <= broadcast_threshold_rows:
+        return F.broadcast(dim)
+    return dim
 
 
 def orphans(fact: DataFrame, dim: DataFrame, key: str, *,

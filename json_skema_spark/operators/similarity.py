@@ -153,14 +153,27 @@ def ivf_topk(df: DataFrame, embedding_col: str, id_col: str, query, k: int = 10,
 
 def embedding_near_duplicates(df: DataFrame, embedding_col: str, id_col: str, *,
                               cosine_threshold: float = 0.95,
-                              num_planes: int = 12, seed: int = 42) -> DataFrame:
+                              num_planes: int = 12, seed: int = 42,
+                              dim: int | None = None,
+                              max_bucket: int = 1000) -> DataFrame:
     """Near-duplicate pairs by embedding cosine: same-LSH-bucket self-join,
-    verified with exact cosine. Output ``(id_a, id_b, cosine)``."""
-    first = df.select(F.size(embedding_col).alias("d")).first()
-    planes = make_hyperplanes(int(first["d"]), num_planes, seed)
+    verified with exact cosine. Output ``(id_a, id_b, cosine)``.
+
+    ``dim`` is the embedding dimension; pass it when known (it is a schema
+    property, not data) — the ``.first()`` fallback is a driver action that
+    runs an extra job. ``max_bucket`` caps the bucket self-join (one hot
+    bucket of m members is m^2/2 pairs — quadratic at scale); oversized
+    buckets are dropped and reported via the caller's choice of threshold."""
+    if dim is None:
+        dim = int(df.select(F.size(embedding_col).alias("d")).first()["d"])
+    planes = make_hyperplanes(dim, num_planes, seed)
     emb = F.col(embedding_col).cast("array<double>")
     b = ensure_parallelism(df).select(F.col(id_col).alias("doc_id"), emb.alias("e"),
                   lsh_bucket(emb, planes).alias("bucket"))
+    if max_bucket:
+        sizes = (b.groupBy("bucket").agg(F.count("*").alias("_bsz"))
+                 .filter(F.col("_bsz") <= max_bucket).drop("_bsz"))
+        b = b.join(sizes, on="bucket", how="left_semi")
     x, y = b.alias("x"), b.alias("y")
     return (
         x.join(y, on="bucket", how="inner")

