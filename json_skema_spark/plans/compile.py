@@ -231,10 +231,14 @@ class NodeResult:
     # property name -> condition under which that property counts as evaluated
     prop_cov: dict[str, list[Column]] = field(default_factory=dict)
     all_props_cov: list[Column] = field(default_factory=list)
-    # array index coverage: indices < prefix_cov are evaluated (static);
+    # array index coverage: indices < prefix_cov are evaluated (static, from
+    # THIS node's own prefixItems); prefix_cov_gated carries (count, gate)
+    # pairs from nested applicators — their annotation only flows when the
+    # branch succeeded (2020-12 §7.7.1; ADVICE r01);
     # rest_cov conditions under which *all* indices are evaluated ("items");
     # elem_cov: per-element predicates (from "contains") with their gate cond
     prefix_cov: int = 0
+    prefix_cov_gated: list[tuple[int, Column]] = field(default_factory=list)
     rest_cov: list[Column] = field(default_factory=list)
     elem_cov: list[tuple[Callable[[Column], Column], Column]] = field(default_factory=list)
 
@@ -245,7 +249,9 @@ class NodeResult:
         for name, conds in child.prop_cov.items():
             self.prop_cov.setdefault(name, []).extend(c & gate for c in conds)
         self.all_props_cov.extend(c & gate for c in child.all_props_cov)
-        self.prefix_cov = max(self.prefix_cov, child.prefix_cov)
+        if child.prefix_cov:
+            self.prefix_cov_gated.append((child.prefix_cov, gate))
+        self.prefix_cov_gated.extend((n, c & gate) for n, c in child.prefix_cov_gated)
         self.rest_cov.extend(c & gate for c in child.rest_cov)
         self.elem_cov.extend((fn, c & gate) for fn, c in child.elem_cov)
 
@@ -384,17 +390,22 @@ class Compiler:
     def compile_root(self, struct_type: T.StructType) -> Compiled:
         inst = Inst(col=None, dtype=struct_type, loc=F.lit("#"), root=True)
         return self._compile(self.doc, inst, "#", "#",
-                             self.resolver.scope_of(self.doc), 0).compiled
+                             (self.resolver.scope_of(self.doc),), 0).compiled
 
     def compile_value(self, col: Column, dtype: T.DataType,
                       loc: Column | None = None) -> Compiled:
         inst = Inst(col=col, dtype=dtype, loc=loc if loc is not None else F.lit("#"))
         return self._compile(self.doc, inst, "#", "#",
-                             self.resolver.scope_of(self.doc), 0).compiled
+                             (self.resolver.scope_of(self.doc),), 0).compiled
 
     # -- core dispatch -----------------------------------------------------
     def _compile(self, node: Any, inst: Inst, kw_loc: str, dyn: str,
-                 scope: str, depth: int) -> NodeResult:
+                 scope: tuple[str, ...], depth: int) -> NodeResult:
+        # ``scope`` is the *dynamic scope stack* (outermost first); its last
+        # element is the current lexical base URI. The full stack accumulates
+        # every schema resource entered via $ref/$dynamicRef so $dynamicRef
+        # resolution can search outermost-first (reference SchemaVisitor
+        # dynamic-path semantics; ADVICE r01).
         if depth > self.max_depth:
             raise CompileError(
                 f"schema recursion exceeds max_depth={self.max_depth} at {kw_loc} "
@@ -418,22 +429,30 @@ class Compiler:
             if c is not None:
                 parts.append(c)
 
-        scope = self.resolver.scope_of(node, scope)
+        cur = self.resolver.scope_of(node, scope[-1])
+        if cur != scope[-1]:
+            scope = scope + (cur,)
+
+        def _enter(base: str) -> tuple[str, ...]:
+            return scope if base == scope[-1] else scope + (base,)
 
         # ---- $ref / $dynamicRef (inlined; SchemaLoader.kt:381-405) -------
         if "$ref" in node:
-            target, tscope = self.resolver.resolve(node["$ref"], scope)
+            target, tscope = self.resolver.resolve(node["$ref"], scope[-1])
             child = self._compile(target, inst, self._ref_loc(node["$ref"], kw_loc),
-                                  dyn + "/$ref", tscope, depth + 1)
+                                  dyn + "/$ref", _enter(tscope), depth + 1)
             add(child.compiled)
             res.merge_child(child, child.compiled.passed)
         if "$dynamicRef" in node:
-            hit = self.resolver.resolve_dynamic(node["$dynamicRef"], [self.resolver.root_base, scope])
+            # search the accumulated dynamic stack outermost-first — a
+            # $dynamicAnchor defined in an *intermediate* document of a $ref
+            # chain must win over the lexical fallback (ADVICE r01)
+            hit = self.resolver.resolve_dynamic(node["$dynamicRef"], list(scope))
             if hit is None:
-                hit = self.resolver.resolve(node["$dynamicRef"], scope)
+                hit = self.resolver.resolve(node["$dynamicRef"], scope[-1])
             target, tscope = hit
             child = self._compile(target, inst, self._ref_loc(node["$dynamicRef"], kw_loc),
-                                  dyn + "/$dynamicRef", tscope, depth + 1)
+                                  dyn + "/$dynamicRef", _enter(tscope), depth + 1)
             add(child.compiled)
             res.merge_child(child, child.compiled.passed)
 
@@ -835,7 +854,7 @@ class Compiler:
 
     # -- object keywords ---------------------------------------------------
     def _object_keywords(self, node: dict, inst: Inst, kw_loc: str, dyn: str,
-                         scope: str, depth: int, res: NodeResult, add) -> None:
+                         scope: tuple, depth: int, res: NodeResult, add) -> None:
         is_struct = isinstance(inst.dtype, T.StructType)
         names = inst.field_names() if is_struct else None
 
@@ -1031,7 +1050,7 @@ class Compiler:
 
     # -- array keywords ----------------------------------------------------
     def _element_fn(self, schema: Any, elem_type: T.DataType, parent_loc: Column,
-                    kw_loc: str, dyn: str, scope: str, depth: int):
+                    kw_loc: str, dyn: str, scope: tuple, depth: int):
         """Compile ``schema`` into fn(elem_col, idx_col) -> Compiled, with the
         element's instance pointer derived from the parent's + index."""
         def fn(x: Column, i: Column) -> Compiled:
@@ -1041,7 +1060,7 @@ class Compiler:
         return fn
 
     def _array_keywords(self, node: dict, inst: Inst, kw_loc: str, dyn: str,
-                        scope: str, depth: int, res: NodeResult, add) -> None:
+                        scope: tuple, depth: int, res: NodeResult, add) -> None:
         arr = inst.col
         elem_t = inst.dtype.elementType
         size = F.size(arr)
@@ -1156,7 +1175,7 @@ class Compiler:
 
     # -- combinators (§2.e) ------------------------------------------------
     def _combinators(self, node: dict, inst: Inst, kw_loc: str, dyn: str,
-                     scope: str, depth: int, res: NodeResult, add) -> None:
+                     scope: tuple, depth: int, res: NodeResult, add) -> None:
         if "allOf" in node:
             # all subschemas pass; all failures collected (Validator.kt:783-795)
             for i, sub in enumerate(node["allOf"]):
@@ -1239,7 +1258,7 @@ class Compiler:
 
     # -- unevaluated* ------------------------------------------------------
     def _kw_unevaluated_properties(self, sub: Any, inst: Inst, kw_loc: str,
-                                   dyn: str, scope: str, depth: int,
+                                   dyn: str, scope: tuple, depth: int,
                                    res: NodeResult) -> Compiled:
         """Compile-time set algebra over the coverage map (SURVEY.md §7;
         reference mark-tracking Validator.kt:222-243,896-910)."""
@@ -1263,7 +1282,7 @@ class Compiler:
         return conj(parts) if parts else Compiled.ok()
 
     def _kw_unevaluated_items(self, sub: Any, inst: Inst, kw_loc: str,
-                              dyn: str, scope: str, depth: int,
+                              dyn: str, scope: tuple, depth: int,
                               res: NodeResult) -> Compiled:
         uloc = f"{kw_loc}/unevaluatedItems"
         udyn = dyn + "/unevaluatedItems"
@@ -1276,6 +1295,8 @@ class Compiler:
 
         def elem_uneval_fail(x: Column, i: Column) -> Column:
             covered = (i < res.prefix_cov) | rest_cov
+            for n_cov, gate in res.prefix_cov_gated:
+                covered = covered | ((i < n_cov) & F.coalesce(gate, F.lit(False)))
             for fn, gate in res.elem_cov:
                 covered = covered | (F.coalesce(gate, F.lit(False))
                                      & F.coalesce(fn(x), F.lit(False)))
