@@ -192,6 +192,193 @@ def _q_simhash_documents(spark, sf_dir):
     return docs.select("doc_id", dedup.simhash(F.col("text")).alias("fp"))
 
 
+# ---------------------------------------------------------------------------
+# §2.d array keywords over a synthesized array column (driver-oracle-checked:
+# DuckDB list_* functions express the identical semantics)
+# ---------------------------------------------------------------------------
+
+ARRAY_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "toks": {
+            "type": "array",
+            "minItems": 4,
+            "maxItems": 6,
+            "uniqueItems": True,
+            "items": {"type": "string", "minLength": 1, "maxLength": 8},
+            "contains": {"pattern": "^[aeiou]"},
+            "minContains": 1,
+            "maxContains": 3,
+        }
+    },
+}
+
+
+def _q_array_keywords(spark, sf_dir):
+    """items/prefix-slice/contains/min-maxItems/uniqueItems over the first 6
+    whitespace tokens of each document (ArrayValidationTest.kt parity)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id",
+                    F.slice(F.split(F.col("text"), " "), 1, 6).alias("toks"))
+    plan = compile_schema(ARRAY_SCHEMA, d.schema)
+    return plan.apply(d, mode="verdict").select("doc_id", "passed")
+
+
+def _q_array_violation_summary(spark, sf_dir):
+    """Per-keyword violation counts for the array schema — pins keyword and
+    keyword_location strings, not just the verdict bit."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id",
+                    F.slice(F.split(F.col("text"), " "), 1, 6).alias("toks"))
+    plan = compile_schema(ARRAY_SCHEMA, d.schema)
+    return plan.summary(d)
+
+
+# ---------------------------------------------------------------------------
+# §2.e combinators over orders (ApplicatorValidationTest.kt parity): each
+# combinator compiled as its own plan -> per-combinator verdict columns
+# ---------------------------------------------------------------------------
+
+_COMBINATOR_SCHEMAS = {
+    "allof_ok": {"allOf": [
+        {"properties": {"o_totalprice": {"exclusiveMinimum": 0}}},
+        {"properties": {"o_orderpriority": {"pattern": "^[1-5]-"}}},
+    ]},
+    "anyof_ok": {"anyOf": [
+        {"properties": {"o_orderstatus": {"const": "F"}}},
+        {"properties": {"o_totalprice": {"maximum": 200000}}},
+    ]},
+    "oneof_ok": {"oneOf": [
+        {"properties": {"o_totalprice": {"maximum": 100000}}},
+        {"properties": {"o_custkey": {"multipleOf": 2}}},
+    ]},
+    "not_ok": {"not": {"properties": {"o_totalprice": {"exclusiveMinimum": 500000}}}},
+    "ite_ok": {
+        "if": {"properties": {"o_orderstatus": {"const": "O"}}},
+        "then": {"properties": {"o_totalprice": {"exclusiveMinimum": 100}}},
+        "else": {"properties": {"o_orderpriority": {"minLength": 3}}},
+    },
+}
+
+
+def _q_combinators(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cols = [F.col("o_orderkey")]
+    overall = None
+    for alias, schema in _COMBINATOR_SCHEMAS.items():
+        p = compile_schema(schema, o.schema).passed
+        cols.append(p.alias(alias))
+        overall = p if overall is None else overall & p
+    cols.append(overall.alias("passed"))
+    return o.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# §2.b formats (FormatTest.kt parity): 9 candidate columns constructed
+# deterministically from o_orderkey with known per-branch validity
+# ---------------------------------------------------------------------------
+
+_FORMAT_COLS = ["date_s", "time_s", "datetime_s", "duration_s", "uri_s",
+                "email_s", "ipv4_s", "ipv6_s", "uuid_s"]
+_FORMAT_OF = {"date_s": "date", "time_s": "time", "datetime_s": "date-time",
+              "duration_s": "duration", "uri_s": "uri", "email_s": "email",
+              "ipv4_s": "ipv4", "ipv6_s": "ipv6", "uuid_s": "uuid"}
+
+
+def _format_candidates(o):
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    date_s = (F.when(k % 4 == 0, F.lit("2021-02-29"))
+              .when(k % 4 == 1, F.lit("2020-02-29"))
+              .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd")))
+    time_s = (F.when(k % 5 == 0, F.lit("23:59:60Z"))
+              .when(k % 5 == 1, F.lit("23:59:60+01:00"))
+              .when(k % 5 == 2, F.lit("12:00:61Z"))
+              .when(k % 5 == 3, F.lit("08:30:00+05:30"))
+              .otherwise(F.lit("23:30:00-12:45")))
+    return o.filter(k.isNotNull()).select(
+        "o_orderkey",
+        date_s.alias("date_s"),
+        time_s.alias("time_s"),
+        F.concat(date_s, F.lit("T"), time_s).alias("datetime_s"),
+        F.when(k % 3 == 0, F.lit("P1DT2H")).when(k % 3 == 1, F.lit("PT"))
+        .otherwise(F.lit("P3W")).alias("duration_s"),
+        F.when(k % 3 == 0, F.concat(F.lit("https://example.com/"), ks))
+        .when(k % 3 == 1, F.lit("not a uri"))
+        .otherwise(F.concat(F.lit("urn:isbn:"), ks)).alias("uri_s"),
+        F.when(k % 4 == 0, F.concat(F.lit("user."), ks, F.lit("@example.com")))
+        .when(k % 4 == 1, F.lit("@nodomain"))
+        .when(k % 4 == 2, F.lit("a..b@example.com"))
+        .otherwise(F.concat(F.lit("x"), ks, F.lit("@sub.example.org")))
+        .alias("email_s"),
+        F.when(k % 4 == 0, F.lit("256.1.1.1"))
+        .when(k % 4 == 1, F.lit("127.0.0.1"))
+        .when(k % 4 == 2, F.lit("1.2.3"))
+        .otherwise(F.concat((k % 256).cast("string"), F.lit(".0.0.1")))
+        .alias("ipv4_s"),
+        F.when(k % 4 == 0, F.lit("::1"))
+        .when(k % 4 == 1, F.lit("1:2:3:4:5:6:7:8"))
+        .when(k % 4 == 2, F.lit("12345::"))
+        .otherwise(F.concat(F.lit("::ffff:192.168.0."), (k % 256).cast("string")))
+        .alias("ipv6_s"),
+        F.when(k % 3 == 0, F.lit("123e4567-e89b-12d3-a456-426614174000"))
+        .when(k % 3 == 1, F.lit("123e4567-e89b-12d3-a456-42661417400"))
+        .otherwise(F.lit("ABCDEF01-2345-6789-abcd-ef0123456789")).alias("uuid_s"),
+    )
+
+
+def _q_formats(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cand = _format_candidates(o)
+    cols = [F.col("o_orderkey")]
+    for c in _FORMAT_COLS:
+        plan = compile_schema({"properties": {c: {"format": _FORMAT_OF[c]}}},
+                              cand.schema, format_assertion=True)
+        cols.append(plan.passed.alias(f"{_FORMAT_OF[c].replace('-', '_')}_ok"))
+    return cand.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# §2.c object-shape keywords over a synthesized struct column
+# (ObjectValidationTest.kt parity): required/dependentRequired/min-max-
+# Properties/propertyNames/additionalProperties on one nested object
+# ---------------------------------------------------------------------------
+
+OBJECT_SHAPE_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "obj": {
+            "type": "object",
+            "properties": {"status": {"type": "string"},
+                           "price": {"type": "number"}},
+            "required": ["price"],
+            "dependentRequired": {"status": ["price", "note"]},
+            "minProperties": 2,
+            "maxProperties": 2,
+            "propertyNames": {"maxLength": 5},
+            "additionalProperties": {"type": "string", "minLength": 6},
+        }
+    },
+}
+
+
+def _q_object_shape(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    d = o.select(
+        "o_orderkey",
+        F.struct(
+            F.when(k % 5 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("o_orderstatus")).alias("status"),
+            F.when(k % 7 == 0, F.lit(None).cast("double"))
+            .otherwise(F.col("o_totalprice")).alias("price"),
+            F.when(k % 3 == 0, F.col("o_orderpriority"))
+            .otherwise(F.lit(None).cast("string")).alias("note"),
+        ).alias("obj"))
+    plan = compile_schema(OBJECT_SHAPE_SCHEMA, d.schema)
+    return plan.apply(d, mode="verdict").select("o_orderkey", "passed")
+
+
 EVENTS_SCHEMA = {
     "type": "object",
     "properties": {

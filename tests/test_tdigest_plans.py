@@ -59,27 +59,33 @@ def test_verdict_plan_prunes_columns(spark):
 
 
 def test_orphans_broadcasts_small_dim(spark):
+    """With a caller-supplied row count under the threshold, the broadcast is
+    forced; Catalyst may independently broadcast tiny dims anyway."""
     fact = spark.read.parquet("/root/testdata/sf0.001/orders.parquet") \
         .withColumnRenamed("o_custkey", "c_custkey")
     dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet") \
         .select("c_custkey")
-    plan = referential.orphans(fact, dim, "c_custkey") \
+    plan = referential.orphans(fact, dim, "c_custkey", dim_rows=150) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
-def test_orphans_no_hint_above_threshold(spark):
-    """Above the cardinality threshold our code must NOT force a broadcast
-    hint (Catalyst may still pick one from its own size estimate — that's
-    its call; ours is only the explicit override for known-small dims)."""
+def test_orphans_no_hint_without_known_rows(spark):
+    """Without a caller-supplied row count our code must NOT force a
+    broadcast hint — no eager dim.count() scan; AQE/autoBroadcastJoinThreshold
+    decide from runtime statistics (VERDICT r01). With a known count above
+    the threshold, same: no hint."""
     fact = spark.read.parquet("/root/testdata/sf0.001/orders.parquet") \
         .withColumnRenamed("o_custkey", "c_custkey")
     dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet") \
         .select("c_custkey")
-    with_hint = referential.orphans(fact, dim, "c_custkey") \
+    no_hint = referential.orphans(fact, dim, "c_custkey") \
         ._jdf.queryExecution().analyzed().toString()
-    without_hint = referential.orphans(fact, dim, "c_custkey",
-                                       broadcast_threshold_rows=10) \
+    hinted = referential.orphans(fact, dim, "c_custkey", dim_rows=150) \
         ._jdf.queryExecution().analyzed().toString()
-    assert "broadcast" in with_hint.lower()
-    assert "broadcast" not in without_hint.lower()
+    above = referential.orphans(fact, dim, "c_custkey", dim_rows=150,
+                                broadcast_threshold_rows=10) \
+        ._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in no_hint.lower()
+    assert "broadcast" in hinted.lower()
+    assert "broadcast" not in above.lower()
