@@ -205,10 +205,10 @@ ARRAY_SCHEMA = {
             "minItems": 4,
             "maxItems": 6,
             "uniqueItems": True,
-            "items": {"type": "string", "minLength": 1, "maxLength": 8},
+            "items": {"type": "string", "minLength": 1, "maxLength": 6},
             "contains": {"pattern": "^[aeiou]"},
             "minContains": 1,
-            "maxContains": 3,
+            "maxContains": 1,
         }
     },
 }
@@ -219,7 +219,9 @@ def _q_array_keywords(spark, sf_dir):
     whitespace tokens of each document (ArrayValidationTest.kt parity)."""
     docs = _t(spark, sf_dir, "documents")
     d = docs.select("doc_id",
-                    F.slice(F.split(F.col("text"), " "), 1, 6).alias("toks"))
+                    F.slice(F.split(F.col("text"), " "), 1,
+                            (F.lit(3) + F.pmod("doc_id", F.lit(5))).cast("int"))
+                    .alias("toks"))
     plan = compile_schema(ARRAY_SCHEMA, d.schema)
     return plan.apply(d, mode="verdict").select("doc_id", "passed")
 
@@ -229,7 +231,9 @@ def _q_array_violation_summary(spark, sf_dir):
     keyword_location strings, not just the verdict bit."""
     docs = _t(spark, sf_dir, "documents")
     d = docs.select("doc_id",
-                    F.slice(F.split(F.col("text"), " "), 1, 6).alias("toks"))
+                    F.slice(F.split(F.col("text"), " "), 1,
+                            (F.lit(3) + F.pmod("doc_id", F.lit(5))).cast("int"))
+                    .alias("toks"))
     plan = compile_schema(ARRAY_SCHEMA, d.schema)
     return plan.summary(d)
 
@@ -457,6 +461,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_events_open_json": _q_events_open_json,
         "dedup_exact_prefix3": _q_exact_dup_prefix,
         "text_clean_and_repetition": _q_text_clean,
+        "validate_array_keywords": _q_array_keywords,
+        "array_violation_summary": _q_array_violation_summary,
+        "validate_combinators": _q_combinators,
+        "validate_formats": _q_formats,
+        "validate_object_shape": _q_object_shape,
     }
 
 
@@ -672,6 +681,119 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "validate_array_keywords": """
+            WITH t AS (SELECT doc_id, text,
+                              string_split(text, ' ')[1:(3 + doc_id % 5)] AS toks
+                       FROM documents)
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN true ELSE
+                     len(toks) >= 4 AND len(toks) <= 6
+                     AND len(list_distinct(toks)) = len(toks)
+                     AND len(list_filter(toks,
+                         x -> length(x) >= 1 AND length(x) <= 6)) = len(toks)
+                     AND len(list_filter(toks,
+                         x -> regexp_matches(x, '^[aeiou]'))) = 1
+                   END AS passed
+            FROM t
+        """,
+        "array_violation_summary": """
+            WITH t AS (SELECT string_split(text, ' ')[1:(3 + doc_id % 5)] AS toks
+                       FROM documents WHERE text IS NOT NULL),
+            u AS (
+                SELECT 'minItems' AS keyword,
+                       '#/properties/toks/minItems' AS keyword_location,
+                       count(*) AS n_violations FROM t WHERE len(toks) < 4
+                UNION ALL
+                SELECT 'maxItems', '#/properties/toks/maxItems', count(*)
+                FROM t WHERE len(toks) > 6
+                UNION ALL
+                SELECT 'uniqueItems', '#/properties/toks/uniqueItems', count(*)
+                FROM t WHERE len(list_distinct(toks)) <> len(toks)
+                UNION ALL
+                SELECT 'minLength', '#/properties/toks/items/minLength',
+                       CAST(sum(len(list_filter(toks, x -> length(x) < 1))) AS BIGINT)
+                FROM t
+                UNION ALL
+                SELECT 'maxLength', '#/properties/toks/items/maxLength',
+                       CAST(sum(len(list_filter(toks, x -> length(x) > 6))) AS BIGINT)
+                FROM t
+                UNION ALL
+                SELECT 'contains', '#/properties/toks/contains', count(*)
+                FROM t WHERE len(list_filter(toks,
+                    x -> regexp_matches(x, '^[aeiou]'))) < 1
+                UNION ALL
+                SELECT 'maxContains', '#/properties/toks/contains', count(*)
+                FROM t WHERE len(list_filter(toks,
+                    x -> regexp_matches(x, '^[aeiou]'))) > 1
+            )
+            SELECT keyword, keyword_location, n_violations
+            FROM u WHERE n_violations > 0
+        """,
+        "validate_combinators": """
+            SELECT o_orderkey,
+              ((o_totalprice IS NULL OR o_totalprice > 0)
+               AND (o_orderpriority IS NULL
+                    OR regexp_matches(o_orderpriority, '^[1-5]-'))) AS allof_ok,
+              ((o_orderstatus IS NULL OR o_orderstatus = 'F')
+               OR (o_totalprice IS NULL OR o_totalprice <= 200000)) AS anyof_ok,
+              ((CASE WHEN o_totalprice IS NULL OR o_totalprice <= 100000
+                     THEN 1 ELSE 0 END
+                + CASE WHEN o_custkey IS NULL OR o_custkey % 2 = 0
+                       THEN 1 ELSE 0 END) = 1) AS oneof_ok,
+              (NOT (o_totalprice IS NULL OR o_totalprice > 500000)) AS not_ok,
+              (CASE WHEN o_orderstatus IS NULL OR o_orderstatus = 'O'
+                    THEN (o_totalprice IS NULL OR o_totalprice > 100)
+                    ELSE (o_orderpriority IS NULL
+                          OR length(o_orderpriority) >= 3) END) AS ite_ok,
+              (((o_totalprice IS NULL OR o_totalprice > 0)
+                AND (o_orderpriority IS NULL
+                     OR regexp_matches(o_orderpriority, '^[1-5]-')))
+               AND ((o_orderstatus IS NULL OR o_orderstatus = 'F')
+                    OR (o_totalprice IS NULL OR o_totalprice <= 200000))
+               AND ((CASE WHEN o_totalprice IS NULL OR o_totalprice <= 100000
+                          THEN 1 ELSE 0 END
+                     + CASE WHEN o_custkey IS NULL OR o_custkey % 2 = 0
+                            THEN 1 ELSE 0 END) = 1)
+               AND (NOT (o_totalprice IS NULL OR o_totalprice > 500000))
+               AND (CASE WHEN o_orderstatus IS NULL OR o_orderstatus = 'O'
+                         THEN (o_totalprice IS NULL OR o_totalprice > 100)
+                         ELSE (o_orderpriority IS NULL
+                               OR length(o_orderpriority) >= 3) END)) AS passed
+            FROM orders
+        """,
+        "validate_formats": """
+            -- expected-value oracle: every candidate string is constructed
+            -- from o_orderkey with known per-branch validity (see
+            -- _format_candidates); the oracle recomputes the expectation
+            SELECT o_orderkey,
+              (o_orderkey % 4 <> 0) AS date_ok,
+              (o_orderkey % 5 NOT IN (1, 2)) AS time_ok,
+              (o_orderkey % 4 <> 0 AND o_orderkey % 5 NOT IN (1, 2)) AS date_time_ok,
+              (o_orderkey % 3 <> 1) AS duration_ok,
+              (o_orderkey % 3 <> 1) AS uri_ok,
+              (o_orderkey % 4 NOT IN (1, 2)) AS email_ok,
+              (o_orderkey % 4 NOT IN (0, 2)) AS ipv4_ok,
+              (o_orderkey % 4 <> 2) AS ipv6_ok,
+              (o_orderkey % 3 <> 1) AS uuid_ok
+            FROM orders WHERE o_orderkey IS NOT NULL
+        """,
+        "validate_object_shape": """
+            WITH t AS (SELECT o_orderkey,
+              CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS s,
+              CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS p,
+              CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority ELSE NULL END AS nt
+              FROM orders)
+            SELECT o_orderkey,
+              (p IS NOT NULL                                     -- required
+               AND (s IS NULL OR (p IS NOT NULL AND nt IS NOT NULL)) -- dependentRequired
+               AND ((CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END
+                     + CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END
+                     + CASE WHEN nt IS NOT NULL THEN 1 ELSE 0 END) = 2) -- min/maxProperties
+               AND s IS NULL                                     -- propertyNames maxLength 5 ('status' has 6)
+               AND (nt IS NULL OR length(nt) >= 6)               -- additionalProperties
+              ) AS passed
+            FROM t
         """,
         # text_lang_id / text_quality / text_fingerprint /
         # dedup_minhash_pairs / dedup_simhash_fingerprints: engine-specific
