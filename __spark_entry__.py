@@ -795,7 +795,86 @@ def oracle_sql() -> dict[str, str]:
               ) AS passed
             FROM t
         """,
-        # text_lang_id / text_quality / text_fingerprint /
-        # dedup_minhash_pairs / dedup_simhash_fingerprints: engine-specific
-        # hash/heuristic pipelines, not ANSI-SQL-expressible -> rows-only check
+        "text_lang_id": f"""
+            WITH h AS (SELECT doc_id,
+              len(list_filter({_TOKENS}, x -> x IN
+                ('the','and','of','to','in','is','that','it','was','for'))) AS h_en,
+              len(list_filter({_TOKENS}, x -> x IN
+                ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS h_de,
+              len(list_filter({_TOKENS}, x -> x IN
+                ('le','la','les','et','est','pas','une','des','dans','que'))) AS h_fr,
+              len(list_filter({_TOKENS}, x -> x IN
+                ('el','la','los','y','es','no','una','por','con','para'))) AS h_es,
+              len(list_filter({_TOKENS}, x -> x IN
+                ('a','az','és','hogy','nem','egy','van','de','is','meg'))) AS h_hu
+              FROM documents)
+            SELECT doc_id, CASE
+              WHEN coalesce(greatest(h_en,h_de,h_fr,h_es,h_hu), 0) = 0 THEN 'und'
+              WHEN h_en = greatest(h_en,h_de,h_fr,h_es,h_hu) THEN 'en'
+              WHEN h_de = greatest(h_en,h_de,h_fr,h_es,h_hu) THEN 'de'
+              WHEN h_fr = greatest(h_en,h_de,h_fr,h_es,h_hu) THEN 'fr'
+              WHEN h_es = greatest(h_en,h_de,h_fr,h_es,h_hu) THEN 'es'
+              ELSE 'hu' END AS lang_guess
+            FROM h
+        """,
+        "text_quality": f"""
+            WITH q AS (SELECT doc_id, length(text) AS n_chars,
+                len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                len({_TOKENS}) AS n_tok FROM documents),
+            b AS (SELECT doc_id,
+                CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 1.0
+                     WHEN n_chars > 0 THEN 0.5 ELSE 0.0 END AS len_band,
+                CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars
+                     ELSE 0.0 END AS alpha_ratio,
+                CASE WHEN (CASE WHEN n_tok > 0 THEN CAST(n_chars AS DOUBLE) / n_tok
+                           ELSE 0.0 END) BETWEEN 3.0 AND 12.0
+                     THEN 1.0 ELSE 0.4 END AS wl_band,
+                CASE WHEN (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars
+                           ELSE 0.0 END) <= 0.2
+                     THEN 1.0 ELSE 0.3 END AS punct_band
+              FROM q)
+            SELECT doc_id,
+                   round(0.3*len_band + 0.3*alpha_ratio + 0.2*wl_band
+                         + 0.2*punct_band, 6) AS quality
+            FROM b
+        """,
+        "text_fingerprint": f"""
+            -- same rolling-hash recurrence as functions/text.py::fingerprint:
+            -- per-token hash = top 60 bits of the lower md5 half, mod p
+            WITH t AS (SELECT doc_id,
+                CASE WHEN text IS NULL THEN NULL ELSE {_TOKENS} END AS toks
+              FROM documents)
+            SELECT doc_id,
+              CASE WHEN toks IS NULL THEN NULL ELSE
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [CAST(('0x' || substr(md5(x), 17, 15))::UBIGINT % 2147483647
+                        AS BIGINT) for x in toks]),
+                  (a, b) -> (a * 257 + b) % 2147483647)
+              END AS fp
+            FROM t
+        """,
+        "dedup_minhash_pairs": """
+            -- exact brute-force oracle: every injected near-dup pair in this
+            -- corpus has 3-gram jaccard >= 0.9, where 16-band/4-row MinHash
+            -- recall is 1 - (1-0.9^4)^16 ~ 1 - 4e-8, and the LSH pipeline's
+            -- verify stage computes the same exact jaccard - so LSH output
+            -- equals the exact all-pairs result
+            WITH d AS (SELECT doc_id,
+                list_distinct([array_to_string(toks[i:i+2], ' ')
+                               for i in range(1, greatest(len(toks)-2, 1)+1)]) AS g
+              FROM (SELECT doc_id,
+                    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                                 ' ') AS toks
+                    FROM documents))
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / len(list_distinct(a.g || b.g)), 6) AS jaccard
+            FROM d a JOIN d b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                  / len(list_distinct(a.g || b.g)) >= 0.5
+        """,
+        # dedup_simhash_fingerprints / similarity_ivf_topk: xxhash64-based
+        # fingerprints / MLlib KMeans list assignment have no DuckDB
+        # equivalent -> rows-only check
     }

@@ -115,15 +115,21 @@ def repetition_ratio(col: Column) -> Column:
 
 def fingerprint(col: Column, *, modulus: int = (1 << 31) - 1, base: int = 257) -> Column:
     """Order-sensitive rolling polynomial hash over tokens (document
-    fingerprint): ``h = (h*base + xxhash64(token) mod p) mod p`` via
-    ``aggregate``. Token hashes are reduced mod p *before* accumulating so
-    ``acc*base + h`` never exceeds ~2^40 — ANSI-safe (Spark 4 overflows
-    loudly on long arithmetic)."""
+    fingerprint): ``h = (h*base + md5_60(token) mod p) mod p`` via
+    ``aggregate``. The per-token hash is the top 60 bits of the lower half of
+    ``md5(token)`` (hex chars 17..31) — chosen over ``xxhash64`` because md5
+    is bit-identical across engines (DuckDB ``('0x'||substr(md5(t),17,15))``),
+    making the whole fingerprint cross-engine oracle-checkable. Token hashes
+    are reduced mod p *before* accumulating so ``acc*base + h`` never exceeds
+    ~2^40 — ANSI-safe (Spark 4 overflows loudly on long arithmetic)."""
     toks = tokens(col)
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),
         lambda acc, t: F.pmod(
-            acc * F.lit(base) + F.pmod(F.xxhash64(t), F.lit(modulus)),
+            acc * F.lit(base)
+            + F.pmod(F.conv(F.substring(F.md5(t.cast("binary")), 17, 15),
+                            16, 10).cast("long"),
+                     F.lit(modulus)),
             F.lit(modulus)),
     )
