@@ -371,16 +371,23 @@ class Compiler:
         rw_context: str | None = None,   # None | "read" | "write" (Validator.kt:912-924)
         lenient: bool = False,           # LENIENT primitive coercion (Validator.kt:324-365)
         max_depth: int = 64,
+        fetch_remote: bool = False,      # opt-in http(s) $ref fetch (SchemaClient.kt:63-140)
     ):
         self.doc = schema_doc
-        self.resolver = Resolver(schema_doc, registry=registry, base_uri=base_uri)
+        self.resolver = Resolver(schema_doc, registry=registry,
+                                 base_uri=base_uri, fetch_remote=fetch_remote)
         self.max_depth = max_depth
         self.rw_context = rw_context
         self.lenient = lenient
         if format_assertion is None:
             # DEPENDS_ON_VOCABULARY default (Validator.kt:250-261): assert iff
-            # the schema opts into the format-assertion vocabulary.
-            vocab = schema_doc.get("$vocabulary", {}) if isinstance(schema_doc, dict) else {}
+            # the governing vocabulary set (inline $vocabulary, or the
+            # $schema-resolved meta-schema's — registry / builtin dialect
+            # table / optional remote fetch, SchemaClient.kt:172-181) enables
+            # format-assertion.
+            from json_skema_spark.plans.model import vocabulary_of
+            vocab = vocabulary_of(schema_doc, self.resolver.registry,
+                                  fetch_remote=fetch_remote)
             format_assertion = any(
                 "format-assertion" in k and bool(v) for k, v in vocab.items()
             )

@@ -10,9 +10,12 @@ SchemaLoader.kt:381-405, JSON Pointer evaluation :407-466).
 
 Everything here runs on the Spark *driver* at compile time — schema
 documents are tiny; only the compiled Column predicates ship to executors.
-No network I/O: remote documents must be pre-registered in the resolver's
-``registry`` (the reference's pre-registered-URI map,
-SchemaClient.kt:28-34; its HTTP client is intentionally not reproduced).
+Network I/O is opt-in: by default remote documents must be pre-registered in
+the resolver's ``registry`` (the reference's pre-registered-URI map,
+SchemaClient.kt:28-34); with ``fetch_remote=True`` an unregistered http(s)
+``$ref`` is fetched driver-side with redirect following and process-wide
+memoization (the reference's DefaultSchemaClient + MemoizingSchemaClient,
+SchemaClient.kt:63-140).
 """
 
 from __future__ import annotations
@@ -103,6 +106,81 @@ def registry_from_dir(directory: str, base_uri: str = "") -> dict[str, Any]:
 
 _ANCHOR_STOP_KEYWORDS = {"enum", "const"}  # raw-data subtrees; cf. SchemaLoader.kt:300-315
 
+# process-wide fetch memo, URI -> parsed document (the reference's
+# MemoizingSchemaClient cache, SchemaClient.kt:128-140): schema compiles are
+# driver-side and repeated per query, so each remote doc is fetched once
+_FETCH_MEMO: dict[str, Any] = {}
+
+
+def fetch_schema_document(uri: str, *, timeout: float = 10.0) -> Any:
+    """Fetch + parse a remote schema document over http(s), following
+    redirects (reference DefaultSchemaClient.get, SchemaClient.kt:63-125:
+    handles 301/302/303/307/308 by re-issuing against Location — urllib's
+    HTTPRedirectHandler does the same, capped at 10 hops) and memoizing
+    process-wide. Driver-side only."""
+    if uri in _FETCH_MEMO:
+        return _FETCH_MEMO[uri]
+    import urllib.request
+
+    if not uri.startswith(("http://", "https://")):
+        raise SchemaError(f"fetch_remote supports only http(s) URIs, got {uri!r}")
+    req = urllib.request.Request(uri, headers={"Accept": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            text = resp.read().decode("utf-8")
+    except Exception as exc:
+        raise SchemaError(f"failed to fetch remote schema {uri!r}: {exc}") from exc
+    doc = load_schema_document(text)
+    _FETCH_MEMO[uri] = doc
+    return doc
+
+
+# Official draft 2020-12 dialect: the $vocabulary map of the standard
+# meta-schema (public spec facts recorded as data; the reference instead
+# bundles the full meta-schema documents as resources, SchemaClient.kt:172-181
+# + src/main/resources/json-meta-schemas/draft2020-12/)
+DRAFT2020_12_DIALECT_URI = "https://json-schema.org/draft/2020-12/schema"
+BUILTIN_DIALECTS: dict[str, dict[str, bool]] = {
+    DRAFT2020_12_DIALECT_URI: {
+        "https://json-schema.org/draft/2020-12/vocab/core": True,
+        "https://json-schema.org/draft/2020-12/vocab/applicator": True,
+        "https://json-schema.org/draft/2020-12/vocab/unevaluated": True,
+        "https://json-schema.org/draft/2020-12/vocab/validation": True,
+        "https://json-schema.org/draft/2020-12/vocab/meta-data": True,
+        "https://json-schema.org/draft/2020-12/vocab/format-annotation": True,
+        "https://json-schema.org/draft/2020-12/vocab/content": True,
+    },
+}
+
+
+def vocabulary_of(schema_doc: Any, registry: dict[str, Any] | None = None,
+                  *, fetch_remote: bool = False) -> dict[str, bool]:
+    """The vocabulary set governing ``schema_doc``: its inline ``$vocabulary``
+    if it declares one (it is then its own meta-schema), else the
+    ``$schema``-referenced meta-schema's ``$vocabulary`` — looked up in the
+    caller registry, the builtin dialect table, or (opt-in) fetched remotely.
+    Mirrors Validator.kt:250-261 + SchemaClient.kt:172-181. Unknown dialects
+    resolve to the empty map (format stays annotation-only — the reference's
+    DEPENDS_ON_VOCABULARY default)."""
+    if not isinstance(schema_doc, dict):
+        return {}
+    if isinstance(schema_doc.get("$vocabulary"), dict):
+        return dict(schema_doc["$vocabulary"])
+    meta_uri = schema_doc.get("$schema")
+    if not isinstance(meta_uri, str):
+        return {}
+    meta = (registry or {}).get(meta_uri)
+    if meta is None and meta_uri in BUILTIN_DIALECTS:
+        return dict(BUILTIN_DIALECTS[meta_uri])
+    if meta is None and fetch_remote and meta_uri.startswith(("http://", "https://")):
+        try:
+            meta = fetch_schema_document(meta_uri)
+        except SchemaError:
+            return {}
+    if isinstance(meta, dict) and isinstance(meta.get("$vocabulary"), dict):
+        return dict(meta["$vocabulary"])
+    return {}
+
 
 class Resolver:
     """Symbol table + $ref resolution for one root document (plus registry).
@@ -113,10 +191,11 @@ class Resolver:
     """
 
     def __init__(self, root_doc: Any, registry: dict[str, Any] | None = None,
-                 base_uri: str = ""):
+                 base_uri: str = "", fetch_remote: bool = False):
         self.registry: dict[str, Any] = dict(registry or {})
         self.root_doc = root_doc
         self.root_base = base_uri
+        self.fetch_remote = fetch_remote
         # uri (no fragment) -> document node whose lexical scope starts there
         self._id_index: dict[str, Any] = {}
         # (base_uri, anchor) -> node
@@ -172,6 +251,10 @@ class Resolver:
                 doc = self._id_index[uri]
             elif uri in self.registry:
                 doc = self.registry[uri]
+            elif self.fetch_remote and uri.startswith(("http://", "https://")):
+                doc = fetch_schema_document(uri)
+                self.registry[uri] = doc
+                self._index_document(doc, uri)
             else:
                 raise SchemaError(f"unresolvable $ref: {ref!r} (uri {uri!r} not registered)")
             new_scope = uri
