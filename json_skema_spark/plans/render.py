@@ -29,6 +29,51 @@ def to_json_rows(violations: DataFrame) -> DataFrame:
     )
 
 
+def _leaf_struct(f):
+    # field order matches ValidationFailure.toJSON() key order
+    # (ValidationFailure.kt:35-50)
+    return F.struct(
+        f.getField("instance_location").alias("instanceRef"),
+        f.getField("keyword_location").alias("schemaRef"),
+        f.getField("dynamic_path").alias("dynamicPath"),
+        f.getField("message").alias("message"),
+        f.getField("keyword").alias("keyword"),
+    )
+
+
+def to_json_document(df: DataFrame, row_key: str, *,
+                     failures_col: str = "failures",
+                     out_col: str = "failure_json") -> DataFrame:
+    """Per-row failure JSON with the reference's ``causes`` hierarchy
+    (ValidationFailure.toJSON(), ValidationFailure.kt:35-50): null on pass
+    (Validator.validate returns null, Validator.kt:163-182), the single leaf
+    object for one failure, and for several an aggregate node —
+    message "multiple validation failures", no keyword, ``causes`` = child
+    failures (AggregatingValidationFailure, ValidationFailure.kt:62-82).
+
+    Input: a DataFrame carrying the compiled ``failures`` array column
+    (``plan.apply(df, mode="full")``). Pure Column expressions; ``to_json``
+    omits null fields, so ``keyword``/``causes`` disappear exactly where the
+    reference omits them.
+    """
+    fails = F.col(failures_col)
+    n = F.size(fails)
+    leaf = F.to_json(_leaf_struct(F.element_at(fails, 1)))
+    agg = F.to_json(F.struct(
+        F.lit("#").alias("instanceRef"),
+        F.lit("#").alias("schemaRef"),
+        F.lit("#").alias("dynamicPath"),
+        F.lit("multiple validation failures").alias("message"),
+        F.lit(None).cast("string").alias("keyword"),
+        F.transform(fails, _leaf_struct).alias("causes"),
+    ))
+    return df.select(
+        F.col(row_key).cast("string").alias("row_key"),
+        F.when(n == 0, F.lit(None).cast("string"))
+        .when(n == 1, leaf).otherwise(agg).alias(out_col),
+    )
+
+
 def to_text(violations: DataFrame) -> DataFrame:
     """Violations -> reference-style one-line text: the row key stands in for
     the reference's "Line L, character C" source location."""
