@@ -55,21 +55,37 @@ def _cpu_counters():
         return list(map(int, f.readline().split()[1:]))
 
 
+def _timed_with_steal(fn, steal_threshold: float) -> tuple[float, bool]:
+    c0 = _cpu_counters()
+    t0 = time.time()
+    fn()
+    secs = time.time() - t0
+    c1 = _cpu_counters()
+    d = [b - a for a, b in zip(c0, c1)]
+    steal = 100.0 * d[7] / (sum(d) or 1)
+    return secs, steal <= steal_threshold
+
+
 def timed_best_clean(fn, reps: int, steal_threshold: float = 1.0) -> float:
     """Best steal-clean run of ``reps`` (this VM shows intermittent
     noisy-neighbor CPU steal; an interfered run misreports throughput)."""
-    runs = []
-    for _ in range(reps):
-        c0 = _cpu_counters()
-        t0 = time.time()
-        fn()
-        secs = time.time() - t0
-        c1 = _cpu_counters()
-        d = [b - a for a, b in zip(c0, c1)]
-        steal = 100.0 * d[7] / (sum(d) or 1)
-        runs.append((secs, steal))
-    clean = [s for s, st in runs if st <= steal_threshold]
+    runs = [_timed_with_steal(fn, steal_threshold) for _ in range(reps)]
+    clean = [s for s, ok in runs if ok]
     return min(clean) if clean else min(s for s, _ in runs)
+
+
+def timed_steal_aware(fn, max_reps: int = 3,
+                      steal_threshold: float = 1.0) -> float:
+    """Single timed run, retried (up to ``max_reps`` total) only when
+    noisy-neighbor steal interfered — keeps clean rounds cheap while
+    preventing one stolen run from misreporting a query as a regression."""
+    best = None
+    for _ in range(max_reps):
+        secs, clean = _timed_with_steal(fn, steal_threshold)
+        best = secs if best is None else min(best, secs)
+        if clean:
+            return best
+    return best
 
 
 def main() -> None:
@@ -107,7 +123,7 @@ def main() -> None:
     ]
     q_secs: dict[str, float] = {}
     for name in bench_queries:
-        secs, _ = timed(lambda: queries[name](spark, SF_DIR).count())
+        secs = timed_steal_aware(lambda: queries[name](spark, SF_DIR).count())
         q_secs[name] = round(secs, 3)
 
     # -- scaling probe: constraint-eval over a clips parquet table ----------

@@ -66,27 +66,44 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 64,
-                      seed: int = 42) -> Column:
-    """Array of ``num_hashes`` min-hash values in ONE pass over the shingles.
+def shingle_hashes(col: Column, n: int = 3, seed: int = 42) -> Column:
+    """Distinct word n-gram shingles reduced to 8-byte xxhash64 values.
 
-    Each shingle string is xxhash64'd once; the ``num_hashes`` hash family is
-    derived by re-hashing that 8-byte value with the hash index
-    (``xxhash64(h, i)``) — ~10x cheaper than hashing the string per family
-    member, and the element-wise ``least`` fold keeps it a single
-    ``aggregate`` (no 64 array passes). Deterministic in ``seed``.
-    """
-    base = F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed)))
+    Hashing once at the source makes every downstream stage operate on
+    ``array<long>`` instead of ``array<string>`` — the MinHash signature
+    derivation and the verify-stage joins then shuffle ~8 bytes per shingle
+    rather than the shingle text (3-5x narrower at 100 TB). Jaccard on the
+    hashed sets equals Jaccard on the string sets up to 64-bit collisions
+    (~n^2 / 2^64 — negligible)."""
+    return F.transform(shingles(col, n), lambda s: F.xxhash64(s, F.lit(seed)))
+
+
+def minhash_signature_from_hashes(hash_col: Column,
+                                  num_hashes: int = 64) -> Column:
+    """Array of ``num_hashes`` min-hash values in ONE pass over pre-hashed
+    shingles: the hash family is derived by re-hashing each 8-byte value with
+    the hash index (``xxhash64(h, i)``) — ~10x cheaper than hashing the
+    string per family member, and the element-wise ``least`` fold keeps it a
+    single ``aggregate`` (no 64 array passes)."""
     idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     max_long = (1 << 63) - 1
     return F.aggregate(
-        base,
+        hash_col,
         F.array_repeat(F.lit(max_long).cast("long"), num_hashes),
         lambda acc, h: F.zip_with(
             acc,
             F.transform(idx, lambda i: F.xxhash64(h, i)),
             lambda a, m: F.least(a, m)),
     )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64,
+                      seed: int = 42) -> Column:
+    """Signature straight from string shingles (see
+    ``minhash_signature_from_hashes``). Deterministic in ``seed``."""
+    return minhash_signature_from_hashes(
+        F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed))),
+        num_hashes)
 
 
 def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
@@ -115,10 +132,12 @@ def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
     # contributes m^2/2 candidate pairs, so one hot bucket at 10^12-row scale
     # is quadratic blow-up. Oversized buckets are dropped (their members are
     # still compared through their other bands).
+    # shingles are hashed to longs ONCE at the source: the signature and the
+    # verify-stage joins both consume array<long> — text never shuffles
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
+        shingle_hashes(F.col(text_col), shingle_n, seed).alias("sh"),
+    ).withColumn("sig", minhash_signature_from_hashes(F.col("sh"), num_hashes))
 
     banded = base.select(
         "doc_id",
