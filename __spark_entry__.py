@@ -187,6 +187,26 @@ def _q_ivf_topk_embeddings(spark, sf_dir):
     return top.select("vec_id", F.round("score", 6).alias("score"))
 
 
+def _q_embedding_near_dup(spark, sf_dir):
+    """Banded hyperplane-LSH near-dup pairs over the embeddings table plus a
+    deterministically perturbed copy of every 10th vector (the raw table has
+    no high-cosine pairs — max pairwise cosine ~0.51 — so the perturbed
+    copies provide a nonzero, exactly-reconstructible answer; 16x4 banding
+    puts LSH miss probability below 1e-20 at cosine ~0.99995, so the LSH
+    output equals the brute-force oracle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    pert = (base.filter(F.col("vec_id") % 10 == 0)
+            .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                    F.transform(F.col("e"),
+                                lambda x, i: F.when(i == 0, x * 1.01).otherwise(x))
+                    .alias("e")))
+    both = base.unionAll(pert)
+    pairs = similarity.embedding_near_duplicates(both, "e", "vec_id",
+                                                 cosine_threshold=0.99, dim=64)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def _q_simhash_documents(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", dedup.simhash(F.col("text")).alias("fp"))
@@ -466,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_combinators": _q_combinators,
         "validate_formats": _q_formats,
         "validate_object_shape": _q_object_shape,
+        "dedup_embedding_pairs": _q_embedding_near_dup,
     }
 
 
@@ -873,6 +894,21 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b ON a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
                   / len(list_distinct(a.g || b.g)) >= 0.5
+        """,
+        "dedup_embedding_pairs": """
+            -- brute-force oracle; LSH recall ~1 at cosine ~0.99995 (16x4
+            -- banding), so outputs coincide (see _q_embedding_near_dup)
+            WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            p AS (SELECT vec_id + 1000000 AS vec_id,
+                         [CASE WHEN i = 1 THEN v[i] * 1.01 ELSE v[i] END
+                          for i in range(1, len(v) + 1)] AS v
+                  FROM b WHERE vec_id % 10 = 0),
+            u AS (SELECT * FROM b UNION ALL SELECT * FROM p)
+            SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, bb.v), 6) AS cosine
+            FROM u a JOIN u bb ON a.vec_id < bb.vec_id
+            WHERE list_cosine_similarity(a.v, bb.v) >= 0.99
         """,
         # dedup_simhash_fingerprints / similarity_ivf_topk: xxhash64-based
         # fingerprints / MLlib KMeans list assignment have no DuckDB
