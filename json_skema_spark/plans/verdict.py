@@ -153,6 +153,37 @@ def validate_open_json(df: DataFrame, json_col: str, schema_doc: Any, *,
     return df.withColumn(out_col, compiled.passed)
 
 
+def duplicate_key_violations(df: DataFrame, json_col: str,
+                             row_key: str) -> DataFrame:
+    """Opt-in duplicate-object-key check for JSON payload columns.
+
+    Divergence note: the reference treats a duplicate key as a PARSE error
+    (DuplicateObjectPropertyException, JsonParser.kt:250-256,
+    JsonValue.kt:12-15) while Spark's ``from_json``/``parse_json`` silently
+    keep the LAST occurrence. This check restores the reference's signal as
+    violation rows: ``json_object_keys`` preserves duplicates, so a repeated
+    top-level key is ``size(keys) != size(array_distinct(keys))`` — pure
+    Column expressions, no reparse. Nested objects are not walked (Spark has
+    no per-level key listing without a full Variant explode); for payloads
+    where nested duplicate keys matter, validate the affected subtree as its
+    own JSON column."""
+    keys = F.json_object_keys(F.col(json_col))
+    dup_names = F.array_distinct(F.filter(
+        keys, lambda k: F.size(F.filter(keys, lambda x: x == k)) > 1))
+    has_dup = keys.isNotNull() & (F.size(keys) != F.size(F.array_distinct(keys)))
+    return df.filter(has_dup).select(
+        F.col(row_key).cast("string").alias("row_key"),
+        F.lit("duplicateKey").alias("keyword"),
+        F.lit("#").alias("keyword_location"),
+        F.lit("#/" + json_col).alias("instance_location"),
+        F.lit("#").alias("dynamic_path"),
+        F.concat(F.lit('property "'), F.array_join(dup_names, '", "'),
+                 F.lit('" found at multiple locations in the same object'))
+        .alias("message"),
+        F.spark_partition_id().alias("partition_id"),
+    )
+
+
 def validate(df: DataFrame, schema_doc: Any, *, row_key: str | None = None,
              mode: str = "full", **compiler_kwargs) -> DataFrame:
     """One-shot convenience: compile + apply.

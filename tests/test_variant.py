@@ -120,3 +120,20 @@ def test_validate_open_json_api(spark):
                              {"properties": {"k": {"maximum": 100}}})
     got = {r.id: r.json_passed for r in out.collect()}
     assert got == {"r1": True, "r2": False, "r3": True}
+
+
+def test_duplicate_key_violations(spark):
+    """Reference raises DuplicateObjectPropertyException at parse
+    (JsonParser.kt:250-256); Spark's from_json last-wins — the opt-in check
+    surfaces the same signal as violation rows."""
+    from json_skema_spark.plans.verdict import duplicate_key_violations
+    df = spark.createDataFrame(
+        [("r1", '{"a": 1, "a": 2, "b": 3}'),
+         ("r2", '{"a": 1, "b": 2}'),
+         ("r3", "not json"),
+         ("r4", None)],
+        "id string, payload string")
+    rows = duplicate_key_violations(df, "payload", "id").collect()
+    assert [r.row_key for r in rows] == ["r1"]
+    assert rows[0].keyword == "duplicateKey"
+    assert 'property "a" found at multiple locations' in rows[0].message
