@@ -74,6 +74,25 @@ def timed_best_clean(fn, reps: int, steal_threshold: float = 1.0) -> float:
     return min(clean) if clean else min(s for s, _ in runs)
 
 
+def timed_floor(fn, min_reps: int = 3, max_reps: int = 7,
+                tol: float = 1.3) -> float:
+    """Find the stable floor time: rerun until the two best runs agree
+    within ``tol``. Necessary because this VM's noisy-neighbor interference
+    is largely INVISIBLE to /proc/stat steal (observed: 66s runs at 0.3%
+    steal vs a 5s idle floor — BENCH/BASELINE.md round-2 addendum), so a
+    fixed best-of-N can have every rep stomped; agreement between two
+    independent runs is the signal that the floor was actually reached."""
+    times: list[float] = []
+    for i in range(max_reps):
+        secs, _clean = _timed_with_steal(fn, 1.0)
+        times.append(secs)
+        if i + 1 >= min_reps:
+            ts = sorted(times)
+            if ts[1] <= ts[0] * tol:
+                return ts[0]
+    return min(times)
+
+
 def timed_steal_aware(fn, max_reps: int = 3,
                       steal_threshold: float = 1.0) -> float:
     """Single timed run, retried (up to ``max_reps`` total) only when
@@ -150,7 +169,7 @@ def main() -> None:
         return plan.apply(clips, mode="verdict").groupBy("passed").count().collect()
 
     timed(run_probe)  # warm-up pass (page cache + codegen JIT)
-    probe_secs = timed_best_clean(run_probe, 3)
+    probe_secs = timed_floor(run_probe)
     q_secs["clips_constraint_eval"] = round(probe_secs, 3)
     clips_per_sec = n / probe_secs
 
@@ -163,7 +182,7 @@ def main() -> None:
         return audio.pcm_invariant_check(aclips).groupBy("decode_ok").count().collect()
 
     timed(run_audio)  # warm-up pass (spins up every Python worker)
-    audio_secs = timed_best_clean(run_audio, 3)
+    audio_secs = timed_floor(run_audio)
     q_secs["clips_audio_snr"] = round(audio_secs, 3)
     audio_clips_per_sec = an / audio_secs
 
