@@ -165,3 +165,66 @@ def validate(value, schema) -> bool:
         else:
             ok &= validate(value, s["else"]) if "else" in s else True
     return bool(ok)
+
+
+def _covered_indices(value, s):
+    """Array indices evaluated by ``s``'s own prefixItems/items/contains plus
+    those of SUCCESSFUL applicator branches — annotations only flow from
+    succeeding subschemas (2020-12 §7.7.1)."""
+    cov = set()
+    prefix = s.get("prefixItems") or []
+    cov |= set(range(min(len(prefix), len(value))))
+    if "items" in s:
+        cov |= set(range(len(value)))
+    if "contains" in s:
+        cov |= {i for i, x in enumerate(value) if validate(x, s["contains"])}
+    for comb in ("allOf", "anyOf", "oneOf"):
+        for sub in s.get(comb) or []:
+            if validate(value, sub):
+                cov |= _covered_indices(value, sub)
+    if "if" in s:
+        if validate(value, s["if"]):
+            cov |= _covered_indices(value, s["if"])
+            if "then" in s and validate(value, s["then"]):
+                cov |= _covered_indices(value, s["then"])
+        elif "else" in s and validate(value, s["else"]):
+            cov |= _covered_indices(value, s["else"])
+    return cov
+
+
+def _covered_props(value, s):
+    """Property names evaluated by ``s``'s own properties plus successful
+    applicator branches (same annotation-flow rule)."""
+    cov = set(k for k in (s.get("properties") or {}) if k in value)
+    if "additionalProperties" in s:
+        cov |= set(value)
+    for comb in ("allOf", "anyOf", "oneOf"):
+        for sub in s.get(comb) or []:
+            if validate(value, sub):
+                cov |= _covered_props(value, sub)
+    if "if" in s:
+        if validate(value, s["if"]):
+            cov |= _covered_props(value, s["if"])
+            if "then" in s and validate(value, s["then"]):
+                cov |= _covered_props(value, s["then"])
+        elif "else" in s and validate(value, s["else"]):
+            cov |= _covered_props(value, s["else"])
+    return cov
+
+
+def validate_with_unevaluated(value, schema) -> bool:
+    """validate() plus unevaluatedItems/unevaluatedProperties (kept separate
+    so the base interpreter stays minimal)."""
+    ok = validate(value, schema)
+    s = schema if isinstance(schema, dict) else {}
+    if "unevaluatedItems" in s and isinstance(value, list):
+        cov = _covered_indices(value, s)
+        for i, x in enumerate(value):
+            if i not in cov:
+                ok &= validate(x, s["unevaluatedItems"])
+    if "unevaluatedProperties" in s and isinstance(value, dict):
+        cov = _covered_props(value, s)
+        for k, v in value.items():
+            if k not in cov and v is not None:
+                ok &= validate(v, s["unevaluatedProperties"])
+    return bool(ok)

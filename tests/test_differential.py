@@ -230,3 +230,61 @@ def test_differential_variant(spark):
                 mismatches.append((schema, v, got[i], expected))
     assert not mismatches, \
         f"{len(mismatches)} mismatches, first: {mismatches[0]}"
+
+
+# ---------------------------------------------------------------------------
+# unevaluatedItems / unevaluatedProperties differential fuzz — targets the
+# annotation-flow algebra (coverage only from SUCCESSFUL branches), where a
+# real bug was found in r01 (prefix_cov gating, ADVICE r01)
+# ---------------------------------------------------------------------------
+
+def _uneval_arr_schema(rng):
+    branch_a = {"prefixItems": [_num_schema(rng, integer=True)
+                                for _ in range(int(rng.integers(1, 3)))]}
+    branch_b = rng.choice([{"minItems": int(rng.integers(0, 3))},
+                           {"items": _num_schema(rng, integer=True)},
+                           {"contains": {"minimum": int(rng.integers(0, 6))}}])
+    comb = str(rng.choice(["anyOf", "allOf", "oneOf"]))
+    s = {comb: [branch_a, branch_b]}
+    s["unevaluatedItems"] = (False if rng.random() < 0.5
+                             else {"maximum": int(rng.integers(0, 8))})
+    return s
+
+
+def _uneval_struct_schema(rng):
+    branch_a = {"properties": {"a": _num_schema(rng, integer=True)}}
+    branch_b = rng.choice([{"properties": {"b": _str_schema(rng)}},
+                           {"required": ["a"]},
+                           {"minProperties": int(rng.integers(0, 3))}])
+    comb = str(rng.choice(["anyOf", "allOf", "oneOf"]))
+    s = {comb: [branch_a, branch_b]}
+    s["unevaluatedProperties"] = (False if rng.random() < 0.5
+                                  else {"type": str(rng.choice(
+                                      ["integer", "string", "number"]))})
+    return s
+
+
+@pytest.mark.parametrize("kind", ["array", "struct"])
+def test_differential_unevaluated(spark, kind):
+    from tests.reference_interp import validate_with_unevaluated
+    rng = np.random.default_rng(4242 if kind == "array" else 2424)
+    if kind == "array":
+        ddl, gen, insts = "array<int>", _uneval_arr_schema, ARRAYS
+    else:
+        ddl, gen, insts = "struct<a:int,b:string,c:double>", \
+            _uneval_struct_schema, _struct_instances(rng, 10)
+    dtype = T._parse_datatype_string(ddl)
+    schema_t = T.StructType([T.StructField("i", T.IntegerType()),
+                             T.StructField("v", dtype)])
+    rows = [(i, v) for i, v in enumerate(insts)]
+    df = spark.createDataFrame(rows, schema_t)
+    for trial in range(30):
+        s = gen(rng)
+        comp = Compiler(s)
+        c = comp.compile_value(F.col("v"), dtype)
+        got = {r.i: r.p for r in df.select("i", c.passed.alias("p")).collect()}
+        for i, v in rows:
+            expected = validate_with_unevaluated(_to_py(ddl, v), s)
+            assert got[i] == expected, (
+                f"{kind} trial {trial}: schema={s} value={v}: "
+                f"engine={got[i]} interp={expected}")
