@@ -135,6 +135,77 @@ def sample_frames(df: DataFrame, *, every_ms: int = 500,
     return df.select("clip_id", "codec", "bytes").mapInPandas(run, FRAMES_SCHEMA)
 
 
+QUALITY_SCHEMA = ("clip_id string, decode_ok boolean, peak_dbfs double, "
+                  "rms_dbfs double, clipping_ratio double, silence_ratio double")
+
+
+def audio_quality_stats(df: DataFrame, *, silence_db: float = -50.0,
+                        frame_ms: int = 25, hop_ms: int = 10) -> DataFrame:
+    """Per-clip content-quality stats — the audio analogue of
+    functions/text.quality_score: peak/RMS level (dBFS), clipping ratio
+    (fraction of samples at full scale) and silence ratio (fraction of
+    frames under ``silence_db``). Arrow-batched ``mapInPandas``; all DSP
+    numpy-vectorized per clip."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, codec, buf in zip(pdf["clip_id"], pdf["codec"], pdf["bytes"]):
+                sig, sr, err = _decode_dispatch(codec, buf)
+                if sig is None or len(sig) == 0 or not sr:
+                    rows.append((cid, False, None, None, None, None))
+                    continue
+                a = np.abs(sig)
+                peak = float(a.max())
+                rms = float(np.sqrt(np.mean(sig * sig)))
+                peak_db = 20.0 * np.log10(max(peak, 1e-10))
+                rms_db = 20.0 * np.log10(max(rms, 1e-10))
+                # PCM16 full scale after /32767 normalization is ~1.0
+                clipping = float(np.mean(a >= 32766.0 / 32767.0))
+                flen = max(int(sr * frame_ms / 1000), 1)
+                hop = max(int(sr * hop_ms / 1000), 1)
+                frames = frame_signal(sig, flen, hop)
+                if frames.size == 0:
+                    silence = 1.0
+                else:
+                    frms = np.sqrt(np.mean(frames * frames, axis=1))
+                    frms_db = 20.0 * np.log10(np.maximum(frms, 1e-10))
+                    silence = float(np.mean(frms_db < silence_db))
+                rows.append((cid, True, peak_db, rms_db, clipping, silence))
+            yield pd.DataFrame(rows, columns=["clip_id", "decode_ok", "peak_dbfs",
+                                              "rms_dbfs", "clipping_ratio",
+                                              "silence_ratio"])
+
+    return df.select("clip_id", "codec", "bytes").mapInPandas(run, QUALITY_SCHEMA)
+
+
+def audio_quality_violations(df: DataFrame, *, max_clipping_ratio: float = 0.001,
+                             max_silence_ratio: float = 0.95,
+                             silence_db: float = -50.0) -> DataFrame:
+    """Content-quality constraints rendered as violation rows: clipped
+    payloads (gain damage) and near-silent payloads (dead air) — the checks
+    a training-data ingest actually gates on."""
+    q = audio_quality_stats(df, silence_db=silence_db)
+    bad = q.filter(F.col("decode_ok")
+                   & ((F.col("clipping_ratio") > max_clipping_ratio)
+                      | (F.col("silence_ratio") > max_silence_ratio)))
+    return bad.select(
+        F.col("clip_id").alias("row_key"),
+        F.lit("format").alias("keyword"),
+        F.lit("#/properties/bytes/quality").alias("keyword_location"),
+        F.lit("#/bytes").alias("instance_location"),
+        F.lit("#/properties/bytes/quality").alias("dynamic_path"),
+        F.when(F.col("clipping_ratio") > max_clipping_ratio,
+               F.format_string("clipping ratio %.4f exceeds %.4f",
+                               F.col("clipping_ratio"),
+                               F.lit(max_clipping_ratio)))
+        .otherwise(F.format_string("silence ratio %.3f exceeds %.3f",
+                                   F.col("silence_ratio"),
+                                   F.lit(max_silence_ratio))).alias("message"),
+        F.spark_partition_id().alias("partition_id"),
+    )
+
+
 def duration_consistency_violations(df: DataFrame, *,
                                     tolerance_ms: int = 50) -> DataFrame:
     """Validation-tier content check: the decoded sample count must match the

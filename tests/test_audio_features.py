@@ -75,3 +75,31 @@ def test_duration_consistency(spark):
     v = duration_consistency_violations(df).collect()
     assert len(v) == long_claims
     assert all("claimed duration" in r.message for r in v)
+
+
+def test_audio_quality_stats_and_violations(spark):
+    """Clipped (gain-damaged), near-silent, and normal clips must be told
+    apart by the content-quality stats; violations fire on the bad two."""
+    import numpy as np
+    from json_skema_spark.functions import audio, audio_features
+
+    sr = 16000
+    tone = audio.synth_reference_signal(3, sr, 500)
+    clipped = np.clip(tone * 4.0, -1.0, 1.0)            # heavy clipping
+    silent = np.zeros(sr // 2)
+    rows = [
+        ("ok", audio.encode_wav_pcm16(tone, sr), "pcm_s16le"),
+        ("clip", audio.encode_wav_pcm16(clipped, sr), "pcm_s16le"),
+        ("quiet", audio.encode_wav_pcm16(silent, sr), "pcm_s16le"),
+        ("bad", b"notawav", "pcm_s16le"),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
+    stats = {r.clip_id: r for r in audio_features.audio_quality_stats(df).collect()}
+    assert stats["ok"].decode_ok and stats["ok"].clipping_ratio < 0.001
+    assert stats["clip"].clipping_ratio > 0.1
+    assert stats["quiet"].silence_ratio == 1.0 and stats["quiet"].rms_dbfs <= -180
+    assert not stats["bad"].decode_ok and stats["bad"].peak_dbfs is None
+    v = {r.row_key: r.message
+         for r in audio_features.audio_quality_violations(df).collect()}
+    assert set(v) == {"clip", "quiet"}
+    assert "clipping ratio" in v["clip"] and "silence ratio" in v["quiet"]
