@@ -89,3 +89,27 @@ def test_orphans_no_hint_without_known_rows(spark):
     assert "broadcast" not in no_hint.lower()
     assert "broadcast" in hinted.lower()
     assert "broadcast" not in above.lower()
+
+
+def test_formats_query_prunes_scan(spark):
+    """The 9-format driver query must push column pruning to the parquet
+    scan: only o_orderkey + o_orderdate feed the candidate construction."""
+    import re
+    import __spark_entry__ as entry
+    df = entry.queries()["validate_formats"](spark, "/root/testdata/sf0.001")
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: struct<([^>]*)>", phys)
+    assert m, phys
+    cols = {f.split(":")[0] for f in m.group(1).split(",")}
+    assert cols == {"o_orderkey", "o_orderdate"}
+
+
+def test_array_query_prunes_scan(spark):
+    import re
+    import __spark_entry__ as entry
+    df = entry.queries()["validate_array_keywords"](spark, "/root/testdata/sf0.001")
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: struct<([^>]*)>", phys)
+    assert m, phys
+    cols = {f.split(":")[0] for f in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}  # lang/source/n_chars pruned

@@ -62,6 +62,22 @@ def best_clean(runs, steal_threshold=1.0):
     return min(clean) if clean else min(s for s, _ in runs)
 
 
+def timed_floor(fn, min_reps=3, max_reps=9, tol=1.3):
+    """Rerun until the two best times agree within ``tol`` — noisy-neighbor
+    interference on this VM is largely INVISIBLE to /proc/stat steal
+    (observed 66s runs at 0.3% steal vs a 5s idle floor; BENCH/BASELINE.md
+    round-2 addendum), so agreement between two independent runs, not a
+    clean steal reading, is the signal that the floor was reached."""
+    runs = []
+    for i in range(max_reps):
+        runs.append(timed_with_steal(fn))
+        if i + 1 >= min_reps:
+            ts = sorted(s for s, _ in runs)
+            if ts[1] <= ts[0] * tol:
+                break
+    return min(s for s, _ in runs), runs
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -88,8 +104,7 @@ def main() -> None:
         plan.apply(clips, mode="verdict").groupBy("passed").count().collect()
 
     probe()  # warm-up (page cache, codegen JIT)
-    c_runs = [timed_with_steal(probe) for _ in range(REPS)]
-    c_best = best_clean(c_runs)
+    c_best, c_runs = timed_floor(probe, min_reps=min(REPS, 3), max_reps=REPS + 4)
 
     apath = clips_src.ensure_clips_parquet(spark, AUDIO_N, audio=True)
     aclips = spark.read.parquet(apath)
@@ -98,8 +113,7 @@ def main() -> None:
         audio.pcm_invariant_check(aclips).groupBy("decode_ok").count().collect()
 
     aprobe()  # warm-up (spins up Python workers)
-    a_runs = [timed_with_steal(aprobe) for _ in range(max(REPS - 2, 2))]
-    a_best = best_clean(a_runs)
+    a_best, a_runs = timed_floor(aprobe, min_reps=2, max_reps=REPS + 2)
 
     print(json.dumps({
         "cpus": CPUS,
