@@ -66,14 +66,6 @@ def _timed_with_steal(fn, steal_threshold: float) -> tuple[float, bool]:
     return secs, steal <= steal_threshold
 
 
-def timed_best_clean(fn, reps: int, steal_threshold: float = 1.0) -> float:
-    """Best steal-clean run of ``reps`` (this VM shows intermittent
-    noisy-neighbor CPU steal; an interfered run misreports throughput)."""
-    runs = [_timed_with_steal(fn, steal_threshold) for _ in range(reps)]
-    clean = [s for s, ok in runs if ok]
-    return min(clean) if clean else min(s for s, _ in runs)
-
-
 def timed_floor(fn, min_reps: int = 3, max_reps: int = 7,
                 tol: float = 1.3) -> float:
     """Find the stable floor time: rerun until the two best runs agree
@@ -91,20 +83,6 @@ def timed_floor(fn, min_reps: int = 3, max_reps: int = 7,
             if ts[1] <= ts[0] * tol:
                 return ts[0]
     return min(times)
-
-
-def timed_steal_aware(fn, max_reps: int = 3,
-                      steal_threshold: float = 1.0) -> float:
-    """Single timed run, retried (up to ``max_reps`` total) only when
-    noisy-neighbor steal interfered — keeps clean rounds cheap while
-    preventing one stolen run from misreporting a query as a regression."""
-    best = None
-    for _ in range(max_reps):
-        secs, clean = _timed_with_steal(fn, steal_threshold)
-        best = secs if best is None else min(best, secs)
-        if clean:
-            return best
-    return best
 
 
 def main() -> None:
@@ -142,7 +120,8 @@ def main() -> None:
     ]
     q_secs: dict[str, float] = {}
     for name in bench_queries:
-        secs = timed_steal_aware(lambda: queries[name](spark, SF_DIR).count())
+        secs = timed_floor(lambda: queries[name](spark, SF_DIR).count(),
+                           min_reps=2, max_reps=5)
         q_secs[name] = round(secs, 3)
 
     # -- scaling probe: constraint-eval over a clips parquet table ----------
