@@ -187,6 +187,30 @@ def _q_ivf_topk_embeddings(spark, sf_dir):
     return top.select("vec_id", F.round("score", 6).alias("score"))
 
 
+# probe n-grams for the decontamination query: real trigrams from the
+# documents corpus, in shingle normal form (lowercase, single-spaced)
+PROBE_NGRAMS = ["stream table hash", "row column sort", "window fast query"]
+
+
+def _q_contamination(spark, sf_dir):
+    """Benchmark decontamination: literal probe-set n-gram intersection,
+    map-side only (operators/contamination.py)."""
+    from json_skema_spark.operators import contamination
+    docs = _t(spark, sf_dir, "documents")
+    return contamination.contamination_flags(docs, "text", "doc_id",
+                                             PROBE_NGRAMS)
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic md5-bucket stratified sampling (training-mix op):
+    reproducible row selection, bit-identical in DuckDB."""
+    from json_skema_spark.operators import sampling
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.25, "fr": 1.0},
+        default_rate=0.1).select("doc_id", "lang")
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     """Banded hyperplane-LSH near-dup pairs over the embeddings table plus a
     deterministically perturbed copy of every 10th vector (the raw table has
@@ -487,6 +511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_formats": _q_formats,
         "validate_object_shape": _q_object_shape,
         "dedup_embedding_pairs": _q_embedding_near_dup,
+        "text_contamination": _q_contamination,
+        "sample_stratified": _q_stratified_sample,
     }
 
 
@@ -909,6 +935,30 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.v, bb.v), 6) AS cosine
             FROM u a JOIN u bb ON a.vec_id < bb.vec_id
             WHERE list_cosine_similarity(a.v, bb.v) >= 0.99
+        """,
+        "text_contamination": """
+            WITH d AS (SELECT doc_id,
+                list_distinct([array_to_string(toks[i:i+2], ' ')
+                               for i in range(1, greatest(len(toks)-2, 1)+1)]) AS g
+              FROM (SELECT doc_id,
+                    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                                 ' ') AS toks
+                    FROM documents)),
+            h AS (SELECT doc_id,
+                  list_sort(list_intersect(g,
+                      ['stream table hash', 'row column sort',
+                       'window fast query'])) AS hits
+                  FROM d)
+            SELECT doc_id, coalesce(len(hits) > 0, false) AS contaminated,
+                   coalesce(array_to_string(hits, '|'), '') AS matched
+            FROM h
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '42'), 1, 8))::UBIGINT
+                  / 4294967296.0
+                  < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                              WHEN 'fr' THEN 1.0 ELSE 0.1 END
         """,
         # dedup_simhash_fingerprints / similarity_ivf_topk: xxhash64-based
         # fingerprints / MLlib KMeans list assignment have no DuckDB

@@ -1,0 +1,47 @@
+"""Benchmark decontamination: flag documents containing probe n-grams.
+
+Standard training-data-pipeline op (no reference analogue — the engine-side
+generalization of ``enum`` membership, Validator.kt:625-630, to content
+n-grams): a training corpus must not contain benchmark/eval text, so each
+document is checked against a probe set of n-grams drawn from the protected
+sets.
+
+Scale design: the probe set is tiny (benchmarks, not the corpus), so it
+compiles into the plan as a LITERAL array — no join, no shuffle, no
+broadcast var; a single codegen'd ``array_intersect`` per row over the
+document's distinct shingles. 100 TB of documents stream through
+map-side-only. For probe sets too big for a literal (> ~10k), switch to a
+broadcast ``left_semi`` join on exploded shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from json_skema_spark.operators.dedup import shingles
+
+
+def contamination_flags(df: DataFrame, text_col: str, id_col: str,
+                        probes: list[str], *, n: int = 3) -> DataFrame:
+    """Per-document contamination verdict against probe word ``n``-grams
+    (probes must be lowercase, single-space-normalized — the shingle
+    normal form). Output: ``(id, contaminated, matched)`` where ``matched``
+    is the sorted '|'-joined hit list (hash-comparable scalar)."""
+    sh = shingles(F.col(text_col), n)
+    probe_arr = F.array(*[F.lit(p) for p in probes])
+    hits = F.array_intersect(sh, probe_arr)
+    return df.select(
+        F.col(id_col),
+        (F.size(hits) > 0).alias("contaminated"),
+        F.array_join(F.sort_array(hits), "|").alias("matched"),
+    )
+
+
+def decontaminate(df: DataFrame, text_col: str, id_col: str,
+                  probes: list[str], *, n: int = 3) -> DataFrame:
+    """Drop contaminated documents (the filter twin of
+    ``contamination_flags``)."""
+    sh = shingles(F.col(text_col), n)
+    probe_arr = F.array(*[F.lit(p) for p in probes])
+    return df.filter(F.size(F.array_intersect(sh, probe_arr)) == 0)

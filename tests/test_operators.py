@@ -182,3 +182,39 @@ def test_checkpoint_resume(spark, tmp_path):
     assert len(metrics) == 4
     assert len(calls) == 2  # only the two uncommitted buckets re-ran
     assert sum(m["rows"] for m in metrics.values()) == 100
+
+
+def test_contamination_flags_and_decontaminate(spark):
+    from json_skema_spark.operators import contamination
+    df = spark.createDataFrame(
+        [(1, "The QUICK   brown fox jumps"), (2, "totally clean document text"),
+         (3, "prefix quick brown fox suffix")],
+        "doc_id int, text string")
+    probes = ["quick brown fox"]
+    flags = {r.doc_id: (r.contaminated, r.matched)
+             for r in contamination.contamination_flags(
+                 df, "text", "doc_id", probes).collect()}
+    assert flags[1] == (True, "quick brown fox")   # case/whitespace normalized
+    assert flags[2] == (False, "")
+    assert flags[3][0] is True
+    kept = contamination.decontaminate(df, "text", "doc_id", probes)
+    assert [r.doc_id for r in kept.collect()] == [2]
+
+
+def test_stratified_sample_deterministic(spark):
+    from json_skema_spark.operators import sampling
+    df = spark.range(0, 2000).selectExpr(
+        "id AS k", "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang")
+    out1 = sampling.stratified_sample(df, "k", "lang",
+                                      {"en": 0.5, "de": 0.1}).collect()
+    out2 = sampling.stratified_sample(df.repartition(7), "k", "lang",
+                                      {"en": 0.5, "de": 0.1}).collect()
+    # deterministic in the key: identical selection across partitionings
+    assert sorted(r.k for r in out1) == sorted(r.k for r in out2)
+    n_en = sum(1 for r in out1 if r.lang == "en")
+    n_de = sum(1 for r in out1 if r.lang == "de")
+    assert 400 <= n_en <= 600 and 50 <= n_de <= 150  # ~0.5/0.1 of 1000 each
+    # different seed -> different selection
+    out3 = sampling.stratified_sample(df, "k", "lang", {"en": 0.5, "de": 0.1},
+                                      seed=7).collect()
+    assert sorted(r.k for r in out3) != sorted(r.k for r in out1)
