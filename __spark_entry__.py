@@ -211,6 +211,17 @@ def _q_stratified_sample(spark, sf_dir):
         default_rate=0.1).select("doc_id", "lang")
 
 
+def _q_chunk_packing(spark, sf_dir):
+    """Concat-and-chunk sequence labeling per language (training-prep op):
+    windowed running token total, oracle-exact in SQL."""
+    from json_skema_spark.operators import packing
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "lang",
+                    jtext.token_count(F.col("text")).alias("n_tokens"))
+    return packing.chunk_assignments(d, "doc_id", "n_tokens",
+                                     max_tokens=512, group_col="lang")
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     """Banded hyperplane-LSH near-dup pairs over the embeddings table plus a
     deterministically perturbed copy of every 10th vector (the raw table has
@@ -513,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": _q_embedding_near_dup,
         "text_contamination": _q_contamination,
         "sample_stratified": _q_stratified_sample,
+        "pack_chunk_assignments": _q_chunk_packing,
     }
 
 
@@ -959,6 +971,19 @@ def oracle_sql() -> dict[str, str]:
                   / 4294967296.0
                   < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
                               WHEN 'fr' THEN 1.0 ELSE 0.1 END
+        """,
+        "pack_chunk_assignments": f"""
+            WITH t AS (SELECT doc_id, lang, len({_TOKENS}) AS n_tokens
+                       FROM documents),
+            s AS (SELECT doc_id, lang, n_tokens,
+                         CAST(sum(n_tokens) OVER (PARTITION BY lang
+                                                  ORDER BY doc_id)
+                              - n_tokens AS BIGINT) AS st
+                  FROM t)
+            SELECT doc_id, lang, n_tokens,
+                   CAST(floor(st / 512) AS BIGINT) AS chunk_id,
+                   st % 512 AS chunk_offset
+            FROM s
         """,
         # dedup_simhash_fingerprints / similarity_ivf_topk: xxhash64-based
         # fingerprints / MLlib KMeans list assignment have no DuckDB

@@ -1,0 +1,96 @@
+"""Sequence packing: group documents into <= max_tokens training sequences.
+
+Training-data-pipeline op (no reference analogue): LLM pretraining wants
+fixed-budget sequences assembled from variable-length documents. Two
+strategies with different determinism/efficiency trade-offs:
+
+- ``chunk_assignments``: the standard pretraining concat-and-chunk recipe —
+  documents are concatenated in a stable order and the token stream is cut
+  every ``max_tokens`` regardless of boundaries (documents may span chunks);
+  each document is labeled with the chunk its first token lands in and its
+  offset there. Fully relational (one windowed running sum), deterministic,
+  exactly reproducible in SQL (DuckDB oracle).
+- ``pack_greedy``: first-fit-decreasing bin packing within hash buckets via
+  ``applyInPandas`` — tighter packing (fewer, fuller bins), still
+  deterministic (buckets + FFD order are functions of the data), but
+  sequential per bucket, so it runs bucket-parallel.
+
+Scale notes: both shuffle only ``(id, n_tokens)`` pairs — never text.
+``chunk_assignments``'s global order per group is a sort of 12-byte rows;
+at 100 TB prefer packing within natural input partitions (drop the window's
+global order for a per-split ``mapInPandas``) — the bucket parameter of
+``pack_greedy`` is exactly that knob.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PACKED_SCHEMA = ("bucket int, pack_id long, doc_id string, n_tokens long")
+
+
+def chunk_assignments(df: DataFrame, id_col: str, tokens_col: str, *,
+                      max_tokens: int = 2048,
+                      group_col: str | None = None) -> DataFrame:
+    """Concat-and-chunk labeling: with documents concatenated in ``id_col``
+    order (per ``group_col``), the token stream is cut every ``max_tokens``;
+    each document gets the chunk id containing its first token and its
+    token offset inside that chunk. Output:
+    ``(id, [group], n_tokens, chunk_id, chunk_offset)``."""
+    part = [group_col] if group_col else []
+    w = (Window.partitionBy(*part).orderBy(F.col(id_col))
+         if part else Window.orderBy(F.col(id_col)))
+    start = (F.sum(tokens_col).over(w) - F.col(tokens_col)).cast("long")
+    cols = [F.col(id_col), *(F.col(c) for c in part), F.col(tokens_col),
+            F.floor(start / max_tokens).cast("long").alias("chunk_id"),
+            F.pmod(start, F.lit(max_tokens)).cast("long").alias("chunk_offset")]
+    return df.select(*cols)
+
+
+def pack_greedy(df: DataFrame, id_col: str, tokens_col: str, *,
+                max_tokens: int = 2048, buckets: int = 64) -> DataFrame:
+    """First-fit-decreasing packing within hash buckets. Output one row per
+    document: ``(bucket, pack_id, doc_id, n_tokens)`` where ``pack_id`` is
+    unique within the bucket. Oversized documents get their own pack."""
+    base = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(buckets))
+        .cast("int").alias("bucket"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tokens", "doc_id"],
+                              ascending=[False, True], kind="mergesort")
+        bins: list[int] = []          # remaining capacity per pack
+        assign: list[int] = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            placed = False
+            for i, cap in enumerate(bins):
+                if n <= cap:
+                    bins[i] = cap - n
+                    assign.append(i)
+                    placed = True
+                    break
+            if not placed:
+                bins.append(max(max_tokens - n, 0))
+                assign.append(len(bins) - 1)
+        out = pdf.copy()
+        out["pack_id"] = assign
+        return out[["bucket", "pack_id", "doc_id", "n_tokens"]]
+
+    return base.groupBy("bucket").applyInPandas(pack, PACKED_SCHEMA)
+
+
+def pack_stats(packed: DataFrame, *, max_tokens: int = 2048) -> DataFrame:
+    """Per-pack fill statistics: ``(bucket?, pack_id, n_docs, total_tokens,
+    fill_ratio)`` — the packing-efficiency report."""
+    keys = [c for c in ("bucket", "pack_id") if c in packed.columns]
+    return (packed.groupBy(*keys)
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"))
+            .withColumn("fill_ratio",
+                        F.col("total_tokens") / F.lit(float(max_tokens))))

@@ -218,3 +218,36 @@ def test_stratified_sample_deterministic(spark):
     out3 = sampling.stratified_sample(df, "k", "lang", {"en": 0.5, "de": 0.1},
                                       seed=7).collect()
     assert sorted(r.k for r in out3) != sorted(r.k for r in out1)
+
+
+def test_pack_greedy_and_chunk_assignments(spark):
+    from json_skema_spark.operators import packing
+    df = spark.createDataFrame(
+        [(f"d{i:03d}", n) for i, n in enumerate(
+            [1500, 900, 800, 700, 600, 400, 300, 200, 100, 3000])],
+        "doc_id string, n_tokens long")
+    packed = packing.pack_greedy(df, "doc_id", "n_tokens",
+                                 max_tokens=2048, buckets=1).collect()
+    assert sorted(r.doc_id for r in packed) == sorted(
+        f"d{i:03d}" for i in range(10))  # every doc packed exactly once
+    totals = {}
+    for r in packed:
+        totals.setdefault(r.pack_id, []).append(r.n_tokens)
+    for pid, toks in totals.items():
+        assert sum(toks) <= 2048 or len(toks) == 1  # oversized doc alone
+    # FFD beats one-doc-per-pack
+    assert len(totals) < 10
+    # determinism across partitionings
+    p2 = packing.pack_greedy(df.repartition(5), "doc_id", "n_tokens",
+                             max_tokens=2048, buckets=1).collect()
+    assert sorted(map(tuple, packed)) == sorted(map(tuple, p2))
+    stats = packing.pack_stats(
+        packing.pack_greedy(df, "doc_id", "n_tokens", max_tokens=2048,
+                            buckets=1), max_tokens=2048).collect()
+    assert all(0 < r.fill_ratio for r in stats)
+
+    chunks = packing.chunk_assignments(df, "doc_id", "n_tokens",
+                                       max_tokens=1000).collect()
+    by_id = {r.doc_id: r for r in chunks}
+    assert by_id["d000"].chunk_id == 0 and by_id["d000"].chunk_offset == 0
+    assert by_id["d001"].chunk_id == 1 and by_id["d001"].chunk_offset == 500
