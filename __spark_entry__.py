@@ -211,6 +211,24 @@ def _q_stratified_sample(spark, sf_dir):
         default_rate=0.1).select("doc_id", "lang")
 
 
+def _q_pii_scrub(spark, sf_dir):
+    """PII detect + scrub over deterministically injected PII (the corpus
+    itself is PII-free, so emails/URLs/phones are appended per doc_id branch
+    with known counts — same construction mirrored in the oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    injected = (
+        F.when(k % 4 == 0, F.concat("text", F.lit(" contact me@example.org now")))
+        .when(k % 4 == 1, F.concat("text", F.lit(" visit https://example.com/page then")))
+        .when(k % 4 == 2, F.concat("text", F.lit(" call 555-123-4567 today")))
+        .otherwise(F.col("text")))
+    urls, emails, phones = jtext.pii_counts(injected)
+    return docs.select(
+        "doc_id", urls.alias("n_urls"), emails.alias("n_emails"),
+        phones.alias("n_phones"),
+        F.length(jtext.scrub_pii(injected)).alias("scrubbed_len"))
+
+
 def _q_chunk_packing(spark, sf_dir):
     """Concat-and-chunk sequence labeling per language (training-prep op):
     windowed running token total, oracle-exact in SQL."""
@@ -525,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": _q_contamination,
         "sample_stratified": _q_stratified_sample,
         "pack_chunk_assignments": _q_chunk_packing,
+        "text_pii_scrub": _q_pii_scrub,
     }
 
 
@@ -984,6 +1003,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(st / 512) AS BIGINT) AS chunk_id,
                    st % 512 AS chunk_offset
             FROM s
+        """,
+        "text_pii_scrub": """
+            WITH t AS (SELECT doc_id,
+              CASE WHEN doc_id % 4 = 0 THEN text || ' contact me@example.org now'
+                   WHEN doc_id % 4 = 1 THEN text || ' visit https://example.com/page then'
+                   WHEN doc_id % 4 = 2 THEN text || ' call 555-123-4567 today'
+                   ELSE text END AS x
+              FROM documents)
+            SELECT doc_id,
+              len(regexp_extract_all(x, 'https?://[^\\s]+|www\\.[^\\s]+')) AS n_urls,
+              len(regexp_extract_all(x,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+              len(regexp_extract_all(x,
+                  '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS n_phones,
+              length(trim(regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(x, 'https?://[^\\s]+|www\\.[^\\s]+', '', 'g'),
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '', 'g'),
+                  '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '', 'g'),
+                  '\\s+', ' ', 'g'))) AS scrubbed_len
+            FROM t
         """,
         # dedup_simhash_fingerprints / similarity_ivf_topk: xxhash64-based
         # fingerprints / MLlib KMeans list assignment have no DuckDB

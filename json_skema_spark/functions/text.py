@@ -95,6 +95,14 @@ def remove_emails(col: Column, replacement: str = "") -> Column:
     return F.regexp_replace(col, _EMAIL_SCRUB_RE, replacement)
 
 
+_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def remove_phones(col: Column, replacement: str = "") -> Column:
+    """Strip NANP-style phone numbers (PII scrubbing)."""
+    return F.regexp_replace(col, _PHONE_RE, replacement)
+
+
 def normalize_whitespace(col: Column) -> Column:
     return F.trim(F.regexp_replace(col, r"\s+", " "))
 
@@ -102,6 +110,19 @@ def normalize_whitespace(col: Column) -> Column:
 def clean_text(col: Column) -> Column:
     """Standard scrub pipeline: URLs -> emails -> whitespace."""
     return normalize_whitespace(remove_emails(remove_urls(col)))
+
+
+def scrub_pii(col: Column) -> Column:
+    """Full PII scrub: URLs -> emails -> phone numbers -> whitespace."""
+    return normalize_whitespace(remove_phones(remove_emails(remove_urls(col))))
+
+
+def pii_counts(col: Column) -> tuple[Column, Column, Column]:
+    """(n_urls, n_emails, n_phones) occurrence counts — the detection side
+    of the scrub; all ``regexp_count``, codegen-side."""
+    return (F.regexp_count(col, F.lit(_URL_RE)),
+            F.regexp_count(col, F.lit(_EMAIL_SCRUB_RE)),
+            F.regexp_count(col, F.lit(_PHONE_RE)))
 
 
 def repetition_ratio(col: Column) -> Column:

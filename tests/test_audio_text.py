@@ -108,3 +108,17 @@ def test_null_metadata_reported_not_raised(spark):
     # duration-consistency check also survives the same dirty rows
     from json_skema_spark.functions import audio_features
     audio_features.duration_consistency_violations(dirty).collect()
+
+
+def test_pii_scrub_and_counts(spark):
+    df = spark.createDataFrame(
+        [("a", "reach me at bob@x.org or 555-123-4567 via https://x.org/a"),
+         ("b", "no pii here at all")], "id string, t string")
+    u, e, p = text.pii_counts(F.col("t"))
+    rows = {r.id: r for r in df.select(
+        "id", u.alias("u"), e.alias("e"), p.alias("p"),
+        text.scrub_pii(F.col("t")).alias("s")).collect()}
+    assert (rows["a"].u, rows["a"].e, rows["a"].p) == (1, 1, 1)
+    assert rows["a"].s == "reach me at or via"
+    assert (rows["b"].u, rows["b"].e, rows["b"].p) == (0, 0, 0)
+    assert rows["b"].s == "no pii here at all"
