@@ -180,11 +180,45 @@ def _q_minhash_pairs_documents(spark, sf_dir):
     return pairs.select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _ivf_fixed_centroids():
+    """Deterministic coarse-quantizer centroids (8 x 64, seeded numpy) —
+    stands in for the KMeans index-build output so the probe path is exactly
+    reproducible in the DuckDB oracle (the KMeans-trained path keeps its
+    recall>=0.9 unit test, tests/test_ivf.py)."""
+    import numpy as np
+    return np.random.default_rng(7).standard_normal((8, 64))
+
+
 def _q_ivf_topk_embeddings(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     top = similarity.ivf_topk(emb, "embedding", "vec_id", EMBED_QUERY, k=10,
-                              n_lists=8, n_probe=3)
+                              centroids=_ivf_fixed_centroids(), n_probe=3)
     return top.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def _ivf_oracle_sql() -> str:
+    """DuckDB replica of the IVF probe: same literal centroids, same
+    nearest-list assignment (argmin of ||c||^2 - 2 x.c), same 3 probe
+    lists, same cosine top-10."""
+    import numpy as np
+    cents = _ivf_fixed_centroids()
+    q = np.asarray(EMBED_QUERY, dtype=float)
+    probes = [int(i) for i in np.argsort(((cents - q) ** 2).sum(axis=1))[:3]]
+    qlit = "[" + ",".join(repr(float(x)) for x in q) + "]"
+    dists = ",".join(
+        f"({float(np.dot(c, c))!r} - 2*list_inner_product(v, ["
+        + ",".join(repr(float(x)) for x in c) + "]))"
+        for c in cents)
+    return f"""
+        WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        a AS (SELECT vec_id, v,
+                     list_position([{dists}], list_min([{dists}])) - 1 AS lst
+              FROM d)
+        SELECT vec_id, round(list_cosine_similarity(v, {qlit}), 6) AS score
+        FROM a WHERE lst IN ({",".join(map(str, probes))})
+        ORDER BY list_cosine_similarity(v, {qlit}) DESC, vec_id LIMIT 10
+    """
 
 
 # probe n-grams for the decontamination query: real trigrams from the
@@ -1004,6 +1038,25 @@ def oracle_sql() -> dict[str, str]:
                    st % 512 AS chunk_offset
             FROM s
         """,
+        "similarity_ivf_topk": _ivf_oracle_sql(),
+        "dedup_simhash_fingerprints": f"""
+            -- same bit-vote recurrence as operators/dedup.simhash: 60-bit
+            -- md5-lower token hashes (seed '42' appended), 48 voted bits
+            WITH t AS (SELECT doc_id, list_distinct({_TOKENS}) AS toks
+                       FROM documents),
+            h AS (SELECT doc_id,
+                  [CAST(('0x' || substr(md5(x || '42'), 17, 15))::UBIGINT
+                        AS BIGINT) for x in toks] AS hs
+                  FROM t)
+            SELECT doc_id,
+                   CAST(coalesce(list_sum(
+                     [CASE WHEN coalesce(list_sum(
+                        [CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END
+                         for h in hs]), 0) > 0
+                      THEN CAST(1 AS BIGINT) << b ELSE 0 END
+                      for b in range(0, 48)]), 0) AS BIGINT) AS fp
+            FROM h
+        """,
         "text_pii_scrub": """
             WITH t AS (SELECT doc_id,
               CASE WHEN doc_id % 4 = 0 THEN text || ' contact me@example.org now'
@@ -1024,7 +1077,7 @@ def oracle_sql() -> dict[str, str]:
                   '\\s+', ' ', 'g'))) AS scrubbed_len
             FROM t
         """,
-        # dedup_simhash_fingerprints / similarity_ivf_topk: xxhash64-based
-        # fingerprints / MLlib KMeans list assignment have no DuckDB
-        # equivalent -> rows-only check
+        # every queries() entry above has an oracle: md5-based hashes (not
+        # xxhash64) and literal centroids (not in-query KMeans) were chosen
+        # precisely so each pipeline is bit-reproducible in DuckDB
     }

@@ -205,15 +205,23 @@ SIMHASH_BITS = 48  # 4 chunks x 12 bits; 2^i stays exactly representable
 def simhash(col: Column, *, bits: int = SIMHASH_BITS, seed: int = 42) -> Column:
     """Bit-vote SimHash fingerprint of a text column, entirely JVM-side.
 
-    Each token hashes to 64 bits (xxhash64); bit b of the fingerprint is the
-    sign of the vote sum over tokens. Implemented with higher-order functions
-    (aggregate / zip_with) so it stays in codegen — no Python in the loop.
-    Bit masks are ``pow(2, i)`` (exact in double for i <= 52), because
-    ``shiftleft`` requires a static shift amount.
+    Each token hashes to 60 bits — the lower md5 half (hex chars 17..31),
+    chosen over ``xxhash64`` because md5 is bit-identical across engines, so
+    the whole fingerprint is DuckDB-oracle-checkable (same trick as
+    functions/text.fingerprint); ``seed`` is appended to the token bytes.
+    Bit b of the fingerprint is the sign of the vote sum over tokens.
+    Implemented with higher-order functions (aggregate / zip_with) so it
+    stays in codegen — no Python in the loop. Bit masks are ``pow(2, i)``
+    (exact in double for i <= 52), because ``shiftleft`` requires a static
+    shift amount.
     """
     tokens = F.array_distinct(
         F.split(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " "))
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed)))
+    hashes = F.transform(
+        tokens,
+        lambda t: F.conv(F.substring(
+            F.md5(F.concat(t, F.lit(str(seed))).cast("binary")), 17, 15),
+            16, 10).cast("long"))
     masks = F.transform(F.sequence(F.lit(0), F.lit(bits - 1)),
                         lambda i: F.pow(F.lit(2.0), i).cast("long"))
     votes = F.aggregate(
