@@ -78,3 +78,11 @@ def test_load_schema_document_json_and_yaml():
     assert load_schema_document('{"type": "string"}') == {"type": "string"}
     assert load_schema_document("type: string\nminLength: 2\n") == {
         "type": "string", "minLength": 2}
+
+
+def test_driver_contract_fully_oracled():
+    """Every queries() entry must carry a DuckDB oracle (the correctness
+    gate); a key present on only one side is a silent coverage hole."""
+    import __spark_entry__ as e
+    qs, oracles = set(e.queries()), set(e.oracle_sql())
+    assert oracles == qs, (sorted(qs - oracles), sorted(oracles - qs))
