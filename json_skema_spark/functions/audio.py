@@ -38,20 +38,29 @@ SNR_SCHEMA = ("clip_id string, decode_ok boolean, snr_db double, "
 
 
 def synth_reference_signal(i: int, sr_hz: int, dur_ms: int,
-                           max_samples: int | None = None) -> np.ndarray:
+                           max_samples: int | None = None,
+                           dtype=np.float64) -> np.ndarray:
     """The deterministic reference signal for clip index ``i``
     (FIXTURES.md §1): ``0.5*sin(2π*220*t) + 0.25*sin(2π*(220+i%16)*t)``.
 
     ``max_samples`` caps synthesis when the consumer only compares a prefix
     (SNR compares min(len(ref), len(decoded)) — synthesizing a 2-hour
     reference for a row whose *claimed* dur_ms is bogus would be O(hours)
-    of wasted numpy)."""
+    of wasted numpy). ``dtype``: float64 is the generator's encoding path
+    (bit-stable across sessions); float32 is ~5x faster and is what the SNR
+    *checker* uses — its ~1e-7 sin error is 300x below PCM16 quantization
+    noise, so verdicts at a 30 dB threshold are unaffected."""
     n = max(int(round(sr_hz * dur_ms / 1000.0)), 1)
     if max_samples is not None:
         n = min(n, max_samples)
-    t = np.arange(n, dtype=np.float64) / float(sr_hz)
-    f2 = 220.0 + (i % 16)
-    return 0.5 * np.sin(2 * np.pi * 220.0 * t) + 0.25 * np.sin(2 * np.pi * f2 * t)
+    if dtype is np.float64:
+        t = np.arange(n, dtype=np.float64) / float(sr_hz)
+        f2 = 220.0 + (i % 16)
+        return 0.5 * np.sin(2 * np.pi * 220.0 * t) + 0.25 * np.sin(2 * np.pi * f2 * t)
+    t = np.arange(n, dtype=dtype) / dtype(sr_hz)
+    w1 = dtype(2 * np.pi) * dtype(220.0)
+    w2 = dtype(2 * np.pi) * dtype(220.0 + (i % 16))
+    return dtype(0.5) * np.sin(w1 * t) + dtype(0.25) * np.sin(w2 * t)
 
 
 def encode_wav_pcm16(signal: np.ndarray, sr_hz: int) -> bytes:
@@ -177,7 +186,8 @@ def pcm_invariant_check(df: DataFrame, ref_transcripts: DataFrame | None = None,
                         except (ValueError, TypeError):
                             i = 0
                         ref = synth_reference_signal(i, int(eff_sr), int(dur),
-                                                     max_samples=len(sig))
+                                                     max_samples=len(sig),
+                                                     dtype=np.float32)
                         s = snr_db(ref, sig)
                         snr[idx] = s
                         ok[idx] = s >= min_snr_db
