@@ -717,7 +717,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": """
             SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS digest,
                    count(*) AS n_docs,
-                   array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',') AS doc_ids
+                   array_to_string(list_sort(list(CAST(doc_id AS VARCHAR)))[1:100], ',') AS doc_ids
             FROM documents GROUP BY 1 HAVING count(*) > 1
         """,
         "dedup_exact_prefix3": """
@@ -725,7 +725,7 @@ def oracle_sql() -> dict[str, str]:
                        array_to_string(string_split(text, ' ')[1:3], ' '),
                        '\\s+', ' ', 'g')))) AS digest,
                    count(*) AS n_docs,
-                   array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',') AS doc_ids
+                   array_to_string(list_sort(list(CAST(doc_id AS VARCHAR)))[1:100], ',') AS doc_ids
             FROM documents GROUP BY 1 HAVING count(*) > 1
         """,
         "text_token_stats": f"""

@@ -67,19 +67,25 @@ def _timed_with_steal(fn, steal_threshold: float) -> tuple[float, bool]:
 
 
 def timed_floor(fn, min_reps: int = 3, max_reps: int = 7,
-                tol: float = 1.3) -> float:
-    """Find the stable floor time: rerun until the two best runs agree
+                tol: float = 1.3, steal_threshold: float = 1.0) -> float:
+    """Find the stable floor time: rerun until the two best CLEAN runs agree
     within ``tol``. Necessary because this VM's noisy-neighbor interference
     is largely INVISIBLE to /proc/stat steal (observed: 66s runs at 0.3%
     steal vs a 5s idle floor — BENCH/BASELINE.md round-2 addendum), so a
     fixed best-of-N can have every rep stomped; agreement between two
-    independent runs is the signal that the floor was actually reached."""
+    independent runs is the signal that the floor was actually reached.
+    Steal accounting is the weaker secondary signal: a run with visible
+    steal above ``steal_threshold``% cannot vote for early termination
+    (it may still be the returned min if nothing cleaner appears)."""
     times: list[float] = []
+    clean_times: list[float] = []
     for i in range(max_reps):
-        secs, _clean = _timed_with_steal(fn, 1.0)
+        secs, clean = _timed_with_steal(fn, steal_threshold)
         times.append(secs)
-        if i + 1 >= min_reps:
-            ts = sorted(times)
+        if clean:
+            clean_times.append(secs)
+        if i + 1 >= min_reps and len(clean_times) >= 2:
+            ts = sorted(clean_times)
             if ts[1] <= ts[0] * tol:
                 return ts[0]
     return min(times)

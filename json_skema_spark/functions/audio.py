@@ -47,9 +47,12 @@ def synth_reference_signal(i: int, sr_hz: int, dur_ms: int,
     (SNR compares min(len(ref), len(decoded)) — synthesizing a 2-hour
     reference for a row whose *claimed* dur_ms is bogus would be O(hours)
     of wasted numpy). ``dtype``: float64 is the generator's encoding path
-    (bit-stable across sessions); float32 is ~5x faster and is what the SNR
-    *checker* uses — its ~1e-7 sin error is 300x below PCM16 quantization
-    noise, so verdicts at a 30 dB threshold are unaffected."""
+    (bit-stable across sessions); float32 is the faster SNR *checker* path.
+    The checker computes the PHASE in float64 (reduced modulo one period)
+    and only applies ``sin`` in float32: a float32 phase argument ``w*t``
+    loses precision linearly with t, dropping the SNR floor below 30 dB
+    past ~10 minutes of audio (ADVICE r02); phase reduction keeps the error
+    flat (~1e-7, 300x below PCM16 quantization noise) at any duration."""
     n = max(int(round(sr_hz * dur_ms / 1000.0)), 1)
     if max_samples is not None:
         n = min(n, max_samples)
@@ -57,10 +60,21 @@ def synth_reference_signal(i: int, sr_hz: int, dur_ms: int,
         t = np.arange(n, dtype=np.float64) / float(sr_hz)
         f2 = 220.0 + (i % 16)
         return 0.5 * np.sin(2 * np.pi * 220.0 * t) + 0.25 * np.sin(2 * np.pi * f2 * t)
-    t = np.arange(n, dtype=dtype) / dtype(sr_hz)
-    w1 = dtype(2 * np.pi) * dtype(220.0)
-    w2 = dtype(2 * np.pi) * dtype(220.0 + (i % 16))
-    return dtype(0.5) * np.sin(w1 * t) + dtype(0.25) * np.sin(w2 * t)
+    # Checker fast path. Both component frequencies are integers (220 and
+    # 220+i%16), so the signal is EXACTLY periodic with period sr_hz samples
+    # (one second): sample k+sr has phase k*f/sr + f — an integer number of
+    # extra cycles. Synthesize one period with float64 phase (no drift) and
+    # tile; error stays ~1e-7 at any duration instead of growing with t.
+    period = int(sr_hz)
+    base_n = min(n, period)
+    t = np.arange(base_n, dtype=np.float64) / float(sr_hz)
+    f2 = 220.0 + (i % 16)
+    one = (0.5 * np.sin(2 * np.pi * 220.0 * t)
+           + 0.25 * np.sin(2 * np.pi * f2 * t)).astype(dtype)
+    if n <= base_n:
+        return one
+    reps = -(-n // base_n)
+    return np.tile(one, reps)[:n]
 
 
 def encode_wav_pcm16(signal: np.ndarray, sr_hz: int) -> bytes:

@@ -36,18 +36,45 @@ def content_digest(col: Column, *, normalize: bool = True) -> Column:
 
 
 def exact_duplicates(df: DataFrame, text_col: str, id_col: str, *,
-                     normalize: bool = True) -> DataFrame:
+                     normalize: bool = True, max_ids: int | None = 100,
+                     id_salts: int = 64) -> DataFrame:
     """Digest groups with >1 member: ``(digest, n_docs, doc_ids)``.
 
     Two-phase hash agg (map-side combine) on the digest; only digests+ids
-    shuffle, never the document text.
+    shuffle, never the document text. ``n_docs`` is always exact;
+    ``doc_ids`` is the ``max_ids`` lexicographically-smallest member ids.
+
+    Hot-group safety (VERDICT r02 #3): a hyper-duplicated document (empty
+    string, boilerplate header) can have millions of members — an unbounded
+    ``collect_list`` would build one multi-million-element array cell and a
+    straggler task. With ``max_ids`` set, ids are first aggregated per
+    (digest, salt) sub-group and sliced to ``max_ids`` *before* the final
+    merge, so no agg buffer or shuffled row ever exceeds ~group/``id_salts``
+    elements and the final cell is <= ``max_ids``. Per-salt K-smallest
+    merged and re-sliced equals the global K-smallest (top-K is
+    distributive over partitions). ``max_ids=None`` restores the full list.
     """
     d = df.select(F.col(id_col).alias("doc_id"),
                   content_digest(F.col(text_col), normalize=normalize).alias("digest"))
+    if max_ids is None:
+        return (
+            d.groupBy("digest")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+            .filter(F.col("n_docs") > 1)
+        )
+    salted = (
+        d.groupBy("digest",
+                  F.pmod(F.xxhash64("doc_id"), F.lit(id_salts)).alias("_salt"))
+        .agg(F.count("*").alias("_n"),
+             F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_ids)
+             .alias("_ids"))
+    )
     return (
-        d.groupBy("digest")
-        .agg(F.count("*").alias("n_docs"),
-             F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        salted.groupBy("digest")
+        .agg(F.sum("_n").alias("n_docs"),
+             F.slice(F.sort_array(F.flatten(F.collect_list("_ids"))), 1, max_ids)
+             .alias("doc_ids"))
         .filter(F.col("n_docs") > 1)
     )
 

@@ -38,15 +38,52 @@ def chunk_assignments(df: DataFrame, id_col: str, tokens_col: str, *,
     order (per ``group_col``), the token stream is cut every ``max_tokens``;
     each document gets the chunk id containing its first token and its
     token offset inside that chunk. Output:
-    ``(id, [group], n_tokens, chunk_id, chunk_offset)``."""
+    ``(id, [group], n_tokens, chunk_id, chunk_offset)``.
+
+    Scale (VERDICT r02 #2): the naive single window
+    ``Window.partitionBy(group).orderBy(id)`` serializes each group's
+    running sum onto one task (and with no group, a single global sort).
+    This is instead a TWO-LEVEL prefix sum, fully parallel:
+
+    1. range-partition rows by ``(group, id)`` — contiguous id ranges per
+       partition, partitions ordered;
+    2. level-1: per-(partition, group) local running sums — one bounded
+       task per range slice, any number of slices per group;
+    3. level-2: per-(partition, group) token subtotals (tiny: one row per
+       slice) get cumulative offsets via a window over the SUBTOTAL table
+       (num_partitions rows per group, not documents);
+    4. offsets join back on ``(_pid, group)`` — the subtotal side is tiny,
+       AQE broadcasts it.
+
+    The result is identical to the single-window formulation (prefix sums
+    are associative; offsets correct the local sums regardless of where
+    range boundaries land), so the DuckDB window oracle still matches.
+    """
     part = [group_col] if group_col else []
-    w = (Window.partitionBy(*part).orderBy(F.col(id_col))
-         if part else Window.orderBy(F.col(id_col)))
-    start = (F.sum(tokens_col).over(w) - F.col(tokens_col)).cast("long")
+    range_cols = [*(F.col(c) for c in part), F.col(id_col)]
+    ranged = df.repartitionByRange(*range_cols).withColumn(
+        "_pid", F.spark_partition_id())
+
+    # level-2: cumulative offsets over per-slice subtotals (subtotal table
+    # has one row per (slice, group) — window tasks see ~num_partitions rows)
+    subtot = ranged.groupBy("_pid", *part).agg(
+        F.sum(tokens_col).cast("long").alias("_sub"))
+    w_off = Window.partitionBy(*part).orderBy("_pid") if part \
+        else Window.orderBy("_pid")
+    offsets = subtot.withColumn(
+        "_off", (F.sum("_sub").over(w_off) - F.col("_sub")).cast("long")) \
+        .drop("_sub")
+
+    # level-1: local running sums within each (slice, group)
+    w_loc = Window.partitionBy("_pid", *part).orderBy(F.col(id_col))
+    local_start = (F.sum(tokens_col).over(w_loc) - F.col(tokens_col)).cast("long")
+    joined = ranged.withColumn("_local_start", local_start) \
+        .join(offsets, ["_pid", *part])
+    start = (F.col("_local_start") + F.col("_off")).cast("long")
     cols = [F.col(id_col), *(F.col(c) for c in part), F.col(tokens_col),
             F.floor(start / max_tokens).cast("long").alias("chunk_id"),
             F.pmod(start, F.lit(max_tokens)).cast("long").alias("chunk_offset")]
-    return df.select(*cols)
+    return joined.select(*cols)
 
 
 def pack_greedy(df: DataFrame, id_col: str, tokens_col: str, *,

@@ -18,6 +18,23 @@ def _parse_bytes(v: str) -> int:
     return int(m.group(1)) * _SIZE_SUFFIX.get(m.group(2).lower(), 1)
 
 
+def _hadoop_total_size(spark, uris: list[str]) -> int | None:
+    """Sum file sizes through the Hadoop FileSystem API (works for s3a/hdfs
+    where ``os.path.getsize`` can't). Returns None when metadata is
+    unavailable — callers must then leave the plan unchanged."""
+    try:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        total = 0
+        for u in uris:
+            path = jvm.org.apache.hadoop.fs.Path(u)
+            fs = path.getFileSystem(hconf)
+            total += fs.getFileStatus(path).getLen()
+        return total
+    except Exception:
+        return None
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition iff the input is under-partitioned for CPU-heavy work.
 
@@ -41,7 +58,13 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     try:
         total = sum(os.path.getsize(p) for p in local)
     except OSError:
-        return df.repartition(target)  # remote FS: assume small (few files)
+        total = _hadoop_total_size(spark, files)
+        if total is None:
+            # Unknown sizes (remote FS without metadata access): leave the
+            # plan alone. A forced repartition here would shuffle AND could
+            # *reduce* parallelism for large splittable remote files that
+            # Spark already splits via maxPartitionBytes (ADVICE r02).
+            return df
     max_pb = _parse_bytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)))
     if total >= target * max_pb:

@@ -112,25 +112,61 @@ _ANCHOR_STOP_KEYWORDS = {"enum", "const"}  # raw-data subtrees; cf. SchemaLoader
 _FETCH_MEMO: dict[str, Any] = {}
 
 
-def fetch_schema_document(uri: str, *, timeout: float = 10.0) -> Any:
+# Remote fetch is bounded: a hostile schema's $ref/$schema URIs are a
+# driver-side SSRF / memory vector once fetch_remote=True (ADVICE r02), so
+# the body read is capped and the caller may restrict schemes/hosts.
+FETCH_MAX_BYTES = 8 << 20  # 8 MiB — far above any real meta-schema
+
+
+def fetch_schema_document(uri: str, *, timeout: float = 10.0,
+                          max_bytes: int = FETCH_MAX_BYTES,
+                          allow_http: bool = True,
+                          host_allowlist: set[str] | None = None) -> Any:
     """Fetch + parse a remote schema document over http(s), following
     redirects (reference DefaultSchemaClient.get, SchemaClient.kt:63-125:
     handles 301/302/303/307/308 by re-issuing against Location — urllib's
     HTTPRedirectHandler does the same, capped at 10 hops) and memoizing
-    process-wide. Driver-side only."""
+    process-wide. Driver-side only.
+
+    Security: ``fetch_remote=True`` implies trusting every URI reachable
+    from the schema document. Mitigations here: body read capped at
+    ``max_bytes`` (oversize -> SchemaError, not OOM), optional
+    ``allow_http=False`` to require TLS, optional ``host_allowlist``.
+    Redirect targets are re-checked against the same policy."""
     if uri in _FETCH_MEMO:
         return _FETCH_MEMO[uri]
+    import urllib.parse
     import urllib.request
 
-    if not uri.startswith(("http://", "https://")):
-        raise SchemaError(f"fetch_remote supports only http(s) URIs, got {uri!r}")
+    def _check(u: str) -> None:
+        parsed = urllib.parse.urlparse(u)
+        if parsed.scheme not in ("http", "https"):
+            raise SchemaError(f"fetch_remote supports only http(s) URIs, got {u!r}")
+        if parsed.scheme == "http" and not allow_http:
+            raise SchemaError(f"plain http fetch disabled (allow_http=False): {u!r}")
+        if host_allowlist is not None and parsed.hostname not in host_allowlist:
+            raise SchemaError(f"host {parsed.hostname!r} not in allowlist: {u!r}")
+
+    _check(uri)
+
+    class _PolicyRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, req, fp, code, msg, headers, newurl):
+            _check(newurl)
+            return super().redirect_request(req, fp, code, msg, headers, newurl)
+
+    opener = urllib.request.build_opener(_PolicyRedirect)
     req = urllib.request.Request(uri, headers={"Accept": "application/json"})
     try:
-        with urllib.request.urlopen(req, timeout=timeout) as resp:
-            text = resp.read().decode("utf-8")
+        with opener.open(req, timeout=timeout) as resp:
+            body = resp.read(max_bytes + 1)
+    except SchemaError:
+        raise
     except Exception as exc:
         raise SchemaError(f"failed to fetch remote schema {uri!r}: {exc}") from exc
-    doc = load_schema_document(text)
+    if len(body) > max_bytes:
+        raise SchemaError(
+            f"remote schema {uri!r} exceeds max_bytes={max_bytes} — refusing to parse")
+    doc = load_schema_document(body.decode("utf-8"))
     _FETCH_MEMO[uri] = doc
     return doc
 

@@ -98,6 +98,22 @@ def test_exact_duplicates(spark):
     assert got[0].doc_ids == ["d1", "d2"]
 
 
+def test_exact_duplicates_hot_group_capped(spark):
+    """A 10k-way duplicate must produce a bounded doc_ids cell (VERDICT r02
+    #3): n_docs stays exact, doc_ids is the max_ids lexicographically
+    smallest member ids — identical to slicing the full sorted list."""
+    rows = [(f"d{i:05d}", "same boilerplate text") for i in range(10_000)]
+    rows.append(("zzz", "something unique"))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = dedup.exact_duplicates(df, "text", "doc_id", max_ids=7).collect()
+    assert len(got) == 1
+    assert got[0].n_docs == 10_000
+    assert got[0].doc_ids == [f"d{i:05d}" for i in range(7)]
+    # uncapped fallback still returns everything
+    full = dedup.exact_duplicates(df, "text", "doc_id", max_ids=None).collect()
+    assert len(full[0].doc_ids) == 10_000
+
+
 def test_minhash_near_duplicates(spark):
     base = "the quick brown fox jumps over the lazy dog again and again " * 3
     near = base.replace("lazy", "sleepy")
@@ -251,3 +267,37 @@ def test_pack_greedy_and_chunk_assignments(spark):
     by_id = {r.doc_id: r for r in chunks}
     assert by_id["d000"].chunk_id == 0 and by_id["d000"].chunk_offset == 0
     assert by_id["d001"].chunk_id == 1 and by_id["d001"].chunk_offset == 500
+
+
+def test_chunk_assignments_two_level_prefix_sum(spark):
+    """VERDICT r02 #2: the running sum must not serialize a whole group
+    onto one task. Plan-pinned: with a group column the executed plan has
+    ZERO single-partition exchanges; without one, the only single-partition
+    exchange is over the per-slice subtotal table (one row per shuffle
+    partition), never the document stream. Values must equal the naive
+    single-window formulation."""
+    from pyspark.sql import Window
+
+    from json_skema_spark.operators import packing
+    import random
+    random.seed(11)
+    rows = [(f"d{i:05d}", random.choice(["en", "fr", "de"]),
+             random.randint(1, 4000)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, n_tokens long")
+
+    for group in ("lang", None):
+        got = packing.chunk_assignments(df, "doc_id", "n_tokens",
+                                        max_tokens=2048, group_col=group)
+        part = [group] if group else []
+        w = (Window.partitionBy(*part).orderBy("doc_id") if part
+             else Window.orderBy("doc_id"))
+        start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+        want = df.select(
+            "doc_id", *part, "n_tokens",
+            F.floor(start / 2048).cast("long").alias("chunk_id"),
+            F.pmod(start, F.lit(2048)).cast("long").alias("chunk_offset"))
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        n_single = plan.count("SinglePartition")
+        assert n_single == (0 if group else 1), plan
