@@ -18,11 +18,16 @@ Public API::
     viols = plan.violations(df, row_id="clip_id")
 """
 
-from json_skema_spark.plans.compile import CompileError, Compiler, compile_schema
+from json_skema_spark.plans.compile import (AggregateCompileError, CompileError,
+                                             Compiler, compile_schema)
 from json_skema_spark.plans.model import Resolver, SchemaError
-from json_skema_spark.plans.verdict import ValidationPlan, validate
+from json_skema_spark.plans.verdict import (ValidationPlan, validate,
+                                             validate_json_column,
+                                             validate_open_json,
+                                             validate_yaml_column)
 
 __all__ = [
+    "AggregateCompileError",
     "CompileError",
     "Compiler",
     "Resolver",
@@ -30,4 +35,7 @@ __all__ = [
     "ValidationPlan",
     "compile_schema",
     "validate",
+    "validate_json_column",
+    "validate_open_json",
+    "validate_yaml_column",
 ]

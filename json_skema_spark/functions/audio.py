@@ -116,26 +116,72 @@ def decode_wav_pcm16(buf: bytes) -> tuple[np.ndarray | None, int, str]:
         return None, 0, f"decode_error:{type(exc).__name__}"
 
 
-def _decode_dispatch(codec: Any, buf: Any) -> tuple[np.ndarray | None, int, str]:
-    if codec == "pcm_s16le":
-        return decode_wav_pcm16(buf)
-    if codec in ("flac", "opus"):
-        # STUB: codec libraries unavailable in this container; a real
-        # deployment plugs pyflac/pyogg here with the same signature.
+# Decoder registry: codec name -> callable(bytes) -> (signal, sr_hz, error).
+# Pluggable (VERDICT r02 #7): a real deployment registers pyflac/pyogg
+# decoders with the same signature; tests register fakes to pin the
+# integration contract. Each UDF builder snapshots the registry BY VALUE
+# into its closure (cloudpickle ships the snapshot to executors) — a
+# module-level lookup would pickle by reference and silently lose runtime
+# registrations when the worker re-imports this module. Register decoders
+# before building the DataFrame plan.
+Decoder = Any  # Callable[[bytes], tuple[np.ndarray | None, int, str]]
+
+_DECODERS: dict[str, Decoder] = {
+    "pcm_s16le": decode_wav_pcm16,
+    # "flac" / "opus": intentionally absent — no codec libs in this
+    # container; absence reports codec_not_supported, never a crash.
+}
+
+_KNOWN_CODECS = {"pcm_s16le", "flac", "opus"}
+
+
+def register_decoder(codec: str, fn: Decoder) -> None:
+    """Register/replace the decoder for ``codec``. ``fn(buf)`` must return
+    ``(float signal in [-1,1] | None, sr_hz, error_string)``; exceptions it
+    leaks are contained per row as ``decode_error:<type>`` verdicts."""
+    _DECODERS[codec] = fn
+    _KNOWN_CODECS.add(codec)
+
+
+def unregister_decoder(codec: str) -> None:
+    _DECODERS.pop(codec, None)
+
+
+def _decoder_snapshot() -> dict[str, Decoder]:
+    """Value-copy of the registry for capture into a UDF closure."""
+    return dict(_DECODERS)
+
+
+def _decode_with(decoders: dict[str, Decoder], codec: Any,
+                 buf: Any) -> tuple[np.ndarray | None, int, str]:
+    fn = decoders.get(codec)
+    if fn is not None:
+        try:
+            return fn(buf)
+        except Exception as exc:  # decoder bug must not kill the task
+            return None, 0, f"decode_error:{type(exc).__name__}"
+    if codec in _KNOWN_CODECS:
         return None, 0, f"codec_not_supported:{codec}"
     return None, 0, f"unknown_codec:{codec}"
+
+
+def _decode_dispatch(codec: Any, buf: Any) -> tuple[np.ndarray | None, int, str]:
+    """Driver-side convenience dispatch against the live registry."""
+    return _decode_with(_DECODERS, codec, buf)
 
 
 def decode_check(df: DataFrame) -> DataFrame:
     """Per-row decode-ability check -> (clip_id, decode_ok, error,
     sr_hz_decoded, n_samples)."""
 
+    decoders = _decoder_snapshot()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"clip_id": pdf["clip_id"], "decode_ok": [], "error": [],
                    "sr_hz_decoded": [], "n_samples": []}
             for codec, buf in zip(pdf["codec"], pdf["bytes"]):
-                sig, sr, err = _decode_dispatch(codec, buf)
+                sig, sr, err = _decode_with(decoders, codec, buf)
                 out["decode_ok"].append(sig is not None)
                 out["error"].append(err)
                 out["sr_hz_decoded"].append(sr)
@@ -175,6 +221,8 @@ def pcm_invariant_check(df: DataFrame, ref_transcripts: DataFrame | None = None,
     else:
         base = base.withColumn("_ref_transcript", F.col("transcript"))
 
+    decoders = _decoder_snapshot()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
@@ -185,7 +233,7 @@ def pcm_invariant_check(df: DataFrame, ref_transcripts: DataFrame | None = None,
             for idx, (cid, codec, buf, sr, dur, tr, rtr) in enumerate(zip(
                     pdf["clip_id"], pdf["codec"], pdf["bytes"], pdf["sr_hz"],
                     pdf["dur_ms"], pdf["transcript"], pdf["_ref_transcript"])):
-                sig, dec_sr, err = _decode_dispatch(codec, buf)
+                sig, dec_sr, err = _decode_with(decoders, codec, buf)
                 errs[idx] = err
                 if sig is not None:
                     # null metadata arrives as NaN in pandas; int(NaN) would

@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from json_skema_spark.functions.audio import _decode_dispatch
+from json_skema_spark.functions.audio import _decode_with, _decoder_snapshot
 
 FEATURES_SCHEMA = ("clip_id string, n_frames int, rms_db array<float>, "
                    "zcr array<float>, spectral_centroid array<float>")
@@ -72,11 +72,13 @@ def extract_features(df: DataFrame, *, frame_ms: int = 25,
     """Per-clip frame features -> (clip_id, n_frames, rms_db[], zcr[],
     spectral_centroid[]). Undecodable clips yield n_frames=0."""
 
+    decoders = _decoder_snapshot()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for cid, codec, buf in zip(pdf["clip_id"], pdf["codec"], pdf["bytes"]):
-                sig, sr, err = _decode_dispatch(codec, buf)
+                sig, sr, err = _decode_with(decoders, codec, buf)
                 if sig is None:
                     out.append((cid, 0, [], [], []))
                 else:
@@ -92,11 +94,13 @@ def extract_features(df: DataFrame, *, frame_ms: int = 25,
 def resample_clips(df: DataFrame, target_sr: int) -> DataFrame:
     """Decode + resample to ``target_sr`` -> raw PCM16 bytes (no container)."""
 
+    decoders = _decoder_snapshot()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for cid, codec, buf in zip(pdf["clip_id"], pdf["codec"], pdf["bytes"]):
-                sig, sr, err = _decode_dispatch(codec, buf)
+                sig, sr, err = _decode_with(decoders, codec, buf)
                 if sig is None:
                     out.append((cid, 0, 0, b""))
                     continue
@@ -114,11 +118,13 @@ def sample_frames(df: DataFrame, *, every_ms: int = 500,
     frame-sampling): one row per sampled window -> (clip_id, frame_idx,
     start_ms, pcm). Exploded rows are bounded by ``max_frames``."""
 
+    decoders = _decoder_snapshot()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for cid, codec, buf in zip(pdf["clip_id"], pdf["codec"], pdf["bytes"]):
-                sig, sr, err = _decode_dispatch(codec, buf)
+                sig, sr, err = _decode_with(decoders, codec, buf)
                 if sig is None:
                     continue
                 hop = max(int(sr * every_ms / 1000), 1)
@@ -147,11 +153,13 @@ def audio_quality_stats(df: DataFrame, *, silence_db: float = -50.0,
     frames under ``silence_db``). Arrow-batched ``mapInPandas``; all DSP
     numpy-vectorized per clip."""
 
+    decoders = _decoder_snapshot()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for cid, codec, buf in zip(pdf["clip_id"], pdf["codec"], pdf["bytes"]):
-                sig, sr, err = _decode_dispatch(codec, buf)
+                sig, sr, err = _decode_with(decoders, codec, buf)
                 if sig is None or len(sig) == 0 or not sr:
                     rows.append((cid, False, None, None, None, None))
                     continue
@@ -215,13 +223,15 @@ def duration_consistency_violations(df: DataFrame, *,
     already filtered, or use on real tables where bytes cover dur_ms."""
     decoded = df.select("clip_id", "codec", "bytes", "sr_hz", "dur_ms")
 
+    decoders = _decoder_snapshot()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"clip_id": [], "claimed_ms": [], "actual_ms": []}
             for cid, codec, buf, sr, dur in zip(
                     pdf["clip_id"], pdf["codec"], pdf["bytes"],
                     pdf["sr_hz"], pdf["dur_ms"]):
-                sig, dec_sr, err = _decode_dispatch(codec, buf)
+                sig, dec_sr, err = _decode_with(decoders, codec, buf)
                 if sig is None or not dec_sr or pd.isna(dur):
                     # null dur_ms arrives as NaN; int(NaN) raises and would
                     # abort the job — a missing claim is required's problem,

@@ -61,7 +61,31 @@ def _is_variant(dtype: T.DataType) -> bool:
 
 
 class CompileError(Exception):
-    """Raised when a schema cannot be lowered to Column predicates."""
+    """Raised when a schema cannot be lowered to Column predicates.
+
+    ``location`` is the schema-pointer of the failing keyword/subschema
+    (filled in by the collector when the raise site didn't set it)."""
+
+    def __init__(self, message: str, location: str | None = None):
+        super().__init__(message)
+        self.location = location
+
+
+class AggregateCompileError(CompileError):
+    """Every compile diagnostic from one schema load, raised together.
+
+    Mirrors the reference loader's collect-then-throw-one contract
+    (SchemaLoader.kt:336-341 aggregate throw; collection at :494,551-553):
+    a user with five independent schema mistakes sees all five pointers in
+    one failure instead of fixing them one recompile at a time.
+    """
+
+    def __init__(self, errors: list[CompileError]):
+        self.errors = list(errors)
+        lines = "; ".join(
+            f"[{e.location or '#'}] {e.args[0]}" for e in self.errors)
+        super().__init__(
+            f"{len(self.errors)} schema compile error(s): {lines}")
 
 
 FAILURE_TYPE = T.StructType(
@@ -372,6 +396,7 @@ class Compiler:
         lenient: bool = False,           # LENIENT primitive coercion (Validator.kt:324-365)
         max_depth: int = 64,
         fetch_remote: bool = False,      # opt-in http(s) $ref fetch (SchemaClient.kt:63-140)
+        collect_errors: bool = True,     # collect-then-throw-one (SchemaLoader.kt:336-341)
     ):
         self.doc = schema_doc
         self.resolver = Resolver(schema_doc, registry=registry,
@@ -392,22 +417,52 @@ class Compiler:
                 "format-assertion" in k and bool(v) for k, v in vocab.items()
             )
         self.format_assertion = format_assertion
+        self.collect_errors = collect_errors
+        self.errors: list[CompileError] = []
 
     # -- public ------------------------------------------------------------
     def compile_root(self, struct_type: T.StructType) -> Compiled:
         inst = Inst(col=None, dtype=struct_type, loc=F.lit("#"), root=True)
-        return self._compile(self.doc, inst, "#", "#",
-                             (self.resolver.scope_of(self.doc),), 0).compiled
+        out = self._compile(self.doc, inst, "#", "#",
+                            (self.resolver.scope_of(self.doc),), 0).compiled
+        self._raise_collected()
+        return out
 
     def compile_value(self, col: Column, dtype: T.DataType,
                       loc: Column | None = None) -> Compiled:
         inst = Inst(col=col, dtype=dtype, loc=loc if loc is not None else F.lit("#"))
-        return self._compile(self.doc, inst, "#", "#",
-                             (self.resolver.scope_of(self.doc),), 0).compiled
+        out = self._compile(self.doc, inst, "#", "#",
+                            (self.resolver.scope_of(self.doc),), 0).compiled
+        self._raise_collected()
+        return out
+
+    def _raise_collected(self) -> None:
+        if self.errors:
+            errs, self.errors = self.errors, []
+            raise AggregateCompileError(errs)
 
     # -- core dispatch -----------------------------------------------------
     def _compile(self, node: Any, inst: Inst, kw_loc: str, dyn: str,
                  scope: tuple[str, ...], depth: int) -> NodeResult:
+        """Subschema-boundary error collection: in ``collect_errors`` mode a
+        ``CompileError`` anywhere inside this subschema is recorded with its
+        schema pointer and the subschema degrades to always-pass, so SIBLING
+        subschemas still compile and every independent mistake surfaces in
+        one ``AggregateCompileError`` from ``compile_root``."""
+        if not self.collect_errors:
+            return self._compile_node(node, inst, kw_loc, dyn, scope, depth)
+        try:
+            return self._compile_node(node, inst, kw_loc, dyn, scope, depth)
+        except CompileError as exc:
+            if isinstance(exc, AggregateCompileError):
+                raise  # already aggregated (nested Compiler) — pass through
+            if exc.location is None:
+                exc.location = kw_loc
+            self.errors.append(exc)
+            return NodeResult(Compiled.ok())
+
+    def _compile_node(self, node: Any, inst: Inst, kw_loc: str, dyn: str,
+                      scope: tuple[str, ...], depth: int) -> NodeResult:
         # ``scope`` is the *dynamic scope stack* (outermost first); its last
         # element is the current lexical base URI. The full stack accumulates
         # every schema resource entered via $ref/$dynamicRef so $dynamicRef

@@ -153,6 +153,64 @@ def validate_open_json(df: DataFrame, json_col: str, schema_doc: Any, *,
     return df.withColumn(out_col, compiled.passed)
 
 
+def yaml_to_json(df: DataFrame, yaml_col: str, *,
+                 out_col: str = "_yaml_as_json") -> DataFrame:
+    """Convert a YAML *instance* column to canonical JSON strings via an
+    Arrow-batched pandas UDF (only the YAML column crosses the Python
+    boundary — the rest of the row stays JVM-side).
+
+    Reference parity (YamlSupport.kt:12-54 parses YAML instances, not just
+    schema documents): YAML 1.1 scalars map the same way — ``yes/on/true``
+    -> true, ``no/off/false`` -> false, int/float tags -> numbers. Known
+    divergence: single-letter ``y``/``n`` are booleans to SnakeYAML but
+    plain strings to PyYAML. Unparseable YAML -> NULL (same contract as
+    ``from_json`` on malformed JSON: pair with ``type``/``required`` to
+    reject such rows).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _to_json(s: "pd.Series") -> "pd.Series":
+        import json as _json
+
+        import yaml as _yaml
+
+        def conv(v):
+            if v is None:
+                return None
+            try:
+                return _json.dumps(_yaml.safe_load(v), ensure_ascii=False,
+                                   separators=(",", ":"))
+            except Exception:
+                return None  # malformed YAML = absent payload (verdict, not crash)
+
+        return s.map(conv)
+
+    # annotations passed explicitly: deferred-annotation mode would leave
+    # the local ``pd`` unresolvable for pandas_udf's signature inference
+    _to_json.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = pandas_udf(_to_json, "string")
+    return df.withColumn(out_col, udf(F.col(yaml_col)))
+
+
+def validate_yaml_column(df: DataFrame, yaml_col: str, schema_doc: Any, *,
+                         out_col: str = "yaml_passed",
+                         **compiler_kwargs) -> DataFrame:
+    """Validate a YAML string column with no predeclared Spark type: the
+    YAML payload is converted to JSON (``yaml_to_json``), parsed to
+    VariantType, and evaluated through the same compiled Column predicates
+    as ``validate_open_json`` — the reference's YAML-instance entry point
+    (YamlSupport.kt:12-54 feeding the same Validator) re-expressed over a
+    column."""
+    tmp = "_yaml_as_json"
+    converted = yaml_to_json(df, yaml_col, out_col=tmp)
+    parsed = F.parse_json(F.col(tmp))
+    comp = Compiler(schema_doc, **compiler_kwargs)
+    vtype = T.VariantType()
+    compiled = comp.compile_value(parsed, vtype, loc=F.lit("#/" + yaml_col))
+    return converted.withColumn(out_col, compiled.passed).drop(tmp)
+
+
 def duplicate_key_violations(df: DataFrame, json_col: str,
                              row_key: str) -> DataFrame:
     """Opt-in duplicate-object-key check for JSON payload columns.

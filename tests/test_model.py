@@ -80,6 +80,37 @@ def test_load_schema_document_json_and_yaml():
         "type": "string", "minLength": 2}
 
 
+def test_compile_errors_collected_into_one_aggregate():
+    """Reference contract (SchemaLoader.kt:336-341,494,551-553): every
+    independent schema mistake surfaces in ONE aggregate raise with its
+    schema pointer, not one recompile at a time (VERDICT r02 #4)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from json_skema_spark.plans.compile import (AggregateCompileError,
+                                                CompileError, Compiler)
+
+    st = T.StructType([T.StructField("a", T.StringType()),
+                       T.StructField("b", T.LongType())])
+    doc = {"properties": {"a": 5,                      # not a schema node
+                          "b": {"$ref": "#/$defs/r"}},  # infinite recursion
+           "$defs": {"r": {"$ref": "#/$defs/r"}}}
+    with pytest.raises(AggregateCompileError) as ei:
+        Compiler(doc, max_depth=8).compile_root(st)
+    locs = {e.location for e in ei.value.errors}
+    assert "#/properties/a" in locs
+    assert any(loc and "$defs/r" in loc for loc in locs)
+    assert len(ei.value.errors) == 2
+    # both pointers appear in the rendered message too
+    assert "#/properties/a" in str(ei.value)
+    # aggregate IS-A CompileError: existing first-error callers keep working
+    assert isinstance(ei.value, CompileError)
+    # opt-out restores fail-fast
+    with pytest.raises(CompileError) as ei2:
+        Compiler(doc, max_depth=8, collect_errors=False).compile_root(st)
+    assert not isinstance(ei2.value, AggregateCompileError)
+
+
 def test_driver_contract_fully_oracled():
     """Every queries() entry must carry a DuckDB oracle (the correctness
     gate); a key present on only one side is a silent coverage hole."""

@@ -1,6 +1,8 @@
 """Table-scope operators: uniqueness, referential, stats, drift, dedup,
 similarity, checkpointed resume."""
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -197,6 +199,48 @@ def test_checkpoint_resume(spark, tmp_path):
     metrics = checkpoint.run_resumable(df, "k", 4, m2, process_ok)
     assert len(metrics) == 4
     assert len(calls) == 2  # only the two uncommitted buckets re-ran
+    assert sum(m["rows"] for m in metrics.values()) == 100
+
+
+def test_resume_prunes_files_not_predicates(spark, tmp_path):
+    """VERDICT r02 #1 'done' criterion: a resumed run's per-bucket scans
+    must read ONLY the un-committed buckets' staged files — file pruning,
+    not a hash predicate over the full input. Also: the one-pass staging
+    copy is written exactly once across crash + resume."""
+    df = spark.createDataFrame([(f"k{i}", i) for i in range(100)], "k string, v int")
+    mdir = str(tmp_path / "manifest")
+    seen: dict[int, list[str]] = {}
+
+    def crash_at_third(bucket_df, bucket_id):
+        seen[bucket_id] = list(bucket_df.inputFiles())
+        if len(seen) == 3:
+            raise RuntimeError("simulated crash")
+        return {"rows": bucket_df.count()}
+
+    m1 = checkpoint.PartitionManifest(mdir)
+    with pytest.raises(RuntimeError):
+        checkpoint.run_resumable(df, "k", 4, m1, crash_at_third)
+    staging = str(tmp_path / "manifest" / "staging")
+    stage_mtime = os.path.getmtime(os.path.join(staging, "_SUCCESS"))
+    done_before = set(m1.completed)
+
+    seen.clear()
+    m2 = checkpoint.PartitionManifest(mdir)
+
+    def record(bucket_df, bucket_id):
+        seen[bucket_id] = list(bucket_df.inputFiles())
+        return {"rows": bucket_df.count()}
+
+    metrics = checkpoint.run_resumable(df, "k", 4, m2, record)
+    # resumed buckets are exactly the ones not committed before the crash
+    assert set(map(str, seen)) == {str(b) for b in range(4)} - done_before
+    # every file opened by a resumed bucket lives under that bucket's dir
+    for b, files in seen.items():
+        assert files, f"bucket {b} read no staged files"
+        for f in files:
+            assert f"_bucket={b}/" in f or f.endswith(f"_bucket={b}"), (b, f)
+    # staging was not rewritten on resume (single full pass over the input)
+    assert os.path.getmtime(os.path.join(staging, "_SUCCESS")) == stage_mtime
     assert sum(m["rows"] for m in metrics.values()) == 100
 
 

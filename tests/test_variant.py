@@ -137,3 +137,47 @@ def test_duplicate_key_violations(spark):
     assert [r.row_key for r in rows] == ["r1"]
     assert rows[0].keyword == "duplicateKey"
     assert 'property "a" found at multiple locations' in rows[0].message
+
+
+def test_validate_yaml_column_parity(spark):
+    """YAML-instance entry point mirroring the reference's SnakeYamlTest
+    cases (YamlSupport.kt:12-54): null/string/object/sequence/boolean
+    scalars land as their JSON equivalents and flow through the same
+    compiled predicates as validate_open_json."""
+    from json_skema_spark.plans.verdict import validate_yaml_column, yaml_to_json
+
+    rows = [
+        ("null_doc", "null"),
+        ("str_null", '"null"'),                       # quoted -> string
+        ("obj", "propA: val-a\npropB: null\n"),
+        ("seq", "- null\n- \"asd\"\n- true\n"),
+        ("bools", "[yes, true, ON, No, false, off]"),
+        ("bad", ": ::: not yaml ["),
+    ]
+    df = spark.createDataFrame(rows, "id string, payload string")
+    conv = {r.id: r._yaml_as_json
+            for r in yaml_to_json(df, "payload").collect()}
+    import json
+    assert json.loads(conv["null_doc"]) is None
+    assert json.loads(conv["str_null"]) == "null"
+    assert json.loads(conv["obj"]) == {"propA": "val-a", "propB": None}
+    assert json.loads(conv["seq"]) == [None, "asd", True]
+    # readBooleans parity: yes/true/ON -> true, No/false/off -> false
+    assert json.loads(conv["bools"]) == [True, True, True, False, False, False]
+    assert conv["bad"] is None  # malformed YAML = absent payload
+
+    out = validate_yaml_column(
+        df.filter(F.col("id").isin("obj", "seq")), "payload",
+        {"anyOf": [
+            {"type": "object", "required": ["propA"],
+             "properties": {"propA": {"const": "val-a"}}},
+            {"type": "array", "minItems": 3,
+             "contains": {"const": "asd"}},
+        ]})
+    got = {r.id: r.yaml_passed for r in out.collect()}
+    assert got == {"obj": True, "seq": True}
+
+    out2 = validate_yaml_column(
+        df.filter(F.col("id") == "obj"), "payload",
+        {"properties": {"propA": {"const": "WRONG"}}})
+    assert [r.yaml_passed for r in out2.collect()] == [False]
