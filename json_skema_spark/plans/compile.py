@@ -193,11 +193,18 @@ class Inst:
     dtype: T.DataType
     loc: Column                 # instance JSON Pointer (string column)
     root: bool = False
+    # strict JSON-null semantics (official draft 2020-12 / reference parity):
+    # an explicit JSON null is a PRESENT value of type "null" — it fails
+    # type:"string", satisfies required, counts toward min/maxProperties and
+    # equals const:null. Default (False) keeps the engine's SQL convention
+    # where NULL/JSON-null both mean "absent". Only observable on variant /
+    # map<_,variant> instances — typed columns can't encode the difference.
+    strict: bool = False
 
     def is_absent(self) -> Column:
         if self.root:
             return F.lit(False)
-        if _is_variant(self.dtype):
+        if _is_variant(self.dtype) and not self.strict:
             return vt.is_absent(self.col)
         return self.col.isNull()
 
@@ -215,20 +222,24 @@ class Inst:
     def child(self, name: str) -> "Inst":
         loc = F.concat(self.loc, F.lit("/" + pointer_escape(name)))
         if _is_variant(self.dtype):
-            return Inst(vt.get_field(self.col, name), _VARIANT_TYPES[0](), loc)
+            return Inst(vt.get_field(self.col, name), _VARIANT_TYPES[0](), loc,
+                        strict=self.strict)
         if isinstance(self.dtype, T.StructType):
             if self.root:
                 col = F.col("`" + name.replace("`", "``") + "`")
             else:
                 col = self.col.getField(name)
-            return Inst(col, self.dtype[name].dataType, loc)
+            return Inst(col, self.dtype[name].dataType, loc, strict=self.strict)
         if isinstance(self.dtype, T.MapType):
-            return Inst(F.element_at(self.col, F.lit(name)), self.dtype.valueType, loc)
+            return Inst(F.element_at(self.col, F.lit(name)), self.dtype.valueType,
+                        loc, strict=self.strict)
         raise CompileError(f"cannot access property {name!r} on {self.dtype}")
 
     def present(self, name: str) -> Column:
         if _is_variant(self.dtype):
             c = vt.get_field(self.col, name)
+            if self.strict:
+                return c.isNotNull()  # JSON null member IS present
             return c.isNotNull() & ~vt.is_json_null(c)
         if isinstance(self.dtype, T.StructType):
             if name not in self.dtype.fieldNames():
@@ -236,7 +247,7 @@ class Inst:
             return self.child(name).col.isNotNull()
         if isinstance(self.dtype, T.MapType):
             has = F.coalesce(F.map_contains_key(self.col, F.lit(name)), F.lit(False))
-            if _is_variant(self.dtype.valueType):
+            if _is_variant(self.dtype.valueType) and not self.strict:
                 val = F.element_at(self.col, F.lit(name))
                 return has & ~F.coalesce(vt.is_json_null(val), F.lit(False))
             return has
@@ -265,6 +276,9 @@ class NodeResult:
     prefix_cov_gated: list[tuple[int, Column]] = field(default_factory=list)
     rest_cov: list[Column] = field(default_factory=list)
     elem_cov: list[tuple[Callable[[Column], Column], Column]] = field(default_factory=list)
+    # dynamic-key coverage for map/variant objects: (regex, gate) pairs from
+    # patternProperties whose key match can only be decided at runtime
+    key_pattern_cov: list[tuple[str, Column]] = field(default_factory=list)
 
     def merge_child(self, child: "NodeResult", gate: Column) -> None:
         """Fold a nested applicator's coverage, gated on its success
@@ -278,6 +292,7 @@ class NodeResult:
         self.prefix_cov_gated.extend((n, c & gate) for n, c in child.prefix_cov_gated)
         self.rest_cov.extend(c & gate for c in child.rest_cov)
         self.elem_cov.extend((fn, c & gate) for fn, c in child.elem_cov)
+        self.key_pattern_cov.extend((p, c & gate) for p, c in child.key_pattern_cov)
 
 
 # --------------------------------------------------------------------------
@@ -397,6 +412,8 @@ class Compiler:
         max_depth: int = 64,
         fetch_remote: bool = False,      # opt-in http(s) $ref fetch (SchemaClient.kt:63-140)
         collect_errors: bool = True,     # collect-then-throw-one (SchemaLoader.kt:336-341)
+        strict_nulls: bool = False,      # JSON null = present "null" value (Inst.strict)
+        on_max_depth: str = "raise",     # "raise" | "fail_row" (see _compile_node)
     ):
         self.doc = schema_doc
         self.resolver = Resolver(schema_doc, registry=registry,
@@ -418,11 +435,14 @@ class Compiler:
             )
         self.format_assertion = format_assertion
         self.collect_errors = collect_errors
+        self.strict_nulls = strict_nulls
+        self.on_max_depth = on_max_depth
         self.errors: list[CompileError] = []
 
     # -- public ------------------------------------------------------------
     def compile_root(self, struct_type: T.StructType) -> Compiled:
-        inst = Inst(col=None, dtype=struct_type, loc=F.lit("#"), root=True)
+        inst = Inst(col=None, dtype=struct_type, loc=F.lit("#"), root=True,
+                    strict=self.strict_nulls)
         out = self._compile(self.doc, inst, "#", "#",
                             (self.resolver.scope_of(self.doc),), 0).compiled
         self._raise_collected()
@@ -430,7 +450,8 @@ class Compiler:
 
     def compile_value(self, col: Column, dtype: T.DataType,
                       loc: Column | None = None) -> Compiled:
-        inst = Inst(col=col, dtype=dtype, loc=loc if loc is not None else F.lit("#"))
+        inst = Inst(col=col, dtype=dtype, loc=loc if loc is not None else F.lit("#"),
+                    strict=self.strict_nulls)
         out = self._compile(self.doc, inst, "#", "#",
                             (self.resolver.scope_of(self.doc),), 0).compiled
         self._raise_collected()
@@ -469,6 +490,19 @@ class Compiler:
         # resolution can search outermost-first (reference SchemaVisitor
         # dynamic-path semantics; ADVICE r01).
         if depth > self.max_depth:
+            if self.on_max_depth == "fail_row":
+                # Bounded unrolling for recursive schemas: verdicts are exact
+                # for every instance that nests within the compiled budget;
+                # an instance value actually PRESENT at the cutoff depth
+                # fails conservatively with a distinct keyword instead of
+                # aborting the compile. Absent sub-instances (the common
+                # case — the data doesn't reach this depth) pass, so shallow
+                # data validates exactly under a recursive schema.
+                return NodeResult(Compiled.simple(
+                    ~inst.is_absent(), "maxDepth", kw_loc, inst.loc,
+                    dyn + "/maxDepth",
+                    F.lit(f"instance nests deeper than the compiled recursion "
+                          f"budget (max_depth={self.max_depth})")))
             raise CompileError(
                 f"schema recursion exceeds max_depth={self.max_depth} at {kw_loc} "
                 "(recursive $ref cannot unroll into finite Column expressions; "
@@ -556,34 +590,40 @@ class Compiler:
             # runtime dispatch: apply object keywords through a
             # map<string,variant> view, gated on the value being an object
             minst = Inst(F.try_variant_get(inst.col, "$", "map<string,variant>"),
-                         T.MapType(T.StringType(), _VARIANT_TYPES[0]()), inst.loc)
+                         T.MapType(T.StringType(), _VARIANT_TYPES[0]()), inst.loc,
+                         strict=inst.strict)
             sub_parts: list[Compiled] = []
             sub_res = NodeResult(Compiled.ok())
             self._object_keywords(node, minst, kw_loc, dyn, scope, depth,
                                   sub_res, sub_parts.append)
+            gate = F.coalesce(vt.is_object(inst.col), F.lit(False))
             if sub_parts:
                 sub = conj(sub_parts)
-                gate = F.coalesce(vt.is_object(inst.col), F.lit(False))
                 add(Compiled(
                     passed=F.when(gate, sub.passed).otherwise(F.lit(True)),
                     failures=F.when(gate, sub.failures).otherwise(empty_failures())))
+            # coverage from the view flows to this node's unevaluated* and,
+            # through merge_child in parents, to enclosing applicators
+            res.merge_child(sub_res, gate)
 
         # ---- array keywords ---------------------------------------------
         if isinstance(inst.dtype, T.ArrayType):
             self._array_keywords(node, inst, kw_loc, dyn, scope, depth, res, add)
         elif _is_variant(inst.dtype) and any(k in node for k in _ARR_KW):
             ainst = Inst(vt.as_array(inst.col),
-                         T.ArrayType(_VARIANT_TYPES[0]()), inst.loc)
+                         T.ArrayType(_VARIANT_TYPES[0]()), inst.loc,
+                         strict=inst.strict)
             sub_parts = []
             sub_res = NodeResult(Compiled.ok())
             self._array_keywords(node, ainst, kw_loc, dyn, scope, depth,
                                  sub_res, sub_parts.append)
+            gate = F.coalesce(vt.is_array(inst.col), F.lit(False))
             if sub_parts:
                 sub = conj(sub_parts)
-                gate = F.coalesce(vt.is_array(inst.col), F.lit(False))
                 add(Compiled(
                     passed=F.when(gate, sub.passed).otherwise(F.lit(True)),
                     failures=F.when(gate, sub.failures).otherwise(empty_failures())))
+            res.merge_child(sub_res, gate)
 
         # ---- combinators -------------------------------------------------
         self._combinators(node, inst, kw_loc, dyn, scope, depth, res, add)
@@ -591,18 +631,47 @@ class Compiler:
         # ---- unevaluated* (after everything else; Validator.kt:419) ------
         base = conj(parts)
         uneval_parts: list[Compiled] = []
-        if ("unevaluatedProperties" in node or "unevaluatedItems" in node) \
-                and _is_variant(inst.dtype):
-            raise CompileError(
-                "unevaluatedProperties/unevaluatedItems are not supported on "
-                "VariantType instances (coverage tracking needs a static or "
-                "map-typed shape)")
-        if "unevaluatedProperties" in node and isinstance(inst.dtype, T.StructType):
-            uneval_parts.append(self._kw_unevaluated_properties(
-                node["unevaluatedProperties"], inst, kw_loc, dyn, scope, depth, res))
-        if "unevaluatedItems" in node and isinstance(inst.dtype, T.ArrayType):
-            uneval_parts.append(self._kw_unevaluated_items(
-                node["unevaluatedItems"], inst, kw_loc, dyn, scope, depth, res))
+        if "unevaluatedProperties" in node:
+            sub = node["unevaluatedProperties"]
+            if isinstance(inst.dtype, T.StructType):
+                uneval_parts.append(self._kw_unevaluated_properties(
+                    sub, inst, kw_loc, dyn, scope, depth, res))
+            elif isinstance(inst.dtype, T.MapType):
+                uneval_parts.append(self._kw_unevaluated_properties_dynamic(
+                    sub, inst, kw_loc, dyn, scope, depth, res))
+            elif _is_variant(inst.dtype):
+                # runtime dispatch: coverage algebra over the object's
+                # map<string,variant> view, gated on the value being an object
+                minst = Inst(F.try_variant_get(inst.col, "$", "map<string,variant>"),
+                             T.MapType(T.StringType(), _VARIANT_TYPES[0]()),
+                             inst.loc, strict=inst.strict)
+                part = self._kw_unevaluated_properties_dynamic(
+                    sub, minst, kw_loc, dyn, scope, depth, res)
+                gate = F.coalesce(vt.is_object(inst.col), F.lit(False))
+                uneval_parts.append(Compiled(
+                    passed=F.when(gate, part.passed).otherwise(F.lit(True)),
+                    failures=F.when(gate, part.failures).otherwise(empty_failures())))
+            # unevaluatedProperties evaluates every property not otherwise
+            # covered -> together with prior keywords, EVERYTHING is now
+            # evaluated; parents merging this node's annotations must see
+            # that (2020-12 §11.3, annotation "all property names")
+            res.all_props_cov.append(F.lit(True))
+        if "unevaluatedItems" in node:
+            sub = node["unevaluatedItems"]
+            if isinstance(inst.dtype, T.ArrayType):
+                uneval_parts.append(self._kw_unevaluated_items(
+                    sub, inst, kw_loc, dyn, scope, depth, res))
+            elif _is_variant(inst.dtype):
+                ainst = Inst(vt.as_array(inst.col),
+                             T.ArrayType(_VARIANT_TYPES[0]()), inst.loc,
+                             strict=inst.strict)
+                part = self._kw_unevaluated_items(
+                    sub, ainst, kw_loc, dyn, scope, depth, res)
+                gate = F.coalesce(vt.is_array(inst.col), F.lit(False))
+                uneval_parts.append(Compiled(
+                    passed=F.when(gate, part.passed).otherwise(F.lit(True)),
+                    failures=F.when(gate, part.failures).otherwise(empty_failures())))
+            res.rest_cov.append(F.lit(True))  # §11.2: all items now evaluated
         if uneval_parts:
             uneval = conj(uneval_parts)
             # only evaluated when no prior failure (shouldVisitUnevaluatedSchemas,
@@ -635,7 +704,8 @@ class Compiler:
             checks = {"string": vt.is_string, "boolean": vt.is_boolean,
                       "number": vt.is_number, "integer": vt.is_integer,
                       "array": vt.is_array, "object": vt.is_object,
-                      "null": vt.is_absent}
+                      # strict: only an explicit JSON null has type "null"
+                      "null": vt.is_json_null if inst.strict else vt.is_absent}
             ok = F.lit(False)
             for t in types:
                 ok = ok | F.coalesce(checks[t](inst.col), F.lit(False))
@@ -707,7 +777,7 @@ class Compiler:
         numeric type promotion in ``==`` gives the same value-based result."""
         col, dtype = inst.col, inst.dtype
         if _is_variant(dtype):
-            return self._variant_equals(col, value)
+            return self._variant_equals(col, value, strict=inst.strict)
         if value is None:
             return col.isNull()
         if isinstance(value, bool):
@@ -759,12 +829,14 @@ class Compiler:
             return F.lit(False)
         raise CompileError(f"unsupported const/enum value: {value!r}")
 
-    def _variant_equals(self, col: Column, value: Any) -> Column:
+    def _variant_equals(self, col: Column, value: Any, *,
+                        strict: bool = False) -> Column:
         """Deep equality for runtime-dispatched variant values."""
         import json as _json
 
         if value is None:
-            return vt.is_absent(col)
+            # strict: const/enum null matches only an explicit JSON null
+            return vt.is_json_null(col) if strict else vt.is_absent(col)
         if isinstance(value, bool):
             return vt.is_boolean(col) & (vt.as_boolean(col) == F.lit(value))
         if _is_number(value):
@@ -776,14 +848,18 @@ class Compiler:
             out = vt.is_array(col) & (F.size(arr) == len(value))
             for i, v in enumerate(value):
                 out = out & F.coalesce(
-                    self._variant_equals(F.element_at(arr, i + 1), v), F.lit(False))
+                    self._variant_equals(F.element_at(arr, i + 1), v,
+                                         strict=strict), F.lit(False))
             return out
         if isinstance(value, dict):
             m = F.try_variant_get(col, "$", "map<string,variant>")
-            out = vt.is_object(col) & (F.size(F.map_keys(m)) == len(value))
+            keys = (F.map_keys(m) if strict else
+                    F.map_keys(F.map_filter(m, lambda _, v: ~vt.is_json_null(v))))
+            out = vt.is_object(col) & (F.size(keys) == len(value))
             for k, v in value.items():
                 out = out & F.coalesce(
-                    self._variant_equals(vt.get_field(col, k), v), F.lit(False))
+                    self._variant_equals(vt.get_field(col, k), v,
+                                         strict=strict), F.lit(False))
             return out
         raise CompileError(f"unsupported const/enum value: {value!r}")
 
@@ -956,7 +1032,7 @@ class Compiler:
                     ploc = f"{kw_loc}/patternProperties/{pointer_escape(pat)}"
                     pdyn = dyn + "/patternProperties"
                     elem_fn = self._element_fn(pschema, val_t, inst.loc, ploc,
-                                               pdyn, scope, depth)
+                                               pdyn, scope, depth, strict=inst.strict)
                     matched = F.map_filter(inst.col, lambda k, v: k.rlike(pat))
                     ok = F.forall(F.map_values(matched),
                                   lambda v: elem_fn(v, F.lit(0)).passed)
@@ -965,6 +1041,7 @@ class Compiler:
                         "patternProperties", ploc, inst.loc, pdyn,
                         F.lit(f"object properties matching {pat} failed to "
                               "validate against the subschema")))
+                    res.key_pattern_cov.append((pat, F.lit(True)))
 
         # required (Validator.kt:632-641)
         if "required" in node:
@@ -1019,7 +1096,7 @@ class Compiler:
                     F.lit("additional properties do not match subschema")))
             elif ap is not True:
                 val_t = inst.dtype.valueType
-                elem_fn = self._element_fn(ap, val_t, inst.loc, aloc, adyn, scope, depth)
+                elem_fn = self._element_fn(ap, val_t, inst.loc, aloc, adyn, scope, depth, strict=inst.strict)
                 ok = F.forall(F.map_values(residual_keys(inst.col)),
                               lambda v: elem_fn(v, F.lit(0)).passed)
                 add(Compiled.simple(
@@ -1044,7 +1121,7 @@ class Compiler:
                         F.lit(f'property name "{pname}" failed to validate')))
             else:
                 elem_fn = self._element_fn(pn, T.StringType(), inst.loc, ploc,
-                                           dyn + "/propertyNames", scope, depth)
+                                           dyn + "/propertyNames", scope, depth, strict=inst.strict)
                 ok = F.forall(F.map_keys(inst.col), lambda k: elem_fn(k, F.lit(0)).passed)
                 add(Compiled.simple(
                     ~inst.is_absent() & ~F.coalesce(ok, F.lit(True)), "propertyNames",
@@ -1060,8 +1137,9 @@ class Compiler:
                     cnt = p if cnt is None else cnt + p
                 cnt = cnt if cnt is not None else F.lit(0)
             else:
-                if _is_variant(inst.dtype.valueType):
-                    # JSON-null members are absent (engine convention)
+                if _is_variant(inst.dtype.valueType) and not inst.strict:
+                    # JSON-null members are absent (engine convention);
+                    # strict mode counts them (official null semantics)
                     cnt = F.size(F.filter(F.map_values(inst.col),
                                           lambda v: ~vt.is_json_null(v)))
                 else:
@@ -1112,12 +1190,13 @@ class Compiler:
 
     # -- array keywords ----------------------------------------------------
     def _element_fn(self, schema: Any, elem_type: T.DataType, parent_loc: Column,
-                    kw_loc: str, dyn: str, scope: tuple, depth: int):
+                    kw_loc: str, dyn: str, scope: tuple, depth: int,
+                    strict: bool = False):
         """Compile ``schema`` into fn(elem_col, idx_col) -> Compiled, with the
         element's instance pointer derived from the parent's + index."""
         def fn(x: Column, i: Column) -> Compiled:
             loc = F.concat(parent_loc, F.lit("/"), i.cast("string"))
-            inst = Inst(x, elem_type, loc)
+            inst = Inst(x, elem_type, loc, strict=strict)
             return self._compile(schema, inst, kw_loc, dyn, scope, depth + 1).compiled
         return fn
 
@@ -1169,7 +1248,7 @@ class Compiler:
             for i, sub in enumerate(node["prefixItems"]):
                 ploc = f"{kw_loc}/prefixItems/{i}"
                 el = Inst(F.element_at(arr, i + 1), elem_t,
-                          F.concat(inst.loc, F.lit(f"/{i}")))
+                          F.concat(inst.loc, F.lit(f"/{i}")), strict=inst.strict)
                 child = self._compile(sub, el, ploc, dyn + f"/prefixItems/{i}",
                                       scope, depth + 1).compiled
                 gate = ~inst.is_absent() & (size > i)
@@ -1182,7 +1261,7 @@ class Compiler:
         if "items" in node:
             iloc = f"{kw_loc}/items"
             elem_fn = self._element_fn(node["items"], elem_t, inst.loc, iloc,
-                                       dyn + "/items", scope, depth)
+                                       dyn + "/items", scope, depth, strict=inst.strict)
             per_elem = F.transform(
                 arr, lambda x, i: F.when(i >= prefix_n, elem_fn(x, i).failures)
                 .otherwise(empty_failures()))
@@ -1203,7 +1282,7 @@ class Compiler:
         if "contains" in node:
             closed = f"{kw_loc}/contains"
             elem_fn = self._element_fn(node["contains"], elem_t, inst.loc, closed,
-                                       dyn + "/contains", scope, depth)
+                                       dyn + "/contains", scope, depth, strict=inst.strict)
             match_cnt = F.size(F.filter(arr, lambda x: elem_fn(x, F.lit(0)).passed))
             min_c = node.get("minContains", 1)
             max_c = node.get("maxContains")
@@ -1343,6 +1422,59 @@ class Compiler:
                       '"unevaluatedProperties" subschema')))
         return conj(parts) if parts else Compiled.ok()
 
+    def _kw_unevaluated_properties_dynamic(self, sub: Any, inst: Inst,
+                                           kw_loc: str, dyn: str, scope: tuple,
+                                           depth: int,
+                                           res: NodeResult) -> Compiled:
+        """unevaluatedProperties over a map/variant-object instance: the
+        evaluated-key predicate is built at runtime from the same coverage
+        the struct path folds statically — schema-named properties (static
+        names, dynamic presence), patternProperties regexes, and the
+        everything-evaluated conditions contributed by applicators."""
+        uloc = f"{kw_loc}/unevaluatedProperties"
+        udyn = dyn + "/unevaluatedProperties"
+        val_t = inst.dtype.valueType
+
+        name_cov: dict[str, Column] = {}
+        for name, conds in res.prop_cov.items():
+            c = F.lit(False)
+            for cond in conds:
+                c = c | F.coalesce(cond, F.lit(False))
+            name_cov[name] = c
+        all_cov = F.lit(False)
+        for cond in res.all_props_cov:
+            all_cov = all_cov | F.coalesce(cond, F.lit(False))
+
+        def evaluated(k: Column) -> Column:
+            cond = all_cov
+            for name, c in name_cov.items():
+                cond = cond | ((k == F.lit(name)) & c)
+            for pat, gate in res.key_pattern_cov:
+                cond = cond | (k.rlike(pat) & F.coalesce(gate, F.lit(False)))
+            return cond
+
+        strict = inst.strict
+
+        def residual_entry(k: Column, v: Column) -> Column:
+            r = ~F.coalesce(evaluated(k), F.lit(False))
+            if _is_variant(val_t) and not strict:
+                r = r & ~F.coalesce(vt.is_json_null(v), F.lit(False))
+            return r
+
+        residual = F.map_filter(inst.col, residual_entry)
+        if sub is False:
+            cond = ~inst.is_absent() & (F.size(residual) > 0)
+        else:
+            elem_fn = self._element_fn(sub, val_t, inst.loc, uloc, udyn,
+                                       scope, depth, strict=strict)
+            ok = F.forall(F.map_values(residual),
+                          lambda v: elem_fn(v, F.lit(0)).passed)
+            cond = ~inst.is_absent() & ~F.coalesce(ok, F.lit(True))
+        return Compiled.simple(
+            cond, "unevaluatedProperties", uloc, inst.loc, udyn,
+            F.lit('object properties failed to validate against '
+                  '"unevaluatedProperties" subschema'))
+
     def _kw_unevaluated_items(self, sub: Any, inst: Inst, kw_loc: str,
                               dyn: str, scope: tuple, depth: int,
                               res: NodeResult) -> Compiled:
@@ -1353,7 +1485,7 @@ class Compiler:
         rest_cov = F.lit(False)
         for c in res.rest_cov:
             rest_cov = rest_cov | F.coalesce(c, F.lit(False))
-        elem_fn = self._element_fn(sub, elem_t, inst.loc, uloc, udyn, scope, depth)
+        elem_fn = self._element_fn(sub, elem_t, inst.loc, uloc, udyn, scope, depth, strict=inst.strict)
 
         def elem_uneval_fail(x: Column, i: Column) -> Column:
             covered = (i < res.prefix_cov) | rest_cov

@@ -1,0 +1,170 @@
+"""JSON-Schema-Test-Suite–format conformance runner.
+
+The reference runs the official json-schema-org suite as a git submodule
+(`/root/reference/.gitmodules:1-3`) through ``TestSuiteTest.kt:97-161``:
+every ``tests/draft2020-12/*.json`` file holds groups of
+``{description, schema, tests: [{description, data, valid}]}``; paths under
+``/remotes/`` are served over HTTP, ``/optional/`` is skipped except the
+nine supported format files (``TestSuiteTest.kt:46-56``), and format files
+run with format assertion ALWAYS while everything else runs NEVER
+(``TestSuiteTest.kt:113-120``).
+
+This runner consumes the SAME file format from any directory, so the
+official suite drops in verbatim when available. PROVENANCE NOTE: this
+sandbox has no network and the reference's submodule is not checked out,
+so ``tests/suite/`` in this repo is a re-authored corpus in the official
+format, written from the public draft 2020-12 spec — not a copy of the
+suite files. Running ``run_suite`` against a real checkout requires no
+code changes.
+
+Execution model: one Spark job per suite FILE — all of a file's tests
+become rows ``(group, test, payload)`` of a single DataFrame; each group's
+schema compiles once (strict JSON-null semantics + VariantType runtime
+dispatch) into its own verdict column, evaluated side by side in one pass.
+``unevaluated*`` coverage runs through the same runtime map/array views
+as every other object/array keyword, so a single variant path covers the
+whole suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from json_skema_spark.plans.compile import CompileError, Compiler
+
+# TestSuiteTest.kt:46-56 — the 9 format files the reference asserts
+SUPPORTED_FORMATS = ("date.json", "date-time.json", "time.json", "uri.json",
+                     "email.json", "ipv4.json", "ipv6.json", "uuid.json",
+                     "duration.json")
+
+# The official suite serves tests/remotes/** at this base URI
+REMOTE_BASE = "http://localhost:1234/"
+
+
+@dataclass
+class SuiteResult:
+    file: str
+    group: str
+    test: str
+    expected: bool
+    got: bool | None          # None = group failed to compile
+    error: str | None = None
+
+    @property
+    def ok(self) -> bool:
+        return self.got is not None and self.got == self.expected
+
+
+@dataclass
+class SuiteGroup:
+    file: str
+    is_format: bool
+    description: str
+    schema: Any
+    tests: list[dict] = field(default_factory=list)
+
+
+def load_remotes(root: str) -> dict[str, Any]:
+    """Map ``remotes/**.json`` files to the official localhost:1234 URIs —
+    the registry stands in for the reference's Jetty server
+    (TestSuiteTest.kt:140-147)."""
+    remotes_dir = os.path.join(root, "remotes")
+    registry: dict[str, Any] = {}
+    for dirpath, _dirs, files in os.walk(remotes_dir):
+        for fn in sorted(files):
+            if not fn.endswith(".json"):
+                continue
+            full = os.path.join(dirpath, fn)
+            rel = os.path.relpath(full, remotes_dir).replace(os.sep, "/")
+            with open(full) as f:
+                registry[REMOTE_BASE + rel] = json.load(f)
+    return registry
+
+
+def load_suite_groups(root: str, *, draft: str = "draft2020-12",
+                      file_filter: set[str] | None = None) -> list[SuiteGroup]:
+    """Discover test groups under ``<root>/<draft>`` with the reference's
+    skip rules: /remotes/ never loads as tests; /optional/ only the
+    supported format files."""
+    groups: list[SuiteGroup] = []
+    base = os.path.join(root, draft)
+    for dirpath, _dirs, files in os.walk(base):
+        rel_dir = os.path.relpath(dirpath, base).replace(os.sep, "/")
+        if "remotes" in rel_dir.split("/"):
+            continue
+        is_optional = "optional" in rel_dir.split("/")
+        is_format_dir = rel_dir.endswith("optional/format") or \
+            "/optional/format" in rel_dir or rel_dir == "optional/format"
+        for fn in sorted(files):
+            if not fn.endswith(".json"):
+                continue
+            if is_optional and (not is_format_dir or fn not in SUPPORTED_FORMATS):
+                continue
+            rel = (rel_dir + "/" + fn) if rel_dir != "." else fn
+            with open(os.path.join(dirpath, fn)) as f:
+                arr = json.load(f)
+            for g in arr:
+                groups.append(SuiteGroup(
+                    file=rel, is_format=is_format_dir,
+                    description=g["description"], schema=g["schema"],
+                    tests=list(g["tests"])))
+    return groups
+
+
+def run_suite_file(spark: SparkSession, groups: list[SuiteGroup],
+                   registry: dict[str, Any] | None = None) -> list[SuiteResult]:
+    """Evaluate all groups of one suite file in a single Spark job."""
+    registry = registry or {}
+    results: list[SuiteResult] = []
+    rows: list[tuple[int, int, str]] = []
+    verdicts: list[tuple[int, Any]] = []   # (group idx, passed Column)
+    index: dict[tuple[int, int], SuiteResult] = {}
+
+    for gi, g in enumerate(groups):
+        try:
+            comp = Compiler(g.schema, registry=registry,
+                            format_assertion=g.is_format, strict_nulls=True,
+                            max_depth=16, on_max_depth="fail_row")
+            compiled = comp.compile_value(
+                F.parse_json(F.col("payload")), T.VariantType())
+            verdicts.append((gi, compiled.passed))
+            for ti, t in enumerate(g.tests):
+                rows.append((gi, ti, json.dumps(t["data"])))
+                index[(gi, ti)] = SuiteResult(
+                    g.file, g.description, t["description"],
+                    bool(t["valid"]), None)
+        except CompileError as exc:
+            for t in g.tests:
+                results.append(SuiteResult(
+                    g.file, g.description, t["description"], bool(t["valid"]),
+                    None, f"CompileError: {exc}"))
+
+    if rows:
+        df = spark.createDataFrame(rows, "g int, t int, payload string")
+        cols = [F.when(F.col("g") == gi, passed).alias(f"v{gi}")
+                for gi, passed in verdicts]
+        for r in df.select("g", "t", *cols).collect():
+            res = index[(r.g, r.t)]
+            res.got = bool(r[f"v{r.g}"])
+        results.extend(index.values())
+    return results
+
+
+def run_suite(spark: SparkSession, root: str, *,
+              draft: str = "draft2020-12") -> list[SuiteResult]:
+    registry = load_remotes(root)
+    groups = load_suite_groups(root, draft=draft)
+    by_file: dict[str, list[SuiteGroup]] = {}
+    for g in groups:
+        by_file.setdefault(g.file, []).append(g)
+    out: list[SuiteResult] = []
+    for fname in sorted(by_file):
+        out.extend(run_suite_file(spark, by_file[fname], registry))
+    return out

@@ -107,9 +107,20 @@ def test_variant_nested_and_combinators(spark):
     assert got[4][0] is True
 
 
-def test_variant_unevaluated_unsupported(spark):
-    with pytest.raises(CompileError):
-        _run(spark, {"unevaluatedProperties": False}, ['{}'])
+def test_variant_unevaluated_supported(spark):
+    """Runtime coverage algebra over the map/array views (new in r3 —
+    previously raised CompileError): unevaluatedProperties and
+    unevaluatedItems work on fully dynamic VariantType instances."""
+    got = _run(spark, {"properties": {"a": {"type": "integer"}},
+                       "patternProperties": {"^p": {}},
+                       "unevaluatedProperties": False},
+               ['{}', '{"a": 1}', '{"a": 1, "p1": "x"}',
+                '{"a": 1, "z": 2}', '"not an object"'])
+    assert [got[i][0] for i in range(5)] == [True, True, True, False, True]
+    got = _run(spark, {"prefixItems": [{"type": "string"}],
+                       "unevaluatedItems": False},
+               ['["s"]', '["s", 1]', '[]', '42'])
+    assert [got[i][0] for i in range(4)] == [True, False, True, True]
 
 
 def test_validate_open_json_api(spark):
