@@ -91,12 +91,28 @@ def bucket_column(key_col, num_buckets: int):
 
 
 def stage_by_bucket(df: DataFrame, key: str, num_buckets: int,
-                    staging_dir: str) -> None:
+                    staging_dir: str, *,
+                    files_per_bucket: int | None = None) -> None:
     """ONE pass: tag rows with their hash bucket, write bucket-partitioned
-    parquet. No shuffle — ``partitionBy`` on write splits each task's
-    output by bucket value; every later per-bucket read prunes to one
-    ``_bucket=<id>`` directory."""
+    parquet; every later per-bucket read prunes to one ``_bucket=<id>``
+    directory.
+
+    File-count trade-off: the default (``files_per_bucket=None``) is a
+    map-side write — zero shuffle, but each input task emits one file per
+    bucket it touches (tasks x buckets files: fine for thousands of tasks,
+    pathological at 100 TB where 800k tasks x 64 buckets = 50M files).
+    Setting ``files_per_bucket`` inserts ONE balanced shuffle on
+    ``(_bucket, salt)`` so the staging holds exactly
+    ``num_buckets * files_per_bucket`` files — at large scale one shuffle
+    is far cheaper than a 50M-file metadata bomb (and still one pass over
+    the data; the round-2 design re-SCANNED the table once per bucket).
+    """
     tagged = df.withColumn("_bucket", bucket_column(F.col(key), num_buckets))
+    if files_per_bucket is not None:
+        salt = F.pmod(F.xxhash64(F.col(key), F.lit(0x5a17)),
+                      F.lit(files_per_bucket))
+        tagged = tagged.repartition(num_buckets * files_per_bucket,
+                                    F.col("_bucket"), salt)
     tagged.write.mode("overwrite").partitionBy("_bucket").parquet(staging_dir)
 
 
@@ -104,7 +120,8 @@ def run_resumable(df: DataFrame, key: str, num_buckets: int,
                   manifest: PartitionManifest,
                   process: Callable[[DataFrame, int], dict], *,
                   staging_dir: str | None = None,
-                  pre_staged_dir: str | None = None) -> dict:
+                  pre_staged_dir: str | None = None,
+                  files_per_bucket: int | None = None) -> dict:
     """Process each hash bucket of ``df`` exactly once across restarts.
 
     ``process(bucket_df, bucket_id) -> metrics dict``; its side effects
@@ -131,7 +148,8 @@ def run_resumable(df: DataFrame, key: str, num_buckets: int,
     else:
         staging = staging_dir or os.path.join(manifest.dir, "staging")
         if not manifest.staged:
-            stage_by_bucket(df, key, num_buckets, staging)
+            stage_by_bucket(df, key, num_buckets, staging,
+                            files_per_bucket=files_per_bucket)
             manifest.mark_staged(staging)
 
     for bucket in range(num_buckets):

@@ -288,3 +288,88 @@ def test_differential_unevaluated(spark, kind):
             assert got[i] == expected, (
                 f"{kind} trial {trial}: schema={s} value={v}: "
                 f"engine={got[i]} interp={expected}")
+
+
+# ---------------------------------------------------------------------------
+# strict-null differential fuzz: the variant path with strict_nulls=True
+# (official JSON semantics — what the suite runner uses) vs an independent
+# official-semantics interpreter, over null-bearing instances
+# ---------------------------------------------------------------------------
+
+STRICT_INSTANCES = [
+    None, 5, 5.0, 0, -1, "a", "", True, False,
+    [1, None, 2], [None], [], ["a", None],
+    {"a": None}, {"a": None, "b": 1}, {"a": 1, "b": None, "c": "x"},
+    {}, {"a": 7, "b": "a"}, [None, None],
+]
+
+
+def _strict_schema(rng):
+    kind = rng.choice(["null_kw", "obj", "arr", "comb", "uneval_obj",
+                       "uneval_arr"])
+    if kind == "null_kw":
+        return rng.choice([
+            {"type": "null"},
+            {"type": ["string", "null"]},
+            {"const": None},
+            {"enum": [None, 1, "a"]},
+        ])
+    if kind == "obj":
+        s = {"properties": {"a": rng.choice([
+                {"type": "null"}, {"type": "integer"},
+                {"type": ["integer", "null"]}])}}
+        if rng.random() < 0.5:
+            s["required"] = ["a"]
+        if rng.random() < 0.5:
+            s["minProperties"] = int(rng.integers(0, 3))
+        if rng.random() < 0.3:
+            s["maxProperties"] = int(rng.integers(0, 3))
+        if rng.random() < 0.3:
+            s["dependentRequired"] = {"a": ["b"]}
+        return s
+    if kind == "arr":
+        return rng.choice([
+            {"items": {"type": "null"}},
+            {"items": {"type": ["integer", "null"]}},
+            {"contains": {"type": "null"}, "minContains": int(rng.integers(0, 3))},
+            {"uniqueItems": True},
+            {"prefixItems": [{"type": "null"}], "items": {"type": "integer"}},
+        ])
+    if kind == "uneval_obj":
+        return {"properties": {"a": True},
+                "unevaluatedProperties": rng.choice(
+                    [False, {"type": "null"}, {"type": "integer"}])}
+    if kind == "uneval_arr":
+        return {"prefixItems": [True],
+                "unevaluatedItems": rng.choice(
+                    [False, {"type": "null"}, {"type": "integer"}])}
+    return {"anyOf": [{"type": "null"}, {"minimum": 3}]}
+
+
+def test_differential_strict_nulls(spark):
+    """strict_nulls=True variant path vs the official-semantics Python
+    interpreter (tests/reference_interp.validate_strict): JSON null is a
+    present 'null'-typed value everywhere — type, const/enum, required,
+    property counting, array elements, unevaluated coverage."""
+    import json
+
+    from tests.reference_interp import validate_strict
+
+    rng = np.random.default_rng([42, 31337])
+    json_strs = [json.dumps(v) for v in STRICT_INSTANCES]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(json_strs)], "i int, j string")
+    mismatches = []
+    for si in range(40):
+        schema = _strict_schema(rng)
+        if isinstance(schema, np.ndarray):  # rng.choice wraps dicts
+            schema = schema.item()
+        comp = Compiler(schema, strict_nulls=True)
+        c = comp.compile_value(F.parse_json(F.col("j")), T.VariantType())
+        got = {r.i: r.p for r in df.select("i", c.passed.alias("p")).collect()}
+        for i, v in enumerate(STRICT_INSTANCES):
+            expected = validate_strict(v, schema)
+            if got[i] != expected:
+                mismatches.append((schema, v, got[i], expected))
+    assert not mismatches, \
+        f"{len(mismatches)} mismatches, first: {mismatches[0]}"
