@@ -524,6 +524,39 @@ def _q_events_open_json(spark, sf_dir):
     return out.select("event_id", F.col("json_passed").alias("passed"))
 
 
+def _q_events_unevaluated(spark, sf_dir):
+    """unevaluatedProperties on fully dynamic (VariantType) documents with
+    strict JSON-null semantics — the round-3 engine capability. A JSON doc
+    is built per event row with a VARYING key set (every third row gains a
+    numeric "extra", every fifth a null "note"); the schema evaluates
+    uid/type via properties and constrains everything else with
+    unevaluatedProperties {"type": "number"} — so "extra" passes and the
+    null "note" fails (a JSON null is a present non-number in strict mode).
+    The oracle derives the same verdict from the source columns directly.
+    """
+    from json_skema_spark.plans.verdict import validate_open_json
+    ev = _t(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"uid": '), F.col("user_id").cast("string"),
+        F.lit(', "type": "'), F.col("event_type"), F.lit('"'),
+        F.when(F.col("event_id") % 3 == 0,
+               F.concat(F.lit(', "extra": '),
+                        F.round(F.col("value"), 2).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(F.col("event_id") % 5 == 0, F.lit(', "note": null'))
+        .otherwise(F.lit("")),
+        F.lit("}"))
+    out = validate_open_json(
+        ev.withColumn("_doc", doc), "_doc",
+        {"type": "object",
+         "required": ["uid"],
+         "properties": {"uid": {"type": "integer"},
+                        "type": {"enum": ["click", "view"]}},
+         "unevaluatedProperties": {"type": "number"}},
+        strict_nulls=True)
+    return out.select("event_id", F.col("json_passed").alias("passed"))
+
+
 def _q_canonical_order_per_customer(spark, sf_dir):
     from pyspark.sql import Window as W
     o = _t(spark, sf_dir, "orders")
@@ -566,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_events_json_payload": _q_events_verdict,
         "similarity_ivf_topk": _q_ivf_topk_embeddings,
         "validate_events_open_json": _q_events_open_json,
+        "validate_events_unevaluated": _q_events_unevaluated,
         "dedup_exact_prefix3": _q_exact_dup_prefix,
         "text_clean_and_repetition": _q_text_clean,
         "validate_array_keywords": _q_array_keywords,
@@ -774,6 +808,13 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(json_extract(props, '$.k') AS INT) >= 0
                              AND CAST(json_extract(props, '$.k') AS INT) <= 80
                    END AS props_passed
+            FROM events
+        """,
+        "validate_events_unevaluated": """
+            SELECT event_id,
+                   event_type IN ('click', 'view')
+                   AND NOT (event_id % 5 = 0)
+                   AS passed
             FROM events
         """,
         "validate_events_open_json": """
