@@ -421,19 +421,30 @@ class Compiler:
         self.max_depth = max_depth
         self.rw_context = rw_context
         self.lenient = lenient
+        from json_skema_spark.plans.model import (strip_validation_keywords,
+                                                   vocabulary_of)
+        vocab = vocabulary_of(schema_doc, self.resolver.registry,
+                              fetch_remote=fetch_remote)
         if format_assertion is None:
             # DEPENDS_ON_VOCABULARY default (Validator.kt:250-261): assert iff
             # the governing vocabulary set (inline $vocabulary, or the
             # $schema-resolved meta-schema's — registry / builtin dialect
             # table / optional remote fetch, SchemaClient.kt:172-181) enables
             # format-assertion.
-            from json_skema_spark.plans.model import vocabulary_of
-            vocab = vocabulary_of(schema_doc, self.resolver.registry,
-                                  fetch_remote=fetch_remote)
             format_assertion = any(
                 "format-assertion" in k and bool(v) for k, v in vocab.items()
             )
         self.format_assertion = format_assertion
+        if vocab and not any("/vocab/validation" in k and bool(v)
+                             for k, v in vocab.items()):
+            # meta-schema DECLARES a vocabulary set omitting validation:
+            # validation keywords have no defined behavior -> not applied
+            # (official vocabulary.json suite semantics). Empty vocab =
+            # unknown/standard dialect -> everything applies as usual.
+            self.doc = strip_validation_keywords(self.doc)
+            self.resolver = Resolver(self.doc, registry=registry,
+                                     base_uri=base_uri,
+                                     fetch_remote=fetch_remote)
         self.collect_errors = collect_errors
         self.strict_nulls = strict_nulls
         self.on_max_depth = on_max_depth

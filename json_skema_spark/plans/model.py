@@ -218,6 +218,49 @@ def vocabulary_of(schema_doc: Any, registry: dict[str, Any] | None = None,
     return {}
 
 
+# 2020-12 validation-vocabulary keywords (spec section 6): when a schema's
+# governing meta-schema declares a $vocabulary WITHOUT the validation vocab,
+# these keywords are not applied (official vocabulary.json suite behavior).
+VALIDATION_VOCAB_URI = "https://json-schema.org/draft/2020-12/vocab/validation"
+VALIDATION_KEYWORDS = frozenset({
+    "type", "enum", "const", "multipleOf", "maximum", "exclusiveMaximum",
+    "minimum", "exclusiveMinimum", "maxLength", "minLength", "pattern",
+    "maxItems", "minItems", "uniqueItems", "maxContains", "minContains",
+    "maxProperties", "minProperties", "required", "dependentRequired",
+})
+
+_SCHEMA_MAP_KW = {"properties", "patternProperties", "dependentSchemas",
+                  "$defs", "definitions"}
+_SCHEMA_LIST_KW = {"allOf", "anyOf", "oneOf", "prefixItems"}
+_SCHEMA_VALUE_KW = {"items", "not", "if", "then", "else", "contains",
+                    "additionalProperties", "propertyNames",
+                    "unevaluatedItems", "unevaluatedProperties"}
+
+
+def strip_validation_keywords(node):
+    """Schema-position-aware removal of validation-vocabulary keywords
+    (never descends into ``enum``/``const`` data subtrees). Applied when
+    the governing meta-schema's $vocabulary omits the validation vocab -
+    those keywords then have no defined behavior and are not applied.
+    Limitation: only the root document (incl. its $defs) is stripped;
+    registry-resolved external documents keep their own governance."""
+    if not isinstance(node, dict):
+        return node
+    out = {}
+    for k, v in node.items():
+        if k in VALIDATION_KEYWORDS:
+            continue
+        if k in _SCHEMA_MAP_KW and isinstance(v, dict):
+            out[k] = {n: strip_validation_keywords(x) for n, x in v.items()}
+        elif k in _SCHEMA_LIST_KW and isinstance(v, list):
+            out[k] = [strip_validation_keywords(x) for x in v]
+        elif k in _SCHEMA_VALUE_KW:
+            out[k] = strip_validation_keywords(v)
+        else:
+            out[k] = v
+    return out
+
+
 class Resolver:
     """Symbol table + $ref resolution for one root document (plus registry).
 

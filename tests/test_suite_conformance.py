@@ -42,7 +42,7 @@ REQUIRED_FILES = {
     "format.json", "content.json", "ref.json", "refRemote.json",
     "defs.json", "anchor.json", "dynamicRef.json", "id.json",
     "unevaluatedItems.json", "unevaluatedProperties.json",
-    "infinite-loop-detection.json",
+    "infinite-loop-detection.json", "vocabulary.json",
     "optional/format/date.json", "optional/format/date-time.json",
     "optional/format/time.json", "optional/format/duration.json",
     "optional/format/email.json", "optional/format/ipv4.json",
