@@ -557,6 +557,18 @@ def _q_events_unevaluated(spark, sf_dir):
     return out.select("event_id", F.col("json_passed").alias("passed"))
 
 
+def _q_suggest_constraints(spark, sf_dir):
+    """Constraint mining (operators/infer.py): profile orders into
+    draft 2020-12 keyword suggestions — (column_name, keyword, value) rows
+    with JSON-rendered values; the DuckDB oracle recomputes every mined
+    keyword from the same aggregates."""
+    from json_skema_spark.operators.infer import suggest_constraints
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    return suggest_constraints(o, cols)
+
+
 def _q_canonical_order_per_customer(spark, sf_dir):
     from pyspark.sql import Window as W
     o = _t(spark, sf_dir, "orders")
@@ -600,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": _q_ivf_topk_embeddings,
         "validate_events_open_json": _q_events_open_json,
         "validate_events_unevaluated": _q_events_unevaluated,
+        "suggest_constraints_orders": _q_suggest_constraints,
         "dedup_exact_prefix3": _q_exact_dup_prefix,
         "text_clean_and_repetition": _q_text_clean,
         "validate_array_keywords": _q_array_keywords,
@@ -809,6 +822,49 @@ def oracle_sql() -> dict[str, str]:
                              AND CAST(json_extract(props, '$.k') AS INT) <= 80
                    END AS props_passed
             FROM events
+        """,
+        "suggest_constraints_orders": """
+            WITH agg AS (
+                SELECT count(*) AS n,
+                       count(o_orderkey) AS nn_ok, min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok,
+                       count(o_custkey) AS nn_ck, min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+                       count(o_orderstatus) AS nn_os,
+                       count(o_totalprice) AS nn_tp, min(o_totalprice) AS min_tp, max(o_totalprice) AS max_tp,
+                       count(o_orderpriority) AS nn_op
+                FROM orders
+            ),
+            render AS (
+                SELECT CASE WHEN v = floor(v) AND abs(v) < 9007199254740992
+                            THEN CAST(CAST(v AS BIGINT) AS VARCHAR)
+                            ELSE CAST(v AS VARCHAR) END AS s, k FROM (
+                    SELECT min_tp AS v, 'min_tp' AS k FROM agg
+                    UNION ALL SELECT max_tp, 'max_tp' FROM agg
+                )
+            )
+            SELECT * FROM (
+                SELECT 'o_orderkey' AS column_name, 'type' AS keyword, '"integer"' AS value
+                UNION ALL SELECT 'o_orderkey', 'required', 'true' FROM agg WHERE nn_ok = n
+                UNION ALL SELECT 'o_orderkey', 'minimum', CAST(min_ok AS VARCHAR) FROM agg
+                UNION ALL SELECT 'o_orderkey', 'maximum', CAST(max_ok AS VARCHAR) FROM agg
+                UNION ALL SELECT 'o_custkey', 'type', '"integer"'
+                UNION ALL SELECT 'o_custkey', 'required', 'true' FROM agg WHERE nn_ck = n
+                UNION ALL SELECT 'o_custkey', 'minimum', CAST(min_ck AS VARCHAR) FROM agg
+                UNION ALL SELECT 'o_custkey', 'maximum', CAST(max_ck AS VARCHAR) FROM agg
+                UNION ALL SELECT 'o_orderstatus', 'type', '"string"'
+                UNION ALL SELECT 'o_orderstatus', 'required', 'true' FROM agg WHERE nn_os = n
+                UNION ALL SELECT 'o_orderstatus', 'enum',
+                    to_json(list_sort(list(DISTINCT o_orderstatus))) FROM orders
+                    WHERE o_orderstatus IS NOT NULL
+                UNION ALL SELECT 'o_totalprice', 'type', '"number"'
+                UNION ALL SELECT 'o_totalprice', 'required', 'true' FROM agg WHERE nn_tp = n
+                UNION ALL SELECT 'o_totalprice', 'minimum', s FROM render WHERE k = 'min_tp'
+                UNION ALL SELECT 'o_totalprice', 'maximum', s FROM render WHERE k = 'max_tp'
+                UNION ALL SELECT 'o_orderpriority', 'type', '"string"'
+                UNION ALL SELECT 'o_orderpriority', 'required', 'true' FROM agg WHERE nn_op = n
+                UNION ALL SELECT 'o_orderpriority', 'enum',
+                    to_json(list_sort(list(DISTINCT o_orderpriority))) FROM orders
+                    WHERE o_orderpriority IS NOT NULL
+            )
         """,
         "validate_events_unevaluated": """
             SELECT event_id,
