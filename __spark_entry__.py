@@ -569,6 +569,27 @@ def _q_suggest_constraints(spark, sf_dir):
     return suggest_constraints(o, cols)
 
 
+def _q_drift_orders(spark, sf_dir):
+    """Distribution drift vs a baseline profile (north rule op): baseline =
+    full orders profile, current = the same table filtered to
+    o_totalprice < 150000 (a deliberate distribution shift). Exact-distinct
+    profiles so null-fraction and distinct-ratio drift are bit-reproducible
+    in DuckDB; the quantile-drift branch stays pytest-covered (sketch-based,
+    not cross-engine-exact) and is pruned from this projection."""
+    from json_skema_spark.operators.drift import drift_report
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    base = stats.profile(o, cols, exact_distinct=True)
+    cur = stats.profile(o.filter(F.col("o_totalprice") < 150000), cols,
+                        exact_distinct=True)
+    rep = drift_report(cur, base)
+    return rep.select("column_name",
+                      F.round("null_delta", 9).alias("null_delta"),
+                      "null_drift",
+                      F.round("distinct_ratio", 9).alias("distinct_ratio"),
+                      "distinct_drift")
+
+
 def _q_canonical_order_per_customer(spark, sf_dir):
     from pyspark.sql import Window as W
     o = _t(spark, sf_dir, "orders")
@@ -613,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_events_open_json": _q_events_open_json,
         "validate_events_unevaluated": _q_events_unevaluated,
         "suggest_constraints_orders": _q_suggest_constraints,
+        "drift_orders_profile": _q_drift_orders,
         "dedup_exact_prefix3": _q_exact_dup_prefix,
         "text_clean_and_repetition": _q_text_clean,
         "validate_array_keywords": _q_array_keywords,
@@ -822,6 +844,38 @@ def oracle_sql() -> dict[str, str]:
                              AND CAST(json_extract(props, '$.k') AS INT) <= 80
                    END AS props_passed
             FROM events
+        """,
+        "drift_orders_profile": """
+            WITH base AS (
+                SELECT 'o_orderkey' AS column_name,
+                       avg(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nf,
+                       count(DISTINCT o_orderkey) AS ad FROM orders
+                UNION ALL
+                SELECT 'o_custkey', avg(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+                       count(DISTINCT o_custkey) FROM orders
+                UNION ALL
+                SELECT 'o_totalprice', avg(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+                       count(DISTINCT o_totalprice) FROM orders
+            ),
+            cur AS (
+                SELECT 'o_orderkey' AS column_name,
+                       avg(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nf,
+                       count(DISTINCT o_orderkey) AS ad
+                FROM orders WHERE o_totalprice < 150000
+                UNION ALL
+                SELECT 'o_custkey', avg(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+                       count(DISTINCT o_custkey) FROM orders WHERE o_totalprice < 150000
+                UNION ALL
+                SELECT 'o_totalprice', avg(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+                       count(DISTINCT o_totalprice) FROM orders WHERE o_totalprice < 150000
+            )
+            SELECT cur.column_name,
+                   round(abs(cur.nf - base.nf), 9) AS null_delta,
+                   abs(cur.nf - base.nf) > 0.01 AS null_drift,
+                   round(cur.ad / greatest(base.ad, 1), 9) AS distinct_ratio,
+                   (cur.ad / greatest(base.ad, 1) < 0.5
+                    OR cur.ad / greatest(base.ad, 1) > 2.0) AS distinct_drift
+            FROM cur JOIN base USING (column_name)
         """,
         "suggest_constraints_orders": """
             WITH agg AS (
