@@ -88,8 +88,8 @@ def load_remotes(root: str) -> dict[str, Any]:
     return registry
 
 
-def load_suite_groups(root: str, *, draft: str = "draft2020-12",
-                      file_filter: set[str] | None = None) -> list[SuiteGroup]:
+def load_suite_groups(root: str, *,
+                      draft: str = "draft2020-12") -> list[SuiteGroup]:
     """Discover test groups under ``<root>/<draft>`` with the reference's
     skip rules: /remotes/ never loads as tests; /optional/ only the
     supported format files."""
