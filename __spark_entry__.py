@@ -590,6 +590,32 @@ def _q_drift_orders(spark, sf_dir):
                       "distinct_drift")
 
 
+def _q_deprecated_usage(spark, sf_dir):
+    """Deprecated-field usage report (operators/annotations.py): the
+    reference stores `deprecated` as an annotation with no validation
+    effect (Schema.kt:14, SchemaLoader.kt:534); at table scale the useful
+    surfacing is "how many rows still carry a value at each deprecated
+    location" — one aggregation pass, one row per marked path. A nested
+    struct with injected nulls exercises the parent-null semantics."""
+    from json_skema_spark.operators.annotations import deprecated_usage
+    ev = _t(spark, sf_dir, "events")
+    shaped = ev.select(
+        "event_id", "event_type",
+        F.struct(
+            F.when(F.col("event_id") % 3 == 0, F.col("value"))
+            .alias("legacy_score"),
+            F.col("event_type").alias("kind")).alias("meta"))
+    schema = {"type": "object", "properties": {
+        "event_type": {"type": "string", "deprecated": True},
+        "meta": {"type": "object", "properties": {
+            "legacy_score": {"type": "number", "deprecated": True},
+            "kind": {"type": "string"}}}}}
+    rep = deprecated_usage(shaped, schema)
+    return rep.select("schema_pointer", "property_path", "n_present",
+                      "n_rows",
+                      F.round("frac_present", 9).alias("frac_present"))
+
+
 def _q_canonical_order_per_customer(spark, sf_dir):
     from pyspark.sql import Window as W
     o = _t(spark, sf_dir, "orders")
@@ -635,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_events_unevaluated": _q_events_unevaluated,
         "suggest_constraints_orders": _q_suggest_constraints,
         "drift_orders_profile": _q_drift_orders,
+        "deprecated_usage_events": _q_deprecated_usage,
         "dedup_exact_prefix3": _q_exact_dup_prefix,
         "text_clean_and_repetition": _q_text_clean,
         "validate_array_keywords": _q_array_keywords,
@@ -876,6 +903,26 @@ def oracle_sql() -> dict[str, str]:
                    (cur.ad / greatest(base.ad, 1) < 0.5
                     OR cur.ad / greatest(base.ad, 1) > 2.0) AS distinct_drift
             FROM cur JOIN base USING (column_name)
+        """,
+        "deprecated_usage_events": """
+            WITH base AS (
+                SELECT event_type,
+                       CASE WHEN event_id % 3 = 0 THEN value END AS legacy
+                FROM events
+            )
+            SELECT '#/properties/event_type' AS schema_pointer,
+                   'event_type' AS property_path,
+                   count(event_type) AS n_present,
+                   count(*) AS n_rows,
+                   round(count(event_type) / CAST(count(*) AS DOUBLE), 9)
+                       AS frac_present
+            FROM base
+            UNION ALL
+            SELECT '#/properties/meta/properties/legacy_score',
+                   'meta.legacy_score',
+                   count(legacy), count(*),
+                   round(count(legacy) / CAST(count(*) AS DOUBLE), 9)
+            FROM base
         """,
         "suggest_constraints_orders": """
             WITH agg AS (
