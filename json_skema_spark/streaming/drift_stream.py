@@ -1,0 +1,83 @@
+"""Streaming distribution-drift monitor: per-window profiles vs a baseline.
+
+Batch drift (``operators/drift.py``) answers "has this snapshot drifted?";
+pipelines also need the continuous form — per event-time window, does the
+incoming stream's per-column distribution still match the baseline profile
+the constraints were mined from? This is the canary that fires when an
+upstream producer silently starts emitting nulls or a constant.
+
+Scale design:
+- ONE watermarked windowed aggregation; state is bounded by
+  (windows in flight x 1 row) — per-column stats live in the same state
+  row as columnar aggregates, not per-key state.
+- the baseline profile is one row per column (``operators/stats.profile``
+  output); it is collected driver-side and folded into the plan as
+  LITERALS — no stream-static join, nothing to re-broadcast per batch.
+- approx-distinct uses the same mergeable HLL++ sketch as batch profiling.
+
+Output one row per (window, column): null fraction + delta + flag, and
+approx-distinct ratio + flag — the streaming twin of ``drift_report``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DRIFT_COLUMNS = ("window_start", "window_end", "column_name",
+                 "null_fraction", "null_delta", "null_drift",
+                 "approx_distinct", "distinct_ratio", "distinct_drift")
+
+
+def baseline_map(profile: DataFrame) -> dict[str, dict]:
+    """Collect a batch profile (one row per column — tiny by construction)
+    into the literal map ``windowed_drift`` folds into its plan."""
+    return {r["column_name"]: {"null_fraction": r["null_fraction"],
+                               "approx_distinct": r["approx_distinct"]}
+            for r in profile.collect()}
+
+
+def windowed_drift(stream_df: DataFrame, baseline: dict[str, dict],
+                   ts_col: str, *, window: str = "1 minute",
+                   watermark: str = "2 minutes",
+                   null_delta_threshold: float = 0.01,
+                   distinct_ratio_threshold: float = 0.5) -> DataFrame:
+    """Per-window per-column drift verdicts against ``baseline``
+    (``baseline_map`` output, or any {col: {null_fraction, approx_distinct}}).
+
+    Thresholds mirror ``operators.drift.drift_report``: ``null_drift`` when
+    |null_fraction - baseline| exceeds ``null_delta_threshold``;
+    ``distinct_drift`` when the approx-distinct ratio falls outside
+    [t, 1/t]. Emits in append mode once the watermark closes a window.
+    """
+    cols = list(baseline)
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
+        aggs.append(F.approx_count_distinct(F.col(c)).alias(f"{c}__ad"))
+    win = (stream_df.withWatermark(ts_col, watermark)
+           .groupBy(F.window(F.col(ts_col), window).alias("w"))
+           .agg(*aggs))
+
+    per_col = []
+    for c in cols:
+        nf = (F.col("_rows") - F.col(f"{c}__nn")) / \
+            F.greatest(F.col("_rows"), F.lit(1))
+        nd = F.abs(nf - F.lit(float(baseline[c]["null_fraction"])))
+        ratio = F.col(f"{c}__ad") / \
+            F.greatest(F.lit(float(baseline[c]["approx_distinct"])), F.lit(1.0))
+        per_col.append(F.struct(
+            F.lit(c).alias("column_name"),
+            nf.alias("null_fraction"),
+            nd.alias("null_delta"),
+            (nd > null_delta_threshold).alias("null_drift"),
+            F.col(f"{c}__ad").alias("approx_distinct"),
+            ratio.alias("distinct_ratio"),
+            ((ratio < distinct_ratio_threshold)
+             | (ratio > 1.0 / distinct_ratio_threshold))
+            .alias("distinct_drift")))
+
+    return (win.select(F.col("w.start").alias("window_start"),
+                       F.col("w.end").alias("window_end"),
+                       F.explode(F.array(*per_col)).alias("e"))
+            .select("window_start", "window_end", "e.*"))
