@@ -1,0 +1,242 @@
+"""Schema-evolution compatibility analysis (plans/compat.py).
+
+The core guarantee fuzz-pinned here is the delta contract: for instances
+valid under v1,   valid under v2  <=>  valid under delta_schema(v1, v2)
+(with delta None meaning "valid under v2" unconditionally). The
+differential oracle is the same annotation-correct interpreter the
+compile fuzz uses (tests/reference_interp.py).
+"""
+
+import copy
+
+import numpy as np
+import pytest
+
+from json_skema_spark.plans.compat import (
+    NARROWING, UNKNOWN, WIDENING, compat_report, delta_schema,
+    is_backward_compatible)
+from tests.reference_interp import validate
+from tests.test_differential import (
+    ARRAYS, INTS, STR_ARRAYS, STRINGS, _arr_schema, _combinator,
+    _num_schema, _str_arr_schema, _str_schema, _struct_schema)
+
+# ---------------------------------------------------------------- unit cases
+
+V1 = {"type": "object",
+      "properties": {"price": {"type": "number", "minimum": 0,
+                               "maximum": 100},
+                     "tag": {"enum": ["a", "b"]}},
+      "required": ["price"]}
+
+
+def _kinds(old, new):
+    return {(c.pointer, c.kind) for c in compat_report(old, new)}
+
+
+def test_widening_detected():
+    v2 = copy.deepcopy(V1)
+    v2["properties"]["price"]["maximum"] = 200          # relaxed
+    v2["properties"]["tag"]["enum"] = ["a", "b", "c"]   # grew
+    del v2["required"]                                  # dropped
+    assert is_backward_compatible(V1, v2)
+    assert delta_schema(V1, v2) is None
+
+
+def test_narrowing_produces_minimal_delta():
+    v2 = copy.deepcopy(V1)
+    v2["properties"]["price"]["maximum"] = 50           # tightened
+    v2["required"] = ["price", "tag"]                   # tag newly required
+    assert not is_backward_compatible(V1, v2)
+    d = delta_schema(V1, v2)
+    assert d == {"properties": {"price": {"maximum": 50}},
+                 "required": ["tag"]}
+
+
+def test_pattern_change_is_unknown():
+    old = {"pattern": "^a"}
+    new = {"pattern": "^b"}
+    assert _kinds(old, new) == {("#/pattern", UNKNOWN)}
+    assert delta_schema(old, new) == {"pattern": "^b"}
+
+
+def test_min_contains_default_is_one():
+    old = {"contains": {"minimum": 0}, "minContains": 0}
+    new = {"contains": {"minimum": 0}}                  # effective 0 -> 1
+    assert _kinds(old, new) == {("#/minContains", NARROWING)}
+    old2 = {"contains": {"minimum": 0}, "minContains": 2}
+    new2 = {"contains": {"minimum": 0}}                 # effective 2 -> 1
+    assert _kinds(old2, new2) == {("#/minContains", WIDENING)}
+
+
+def test_multiple_of_divisor_widens():
+    assert _kinds({"multipleOf": 4}, {"multipleOf": 2}) == \
+        {("#/multipleOf", WIDENING)}
+    assert _kinds({"multipleOf": 2}, {"multipleOf": 4}) == \
+        {("#/multipleOf", NARROWING)}
+
+
+def test_removed_property_depends_on_additional_properties():
+    old = {"properties": {"a": {"type": "integer"}, "b": {"type": "string"}}}
+    new_open = {"properties": {"a": {"type": "integer"}}}
+    assert is_backward_compatible(old, new_open)
+    new_closed = {"properties": {"a": {"type": "integer"}},
+                  "additionalProperties": False}
+    rep = compat_report(old, new_closed)
+    assert any(c.kind != WIDENING for c in rep)
+    d = delta_schema(old, new_closed)
+    # the delta must forbid b AND carry the additionalProperties context
+    assert d is not None
+
+
+def test_defs_change_falls_back_to_full_doc():
+    old = {"$defs": {"p": {"minimum": 0}},
+           "properties": {"a": {"$ref": "#/$defs/p"}}}
+    new = {"$defs": {"p": {"minimum": 5}},
+           "properties": {"a": {"$ref": "#/$defs/p"}}}
+    assert delta_schema(old, new) == new
+    assert not is_backward_compatible(old, new)
+
+
+def test_ref_in_delta_carries_defs():
+    old = {"$defs": {"p": {"minimum": 0}},
+           "properties": {"a": {"type": "integer"}}}
+    new = {"$defs": {"p": {"minimum": 0}},
+           "properties": {"a": {"$ref": "#/$defs/p"}}}
+    d = delta_schema(old, new)
+    assert d["$defs"] == {"p": {"minimum": 0}}
+
+
+# ------------------------------------------------------- differential fuzz
+
+def _mutate(rng, doc):
+    """One structural mutation: drop / tweak / graft a keyword somewhere."""
+    d = copy.deepcopy(doc)
+    nodes = []
+
+    def collect(n):
+        if isinstance(n, dict):
+            nodes.append(n)
+            for v in n.values():
+                collect(v)
+        elif isinstance(n, list):
+            for v in n:
+                collect(v)
+
+    collect(d)
+    node = nodes[int(rng.integers(0, len(nodes)))]
+    op = rng.choice(["drop", "tweak", "add"])
+    keys = [k for k in node if not isinstance(node[k], (dict, list))
+            or k in ("enum", "required")]
+    if op == "drop" and node:
+        node.pop(list(node)[int(rng.integers(0, len(node)))], None)
+    elif op == "tweak" and keys:
+        k = keys[int(rng.integers(0, len(keys)))]
+        v = node[k]
+        if isinstance(v, bool):
+            node[k] = not v
+        elif isinstance(v, (int, float)):
+            node[k] = v + int(rng.choice([-2, -1, 1, 2]))
+        elif isinstance(v, str) and k != "type":
+            node[k] = v + "x"
+        elif isinstance(v, list) and v:
+            if rng.random() < 0.5 and len(v) > 1:
+                node[k] = v[:-1]
+            else:
+                node[k] = v + [v[0]]
+    else:
+        node[rng.choice(["minimum", "minLength", "minItems"])] = \
+            int(rng.integers(0, 4))
+    return d
+
+
+_SHAPE_POOLS = [
+    (lambda r: _combinator(r, lambda g: _num_schema(g, integer=True)), INTS),
+    (lambda r: _combinator(r, _str_schema), STRINGS),
+    (_arr_schema, ARRAYS),
+    (_str_arr_schema, STR_ARRAYS),
+]
+
+
+def _struct_pool(rng, n=24):
+    out = []
+    for _ in range(n):
+        d = {}
+        if rng.random() < 0.8:
+            d["a"] = int(rng.choice([x for x in INTS if x is not None]))
+        if rng.random() < 0.8:
+            d["b"] = str(rng.choice([x for x in STRINGS if x is not None]))
+        if rng.random() < 0.4:
+            d["c"] = float(rng.integers(-2, 5))
+        out.append(d)
+    return out
+
+
+@pytest.mark.parametrize("mode", ["mutated", "independent"])
+def test_delta_contract_fuzz(mode):
+    rng = np.random.default_rng(2026 if mode == "mutated" else 20262)
+    checked = 0
+    for trial in range(400):
+        kind = int(rng.integers(0, 5))
+        if kind < 4:
+            gen, pool = _SHAPE_POOLS[kind]
+            v1 = gen(rng)
+            instances = [x for x in pool if x is not None]
+        else:
+            v1 = _struct_schema(rng)
+            instances = _struct_pool(rng)
+        v2 = _mutate(rng, v1) if mode == "mutated" else (
+            _SHAPE_POOLS[kind][0](rng) if kind < 4 else _struct_schema(rng))
+
+        delta = delta_schema(v1, v2)
+        bc = is_backward_compatible(v1, v2)
+        for x in instances:
+            if not validate(x, v1):
+                continue
+            checked += 1
+            under_v2 = validate(x, v2)
+            under_delta = True if delta is None else validate(x, delta)
+            assert under_v2 == under_delta, (
+                f"delta contract broken: v1={v1} v2={v2} delta={delta} "
+                f"x={x!r} v2={under_v2} delta_verdict={under_delta}")
+            if bc:
+                assert under_v2, (
+                    f"claimed backward-compatible but rejects: v1={v1} "
+                    f"v2={v2} x={x!r}")
+    assert checked > 500  # the fuzz actually exercised v1-valid instances
+
+
+# -------------------------------------------------- Spark integration
+
+def test_delta_compiles_and_matches_v2_on_spark(spark):
+    """The delta document compiles through the real engine and its verdict
+    equals v2's verdict on v1-valid rows."""
+    from json_skema_spark.plans.compile import Compiler
+    from json_skema_spark.plans.verdict import ValidationPlan
+
+    v1 = {"properties": {"price": {"type": "number", "minimum": 0,
+                                   "maximum": 100},
+                         "qty": {"type": "integer", "minimum": 0}},
+          "required": ["price"]}
+    v2 = copy.deepcopy(v1)
+    v2["properties"]["price"]["maximum"] = 50
+    v2["required"] = ["price", "qty"]
+
+    df = spark.createDataFrame(
+        [(10.0, 1), (60.0, 2), (40.0, None), (200.0, 3), (None, 4)],
+        "price double, qty int")
+    d = delta_schema(v1, v2)
+
+    def verdict(doc):
+        plan = ValidationPlan(Compiler(doc), df.schema)
+        return [r.passed for r in df.select(plan.passed.alias("passed"))
+                .collect()]
+
+    ok_v1 = verdict(v1)
+    ok_v2 = verdict(v2)
+    ok_d = verdict(d)
+    for i, valid1 in enumerate(ok_v1):
+        if valid1:
+            assert ok_v2[i] == ok_d[i]
+    # and the delta really is smaller: one property + required only
+    assert set(d) == {"properties", "required"}
+    assert set(d["properties"]) == {"price"}
