@@ -18,6 +18,8 @@ Public API::
     viols = plan.violations(df, row_id="clip_id")
 """
 
+from json_skema_spark.plans.compat import (compat_report, delta_schema,
+                                            is_backward_compatible)
 from json_skema_spark.plans.compile import (AggregateCompileError, CompileError,
                                              Compiler, compile_schema)
 from json_skema_spark.plans.model import Resolver, SchemaError
@@ -33,7 +35,10 @@ __all__ = [
     "Resolver",
     "SchemaError",
     "ValidationPlan",
+    "compat_report",
     "compile_schema",
+    "delta_schema",
+    "is_backward_compatible",
     "validate",
     "validate_json_column",
     "validate_open_json",
