@@ -95,11 +95,42 @@ def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
     return metrics
 
 
+def revalidate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
+                     old_schema_doc: Any, new_schema_doc: Any,
+                     **kwargs) -> dict:
+    """Schema-evolution fast path: the table already passed
+    ``old_schema_doc``; ``new_schema_doc`` is deploying.
+
+    - Pure widening: NOTHING is re-validated — at 10^12 rows this turns a
+      full pass into a driver-side document diff.
+    - Otherwise: run the pipeline against ``delta_schema(old, new)`` — the
+      minimal document equivalent to v2 on v1-valid rows (plans/compat.py),
+      so the scan reads only the columns the narrowed keywords touch and
+      evaluates a fraction of the predicates.
+
+    ``kwargs`` pass through to ``validate_table`` (buckets, audio checks —
+    note the audio invariant is schema-independent, so ``check_audio``
+    defaults off here; re-enable it only if the invariant itself changed).
+    """
+    from json_skema_spark.plans.compat import delta_schema
+    delta = delta_schema(old_schema_doc, new_schema_doc)
+    if delta is None:
+        return {"revalidation": "skipped", "reason": "backward-compatible"}
+    kwargs.setdefault("check_audio", False)
+    metrics = validate_table(spark, clips, out_dir, schema_doc=delta,
+                             **kwargs)
+    return {"revalidation": "delta", "delta_schema": delta,
+            "metrics": metrics}
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True, help="clips parquet/iceberg path")
     p.add_argument("--out", required=True)
     p.add_argument("--schema", help="path to a JSON schema document")
+    p.add_argument("--previous-schema", help="schema the table already "
+                   "passed: validate only the evolution delta (or skip "
+                   "entirely when the change is backward-compatible)")
     p.add_argument("--transcripts-ref", help="reference transcripts parquet")
     p.add_argument("--baseline-profile", help="baseline profile parquet")
     p.add_argument("--buckets", type=int, default=64)
@@ -114,6 +145,16 @@ def main() -> None:
             schema_doc = json.load(f)
     tref = spark.read.parquet(args.transcripts_ref) if args.transcripts_ref else None
     base = spark.read.parquet(args.baseline_profile) if args.baseline_profile else None
+    if args.previous_schema:
+        with open(args.previous_schema) as f:
+            old_doc = json.load(f)
+        result = revalidate_table(
+            spark, clips, args.out, old_schema_doc=old_doc,
+            new_schema_doc=schema_doc or CLIPS_SCHEMA_DOC,
+            transcripts_ref=tref, num_buckets=args.buckets)
+        print(json.dumps({k: v for k, v in result.items()
+                          if k != "metrics"}))
+        return
     metrics = validate_table(spark, clips, args.out, schema_doc=schema_doc,
                              transcripts_ref=tref, baseline_profile=base,
                              num_buckets=args.buckets,

@@ -240,3 +240,15 @@ def test_delta_compiles_and_matches_v2_on_spark(spark):
     # and the delta really is smaller: one property + required only
     assert set(d) == {"properties", "required"}
     assert set(d["properties"]) == {"price"}
+
+
+def test_corpus_schemas_self_compatible():
+    """Identity sanity over the whole conformance corpus: diffing any real
+    schema against itself reports nothing, and a deep copy is
+    backward-compatible with a None delta."""
+    from json_skema_spark.sources.corpus import CASES
+    for case in CASES:
+        assert compat_report(case.schema, case.schema) == []
+        twin = copy.deepcopy(case.schema)
+        assert is_backward_compatible(case.schema, twin), case.name
+        assert delta_schema(case.schema, twin) is None, case.name

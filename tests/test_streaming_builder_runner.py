@@ -122,3 +122,36 @@ def test_streaming_exact_dedup(spark, tmp_path):
     ids = sorted(r.doc_id for r in collected)
     assert len(ids) == 2 and 3 in ids and (1 in ids or 2 in ids)
     assert set(collected[0].asDict()) == {"doc_id", "ts", "text"}
+
+
+def test_runner_revalidate_delta(spark, tmp_path):
+    """Schema-evolution fast path: widening skips entirely; a tightened
+    keyword re-validates against the delta only."""
+    from json_skema_spark.runner import CLIPS_SCHEMA_DOC, revalidate_table
+    import copy
+
+    clips = clips_src.clips_df(spark, 120, audio=False, inject=False).cache()
+
+    wider = copy.deepcopy(CLIPS_SCHEMA_DOC)
+    wider["properties"]["dur_ms"]["maximum"] = 10_000_000
+    res = revalidate_table(spark, clips, str(tmp_path / "o1"),
+                           old_schema_doc=CLIPS_SCHEMA_DOC,
+                           new_schema_doc=wider)
+    assert res == {"revalidation": "skipped",
+                   "reason": "backward-compatible"}
+    assert not os.path.exists(str(tmp_path / "o1"))  # zero work, zero writes
+
+    tighter = copy.deepcopy(CLIPS_SCHEMA_DOC)
+    tighter["properties"]["dur_ms"]["maximum"] = 1500
+    res2 = revalidate_table(spark, clips, str(tmp_path / "o2"),
+                            old_schema_doc=CLIPS_SCHEMA_DOC,
+                            new_schema_doc=tighter, num_buckets=2)
+    assert res2["revalidation"] == "delta"
+    assert res2["delta_schema"] == {
+        "properties": {"dur_ms": {"maximum": 1500}}}
+    viols = spark.read.parquet(str(tmp_path / "o2" / "violations" / "bucket=*"))
+    got = {r.keyword for r in viols.select("keyword").distinct().collect()}
+    assert got == {"maximum"}  # only the narrowed keyword can newly fail
+    n_over = clips.filter("dur_ms > 1500").count()
+    assert viols.count() == n_over > 0
+    clips.unpersist()
