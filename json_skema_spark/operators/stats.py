@@ -90,6 +90,87 @@ def profile(df: DataFrame, columns: list[str] | None = None, *,
                       + [f"p.{f}" for f in _PROFILE_FIELDS])))
 
 
+_MERGE_FIELDS = ("n_rows", "n_nulls", "min_num", "max_num", "min_str",
+                 "max_str", "distinct_sketch")
+
+
+def mergeable_profile(df: DataFrame, columns: list[str] | None = None, *,
+                      lg_k: int = 12) -> DataFrame:
+    """Per-column MERGEABLE partial profile — the incremental twin of
+    ``profile``: parts computed over disjoint slices (hash buckets, resumed
+    runs, daily increments) combine EXACTLY via ``merge_profiles``, so a
+    global profile never costs a second full scan of a table whose slices
+    were already profiled (the runner's drift step uses this: per-bucket
+    parts ride the bucket jobs, the merge touches rows = buckets x columns).
+
+    Output: ``(column_name, n_rows, n_nulls, min_num, max_num, min_str,
+    max_str, distinct_sketch)`` — counts sum, min/max fold (numerics kept
+    as doubles: lexicographic string folding would order "9" > "10"),
+    distinct as a mergeable HLL sketch (``hll_union_agg``), one scan total.
+    Quantiles are deliberately absent: sketch-merge quantiles go through
+    ``operators/tdigest.partial_digests``/``merge_digests``.
+    """
+    columns = columns or [f.name for f in df.schema.fields
+                          if not isinstance(f.dataType, (T.BinaryType, T.ArrayType,
+                                                         T.MapType, T.StructType))]
+    aggs = []
+    for name in columns:
+        c = F.col(name)
+        numeric = isinstance(df.schema[name].dataType, _NUMERIC)
+        num = c.cast("double") if numeric else F.lit(None).cast("double")
+        s = F.lit(None).cast("string") if numeric else c.cast("string")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{name}__m_n_rows"),
+            F.sum(c.isNull().cast("long")).alias(f"{name}__m_n_nulls"),
+            F.min(num).alias(f"{name}__m_min_num"),
+            F.max(num).alias(f"{name}__m_max_num"),
+            F.min(s).alias(f"{name}__m_min_str"),
+            F.max(s).alias(f"{name}__m_max_str"),
+            F.hll_sketch_agg(c.cast("string"), F.lit(lg_k))
+            .alias(f"{name}__m_distinct_sketch"),
+        ]
+    wide = df.groupBy().agg(*aggs)
+    structs = F.array(*[
+        F.struct(F.lit(name).alias("column_name"),
+                 *[F.col(f"`{name}__m_{f}`").alias(f) for f in _MERGE_FIELDS])
+        for name in columns])
+    return (wide.select(F.explode(structs).alias("p"))
+            .select("p.column_name", *[f"p.{f}" for f in _MERGE_FIELDS]))
+
+
+def merge_profiles(parts: DataFrame) -> DataFrame:
+    """Combine ``mergeable_profile`` parts into a global profile with the
+    same shape ``drift_report`` consumes (``quantiles`` is null — see
+    ``mergeable_profile``; quantile drift at merged level uses TDigest).
+
+    Exactness: n_rows/null_fraction/min/max are exact regardless of how the
+    input was sliced; approx_distinct is a single HLL union — the SAME
+    estimate a one-pass ``approx_count_distinct`` over the full table gives,
+    not a sum of per-part estimates.
+    """
+    g = parts.groupBy("column_name").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_nulls").alias("n_nulls"),
+        F.min("min_num").alias("min_num"),
+        F.max("max_num").alias("max_num"),
+        F.min("min_str").alias("min_str"),
+        F.max("max_str").alias("max_str"),
+        F.hll_sketch_estimate(
+            F.hll_union_agg("distinct_sketch", F.lit(True)))
+        .alias("approx_distinct"),
+    )
+    return g.select(
+        "column_name", "n_rows",
+        (F.col("n_nulls") / F.greatest(F.col("n_rows"), F.lit(1)))
+        .alias("null_fraction"),
+        F.coalesce(F.col("min_num").cast("string"), F.col("min_str"))
+        .alias("min_value"),
+        F.coalesce(F.col("max_num").cast("string"), F.col("max_str"))
+        .alias("max_value"),
+        "approx_distinct",
+        F.lit(None).cast("array<double>").alias("quantiles"))
+
+
 def hll_sketches(df: DataFrame, columns: list[str], *,
                  lg_k: int = 12) -> DataFrame:
     """Mergeable HLL sketches per column (partial+final pattern: sketch per

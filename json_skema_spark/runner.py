@@ -71,10 +71,14 @@ def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
         viols = viols.observe(obs_viol, F.count(F.lit(1)).alias("n"))
         vpath = os.path.join(out_dir, "violations", f"bucket={bucket}")
         viols.write.mode("overwrite").parquet(vpath)
-        prof = stats.profile(
-            bucket_df.observe(obs_rows, F.count(F.lit(1)).alias("n")),
-            per_partition=False)
-        prof.withColumn("bucket", F.lit(bucket)).write.mode("overwrite") \
+        # MERGEABLE per-bucket profile parts (counts + min/max + HLL
+        # sketches): the post-loop drift step merges these instead of
+        # re-scanning the table — the global profile costs buckets x
+        # columns rows, not a second full pass
+        prof = stats.mergeable_profile(
+            bucket_df.observe(obs_rows, F.count(F.lit(1)).alias("n")))
+        # bucket id rides the directory name (partition discovery on read)
+        prof.write.mode("overwrite") \
             .parquet(os.path.join(out_dir, "profile", f"bucket={bucket}"))
         return {"rows": obs_rows.get["n"], "violations": obs_viol.get["n"]}
 
@@ -89,7 +93,10 @@ def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
         orph = referential.referential_violations(clips, transcripts_ref, "clip_id")
         orph.write.mode("overwrite").parquet(os.path.join(out_dir, "violations_ref"))
     if baseline_profile is not None:
-        cur = stats.profile(clips)
+        # merge the per-bucket parts written above: zero additional input
+        # scans (round-2 design re-profiled the whole table here)
+        parts = spark.read.parquet(os.path.join(out_dir, "profile"))
+        cur = stats.merge_profiles(parts.drop("bucket"))
         drift_report(cur, baseline_profile).write.mode("overwrite") \
             .parquet(os.path.join(out_dir, "drift"))
     return metrics
