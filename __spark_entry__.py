@@ -616,6 +616,30 @@ def _q_deprecated_usage(spark, sf_dir):
                       F.round("frac_present", 9).alias("frac_present"))
 
 
+def _q_profile_merge(spark, sf_dir):
+    """Mergeable-profile path (operators/stats.mergeable_profile +
+    merge_profiles): lineitem profiled in 4 disjoint hash slices, parts
+    merged — exact fields (n_rows, null_fraction, min/max) must equal a
+    single pass; the oracle recomputes them straight over the table. The
+    HLL-sketch field is engine-specific and excluded from the projection
+    (estimate-vs-single-pass equivalence is pinned by
+    tests/test_merge_profiles.py)."""
+    from json_skema_spark.operators import stats
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice")
+    parts = None
+    for k in range(4):
+        p = stats.mergeable_profile(
+            li.filter(F.pmod(F.xxhash64("l_orderkey"), F.lit(4)) == k))
+        parts = p if parts is None else parts.unionByName(p)
+    merged = stats.merge_profiles(parts)
+    return merged.select(
+        "column_name", "n_rows",
+        F.round("null_fraction", 9).alias("null_fraction"),
+        F.round(F.col("min_value").cast("double"), 6).alias("min_value"),
+        F.round(F.col("max_value").cast("double"), 6).alias("max_value"))
+
+
 def _q_canonical_order_per_customer(spark, sf_dir):
     from pyspark.sql import Window as W
     o = _t(spark, sf_dir, "orders")
@@ -662,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_constraints_orders": _q_suggest_constraints,
         "drift_orders_profile": _q_drift_orders,
         "deprecated_usage_events": _q_deprecated_usage,
+        "profile_merge_lineitem": _q_profile_merge,
         "dedup_exact_prefix3": _q_exact_dup_prefix,
         "text_clean_and_repetition": _q_text_clean,
         "validate_array_keywords": _q_array_keywords,
@@ -903,6 +928,24 @@ def oracle_sql() -> dict[str, str]:
                    (cur.ad / greatest(base.ad, 1) < 0.5
                     OR cur.ad / greatest(base.ad, 1) > 2.0) AS distinct_drift
             FROM cur JOIN base USING (column_name)
+        """,
+        "profile_merge_lineitem": """
+            SELECT c AS column_name,
+                   count(*) AS n_rows,
+                   round(avg(CASE WHEN v IS NULL THEN 1.0 ELSE 0.0 END), 9)
+                       AS null_fraction,
+                   round(min(v), 6) AS min_value,
+                   round(max(v), 6) AS max_value
+            FROM (
+                SELECT 'l_orderkey' AS c, CAST(l_orderkey AS DOUBLE) AS v
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_quantity', CAST(l_quantity AS DOUBLE) FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+                FROM lineitem
+            )
+            GROUP BY c
         """,
         "deprecated_usage_events": """
             WITH base AS (
