@@ -180,6 +180,17 @@ def _q_minhash_pairs_documents(spark, sf_dir):
     return pairs.select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_minhash_clusters(spark, sf_dir):
+    """Near-dup pairs -> connected components (operators/dedup.
+    duplicate_clusters: min-label propagation + pointer jumping): the
+    transitive closure A~B~C collapses to one keep-decision. Oracle: the
+    same pair SQL wrapped in a recursive CTE computing min-reachable-id."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(docs, "text", "doc_id",
+                                          jaccard_threshold=0.5)
+    return dedup.duplicate_clusters(pairs)
+
+
 def _ivf_fixed_centroids():
     """Deterministic coarse-quantizer centroids (8 x 64, seeded numpy) —
     stands in for the KMeans index-build output so the probe path is exactly
@@ -676,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint_documents,
         "similarity_topk_embeddings": _q_topk_embeddings,
         "dedup_minhash_pairs": _q_minhash_pairs_documents,
+        "dedup_minhash_clusters": _q_minhash_clusters,
         "dedup_simhash_fingerprints": _q_simhash_documents,
         "window_canonical_order": _q_canonical_order_per_customer,
         "agg_pricing_summary": _q_pricing_summary,
@@ -928,6 +940,33 @@ def oracle_sql() -> dict[str, str]:
                    (cur.ad / greatest(base.ad, 1) < 0.5
                     OR cur.ad / greatest(base.ad, 1) > 2.0) AS distinct_drift
             FROM cur JOIN base USING (column_name)
+        """,
+        "dedup_minhash_clusters": """
+            -- pair CTE identical to dedup_minhash_pairs (exact all-pairs
+            -- jaccard == LSH output on this corpus, see that oracle), then
+            -- connected components as a recursive min-reachable-id closure
+            WITH RECURSIVE d AS (SELECT doc_id,
+                list_distinct([array_to_string(toks[i:i+2], ' ')
+                               for i in range(1, greatest(len(toks)-2, 1)+1)]) AS g
+              FROM (SELECT doc_id,
+                    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                                 ' ') AS toks
+                    FROM documents)),
+            p AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM d a JOIN d b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                      / len(list_distinct(a.g || b.g)) >= 0.5
+            ),
+            e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+            reach(node, r) AS (
+                SELECT a, a FROM e
+                UNION
+                SELECT e.a, t.r FROM e JOIN reach t ON t.node = e.b
+            )
+            SELECT node AS doc_id, min(r) AS cluster_id,
+                   node = min(r) AS is_canonical
+            FROM reach GROUP BY node
         """,
         "profile_merge_lineitem": """
             SELECT c AS column_name,

@@ -310,3 +310,68 @@ def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_id_a",
+                       id_b: str = "doc_id_b", *,
+                       max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate PAIRS -> clusters with a
+    deterministic canonical representative.
+
+    Every pair-producing dedup op here (exact, MinHash-LSH, SimHash,
+    embedding-LSH) stops at pairs; production dedup needs the transitive
+    closure — A~B and B~C must collapse to ONE keep-decision even when A~C
+    was never emitted. Output one row per document that appears in a pair:
+    ``(doc_id, cluster_id, is_canonical)`` with ``cluster_id`` = the
+    smallest doc id reachable through the pair graph (deterministic, no
+    RNG/ordering dependence) and ``is_canonical`` marking the cluster's
+    keeper. Documents in no pair are implicitly their own singleton
+    cluster and are not emitted.
+
+    Scale design: min-label propagation with POINTER JUMPING — each round
+    (a) takes the min label over graph neighbors (one shuffle on the edge
+    list) and (b) compresses label chains by joining labels onto
+    themselves (label <- label(label)), the classic hooking + pointer-
+    jumping CC, converging in O(log diameter) rounds instead of
+    O(diameter). Near-dup graphs are near-cliques (tiny diameter), so this
+    terminates in 2-3 rounds; ``max_iter`` bounds adversarial chains.
+    Per round the lineage is truncated with an eager ``localCheckpoint``
+    (iterative plans otherwise grow exponentially), and the convergence
+    probe is a ``limit(1)`` existence check, not a full count. Everything
+    shuffled is (id, id) pairs — never document payloads.
+    """
+    sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct().persist())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges["dst"] == labels["node"])
+                 .groupBy("src").agg(F.min("label").alias("nlabel")))
+        stepped = (labels.join(neigh, labels["node"] == neigh["src"], "left")
+                   .select(labels["node"],
+                           F.least(labels["label"],
+                                   F.coalesce(neigh["nlabel"],
+                                              labels["label"]))
+                           .alias("label")))
+        lab2 = stepped.select(F.col("node").alias("n2"),
+                              F.col("label").alias("l2"))
+        jumped = (stepped.join(lab2, stepped["label"] == lab2["n2"], "left")
+                  .select(stepped["node"],
+                          F.least(stepped["label"],
+                                  F.coalesce(lab2["l2"], stepped["label"]))
+                          .alias("label"))
+                  .localCheckpoint(eager=True))
+        changed = (jumped.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"))

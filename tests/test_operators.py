@@ -345,3 +345,26 @@ def test_chunk_assignments_two_level_prefix_sum(spark):
         plan = got._jdf.queryExecution().executedPlan().toString()
         n_single = plan.count("SinglePartition")
         assert n_single == (0 if group else 1), plan
+
+
+def test_duplicate_clusters_transitive_closure(spark):
+    """A~B, B~C, D~E: two clusters, min-id canonical, chains collapse even
+    though A~C was never emitted; long chain converges within max_iter via
+    pointer jumping."""
+    from json_skema_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")],
+        "doc_id_a string, doc_id_b string")
+    got = {r.doc_id: (r.cluster_id, r.is_canonical)
+           for r in duplicate_clusters(pairs).collect()}
+    assert got == {"a": ("a", True), "b": ("a", False), "c": ("a", False),
+                   "d": ("d", True), "e": ("d", False)}
+
+    # 40-node path graph: diameter 39 >> default rounds without jumping
+    chain = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(39)],
+        "doc_id_a string, doc_id_b string")
+    labels = duplicate_clusters(chain, max_iter=8).collect()
+    assert {r.cluster_id for r in labels} == {"n00"}
+    assert sum(r.is_canonical for r in labels) == 1
