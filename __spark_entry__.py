@@ -80,6 +80,18 @@ def _q_orders_violations(spark, sf_dir):
     return plan.violations(orders, "o_orderkey").drop("partition_id")
 
 
+def _q_violation_digest(spark, sf_dir):
+    """Triage digest (plans/verdict.violation_digest): exact per-keyword
+    counts + the 5 smallest offending keys, computed with salted windowed
+    top-K (never a full collect of a hot keyword). Oracle: same violations
+    SQL grouped with an ordered array_agg slice."""
+    from json_skema_spark.plans.verdict import violation_digest
+    orders = _t(spark, sf_dir, "orders")
+    plan = compile_schema(ORDERS_SCHEMA, orders.schema)
+    v = plan.violations(orders, "o_orderkey")
+    return violation_digest(v, per_keyword=5)
+
+
 def _q_lineitem_verdict(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     plan = compile_schema(LINEITEM_SCHEMA, li.schema)
@@ -675,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders_verdict": _q_orders_verdict,
         "validate_orders_violations": _q_orders_violations,
+        "violation_digest_orders": _q_violation_digest,
         "validate_lineitem_verdict": _q_lineitem_verdict,
         "lineitem_violation_summary": _q_lineitem_violation_summary,
         "unique_duplicate_orderkeys": _q_duplicate_orderkeys,
@@ -717,6 +730,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+_ORDERS_VIOLS_SQL = """
+            SELECT CAST(o_orderkey AS VARCHAR) AS row_key, 'enum' AS keyword,
+                   '#/properties/o_orderstatus/enum' AS keyword_location,
+                   '#/o_orderstatus' AS instance_location,
+                   '#/properties/o_orderstatus/enum' AS dynamic_path,
+                   'the instance is not equal to any enum values' AS message
+            FROM orders
+            WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F')
+            UNION ALL
+            SELECT CAST(o_orderkey AS VARCHAR), 'exclusiveMinimum',
+                   '#/properties/o_totalprice/exclusiveMinimum', '#/o_totalprice',
+                   '#/properties/o_totalprice/exclusiveMinimum',
+                   CAST(o_totalprice AS VARCHAR) || ' is lower than or equal to minimum 0'
+            FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice <= 0
+            UNION ALL
+            SELECT CAST(o_orderkey AS VARCHAR), 'maximum',
+                   '#/properties/o_totalprice/maximum', '#/o_totalprice',
+                   '#/properties/o_totalprice/maximum',
+                   CAST(o_totalprice AS VARCHAR) || ' is greater than maximum 400000'
+            FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 400000
+            UNION ALL
+            SELECT CAST(o_orderkey AS VARCHAR), 'pattern',
+                   '#/properties/o_orderpriority/pattern', '#/o_orderpriority',
+                   '#/properties/o_orderpriority/pattern',
+                   'instance value did not match pattern ^[1-5]-'
+            FROM orders
+            WHERE o_orderpriority IS NOT NULL
+              AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+            UNION ALL
+            SELECT CAST(o_orderkey AS VARCHAR), 'required', '#/required', '#',
+                   '#/required',
+                   'required properties are missing: ' || concat_ws(', ',
+                       CASE WHEN o_orderkey IS NULL THEN 'o_orderkey' END,
+                       CASE WHEN o_custkey IS NULL THEN 'o_custkey' END)
+            FROM orders WHERE o_orderkey IS NULL OR o_custkey IS NULL
+"""
 
 _ORDERS_PASS = """
     (o_orderstatus IS NULL OR o_orderstatus IN ('O','F'))
@@ -770,41 +820,13 @@ def oracle_sql() -> dict[str, str]:
         "validate_orders_verdict": f"""
             SELECT o_orderkey, {_ORDERS_PASS} AS passed FROM orders
         """,
-        "validate_orders_violations": f"""
-            SELECT CAST(o_orderkey AS VARCHAR) AS row_key, 'enum' AS keyword,
-                   '#/properties/o_orderstatus/enum' AS keyword_location,
-                   '#/o_orderstatus' AS instance_location,
-                   '#/properties/o_orderstatus/enum' AS dynamic_path,
-                   'the instance is not equal to any enum values' AS message
-            FROM orders
-            WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F')
-            UNION ALL
-            SELECT CAST(o_orderkey AS VARCHAR), 'exclusiveMinimum',
-                   '#/properties/o_totalprice/exclusiveMinimum', '#/o_totalprice',
-                   '#/properties/o_totalprice/exclusiveMinimum',
-                   CAST(o_totalprice AS VARCHAR) || ' is lower than or equal to minimum 0'
-            FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice <= 0
-            UNION ALL
-            SELECT CAST(o_orderkey AS VARCHAR), 'maximum',
-                   '#/properties/o_totalprice/maximum', '#/o_totalprice',
-                   '#/properties/o_totalprice/maximum',
-                   CAST(o_totalprice AS VARCHAR) || ' is greater than maximum 400000'
-            FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 400000
-            UNION ALL
-            SELECT CAST(o_orderkey AS VARCHAR), 'pattern',
-                   '#/properties/o_orderpriority/pattern', '#/o_orderpriority',
-                   '#/properties/o_orderpriority/pattern',
-                   'instance value did not match pattern ^[1-5]-'
-            FROM orders
-            WHERE o_orderpriority IS NOT NULL
-              AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
-            UNION ALL
-            SELECT CAST(o_orderkey AS VARCHAR), 'required', '#/required', '#',
-                   '#/required',
-                   'required properties are missing: ' || concat_ws(', ',
-                       CASE WHEN o_orderkey IS NULL THEN 'o_orderkey' END,
-                       CASE WHEN o_custkey IS NULL THEN 'o_custkey' END)
-            FROM orders WHERE o_orderkey IS NULL OR o_custkey IS NULL
+        "validate_orders_violations": _ORDERS_VIOLS_SQL,
+        "violation_digest_orders": f"""
+            WITH v AS ({_ORDERS_VIOLS_SQL})
+            SELECT keyword, keyword_location,
+                   count(*) AS n_violations,
+                   (list(row_key ORDER BY row_key))[1:5] AS example_keys
+            FROM v GROUP BY keyword, keyword_location
         """,
         "validate_lineitem_verdict": f"""
             SELECT l_orderkey, l_linenumber, {_LINEITEM_PASS} AS passed FROM lineitem

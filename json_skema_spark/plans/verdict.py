@@ -118,6 +118,42 @@ class ValidationPlan:
         )
 
 
+def violation_digest(violations: DataFrame, *, per_keyword: int = 20,
+                     salt_buckets: int = 64) -> DataFrame:
+    """Triage view of a violations table: EXACT per-keyword-location counts
+    plus a bounded, deterministic sample of offending row keys.
+
+    At 10^12 rows a bad deploy can emit billions of violation rows; the
+    digest answers "what broke, how much, show me a few" without shipping
+    them all: ``(keyword, keyword_location, n_violations, example_keys)``
+    where ``example_keys`` is the ``per_keyword`` SMALLEST row keys
+    (deterministic — no first()/limit() nondeterminism across retries).
+
+    Scale design: keys are ranked inside (keyword_location, salt) window
+    partitions — a sort-based, spillable operator with ``salt_buckets``-way
+    parallelism per keyword, never an in-memory collect of a hot keyword's
+    keys — then only the <= salt_buckets x per_keyword survivors merge.
+    The merged slice is the global K-smallest (each global winner is a
+    winner of its own salt bucket). Counts come from a separate map-side-
+    combinable hash agg; both inputs shuffle (keyword, key) pairs only.
+    """
+    from pyspark.sql import Window
+    key = F.col("row_key").cast("string")
+    salted = violations.select(
+        "keyword", "keyword_location", key.alias("k"),
+        F.pmod(F.xxhash64(key), F.lit(salt_buckets)).alias("_salt"))
+    counts = (salted.groupBy("keyword", "keyword_location")
+              .agg(F.count("*").alias("n_violations")))
+    w = Window.partitionBy("keyword", "keyword_location", "_salt") \
+        .orderBy("k")
+    winners = (salted.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") <= per_keyword)
+               .groupBy("keyword", "keyword_location")
+               .agg(F.slice(F.sort_array(F.collect_list("k")),
+                            1, per_keyword).alias("example_keys")))
+    return counts.join(winners, ["keyword", "keyword_location"])
+
+
 def validate_json_column(df: DataFrame, json_col: str, payload_type: T.DataType | str,
                          schema_doc: Any, *, out_col: str = "json_passed",
                          **compiler_kwargs) -> DataFrame:

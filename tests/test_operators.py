@@ -368,3 +368,20 @@ def test_duplicate_clusters_transitive_closure(spark):
     labels = duplicate_clusters(chain, max_iter=8).collect()
     assert {r.cluster_id for r in labels} == {"n00"}
     assert sum(r.is_canonical for r in labels) == 1
+
+
+def test_violation_digest_exact_counts_bounded_examples(spark):
+    """Counts exact even when examples are capped; example_keys = the K
+    globally smallest keys regardless of salt bucketing."""
+    from json_skema_spark.plans.verdict import violation_digest
+
+    rows = [(f"k{i:04d}", "maximum", "#/properties/v/maximum") for i in range(500)] \
+        + [("z1", "required", "#/required")]
+    v = spark.createDataFrame(
+        rows, "row_key string, keyword string, keyword_location string")
+    got = {r.keyword: r for r in
+           violation_digest(v, per_keyword=3, salt_buckets=8).collect()}
+    assert got["maximum"].n_violations == 500
+    assert got["maximum"].example_keys == ["k0000", "k0001", "k0002"]
+    assert got["required"].n_violations == 1
+    assert got["required"].example_keys == ["z1"]
