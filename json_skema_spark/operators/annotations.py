@@ -25,6 +25,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def deprecated_paths(schema_doc: dict) -> list[tuple[str, list[Any]]]:
@@ -77,6 +78,22 @@ def _presence(root: DataFrame, path: list[Any]) -> Column | None:
     return descend(None, path)
 
 
+def _path_exists(dtype: T.DataType, path: list[Any]) -> bool:
+    """Does the FULL instance path resolve in the table's Spark schema?
+    (checking only the head would let ``getField`` on a dropped nested
+    field fail analysis — exactly the already-deleted-field lifecycle this
+    report serves)."""
+    if not path:
+        return True
+    step, rest = path[0], path[1:]
+    if step == "[]":
+        return isinstance(dtype, T.ArrayType) and \
+            _path_exists(dtype.elementType, rest)
+    if isinstance(dtype, T.StructType) and step in dtype.fieldNames():
+        return _path_exists(dtype[step].dataType, rest)
+    return False
+
+
 def deprecated_usage(df: DataFrame, schema_doc: dict) -> DataFrame:
     """Per deprecated schema location: rows still carrying a value there.
 
@@ -89,12 +106,12 @@ def deprecated_usage(df: DataFrame, schema_doc: dict) -> DataFrame:
     found = deprecated_paths(schema_doc)
     counters: list[tuple[str, str]] = []  # (pointer, dotted path) per agg slot
     aggs = [F.count(F.lit(1)).alias("_rows")]
+    table_type = T.StructType(df.schema.fields)
     for ptr, path in found:
+        if not path or not _path_exists(table_type, path):
+            continue
         pres = _presence(df, path)
         if pres is None:
-            continue
-        head = path[0]
-        if head not in df.columns:
             continue
         slot = f"_c{len(counters)}"
         counters.append((ptr, ".".join(str(s) for s in path)))

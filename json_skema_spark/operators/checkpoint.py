@@ -70,6 +70,10 @@ class PartitionManifest:
     def staged(self) -> bool:
         return bool(self._state.get("staged"))
 
+    @property
+    def staging_dir(self) -> str | None:
+        return self._state.get("staging_dir")
+
     def mark_staged(self, staging_dir: str) -> None:
         self._state["staged"] = True
         self._state["staging_dir"] = staging_dir
@@ -141,26 +145,43 @@ def run_resumable(df: DataFrame, key: str, num_buckets: int,
     spark = df.sparkSession
     schema = df.schema  # staged files carry the data columns only
 
-    if pre_staged_dir is not None:
+    if manifest.staged:
+        # resume MUST read the directory the crashed run actually staged —
+        # a caller passing a different staging_dir on resume would
+        # otherwise "read" N missing directories as N empty buckets
+        staging = manifest.staging_dir or pre_staged_dir or staging_dir \
+            or os.path.join(manifest.dir, "staging")
+    elif pre_staged_dir is not None:
         staging = pre_staged_dir
-        if not manifest.staged:
-            manifest.mark_staged(staging)
+        manifest.mark_staged(staging)
     else:
         staging = staging_dir or os.path.join(manifest.dir, "staging")
-        if not manifest.staged:
-            stage_by_bucket(df, key, num_buckets, staging,
-                            files_per_bucket=files_per_bucket)
-            manifest.mark_staged(staging)
+        stage_by_bucket(df, key, num_buckets, staging,
+                        files_per_bucket=files_per_bucket)
+        manifest.mark_staged(staging)
+
+    # Hadoop FS handle for explicit existence checks (works for any FS the
+    # session can reach, not just local)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _exists(p: str) -> bool:
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        return hp.getFileSystem(hconf).exists(hp)
 
     for bucket in range(num_buckets):
         if manifest.is_done(bucket):
             continue
         t0 = time.time()
         bucket_path = os.path.join(staging, f"_bucket={bucket}")
-        try:
+        # an EXPLICIT existence probe, not try/except around the read: a
+        # transient FS error or bad path must raise and leave the bucket
+        # uncommitted for the next attempt — swallowing it would commit an
+        # empty bucket as done and the data would never be validated
+        if _exists(bucket_path):
             bucket_df = spark.read.schema(schema).parquet(bucket_path)
-        except Exception:
-            # hash bucket received no rows -> no directory was written
+        else:
+            # hash bucket genuinely received no rows -> no directory written
             bucket_df = spark.createDataFrame([], schema)
         metrics = process(bucket_df, bucket) or {}
         metrics.setdefault("wall_s", round(time.time() - t0, 3))

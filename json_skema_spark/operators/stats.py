@@ -144,9 +144,14 @@ def merge_profiles(parts: DataFrame) -> DataFrame:
     ``mergeable_profile``; quantile drift at merged level uses TDigest).
 
     Exactness: n_rows/null_fraction/min/max are exact regardless of how the
-    input was sliced; approx_distinct is a single HLL union — the SAME
-    estimate a one-pass ``approx_count_distinct`` over the full table gives,
-    not a sum of per-part estimates.
+    input was sliced; approx_distinct is a single sketch UNION — equivalent
+    to sketching the whole table in one pass, never a sum of per-part
+    estimates. Note the estimator is DataSketches HLL (``hll_sketch_agg``),
+    not ``approx_count_distinct``'s HyperLogLog++: comparing a merged
+    profile against a ``profile()`` baseline can differ by a few percent of
+    the distinct count — far inside ``drift_report``'s default ratio
+    thresholds (0.5 / 2.0), but don't set thresholds near 1.0 across the
+    two estimators.
     """
     g = parts.groupBy("column_name").agg(
         F.sum("n_rows").alias("n_rows"),

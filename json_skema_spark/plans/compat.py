@@ -205,6 +205,19 @@ def _diff(old: Any, new: Any, ptr: str, changes: list[Change]) -> Any | None:
                                   "additionalProperties changed"))
             fallback = True
             continue
+        if kw == "patternProperties" and \
+                ("additionalProperties" in old
+                 or "additionalProperties" in new):
+            # patternProperties defines part of additionalProperties'
+            # residual set: changing (or removing) it beside an
+            # additionalProperties assertion re-routes which keys that
+            # assertion covers — NOT a local change, and removal is NOT a
+            # pure widening (keys may fall to a stricter additional schema)
+            changes.append(Change(f"{ptr}/{kw}", kw, UNKNOWN,
+                                  "patternProperties changed beside "
+                                  "additionalProperties"))
+            fallback = True
+            continue
         if kw in _OPAQUE_LOCAL:
             kind = WIDENING if n is None else UNKNOWN
             changes.append(Change(f"{ptr}/{kw}", kw, kind,
@@ -365,6 +378,27 @@ def _contains_ref(node: Any) -> bool:
     return False
 
 
+def _has_unlocalizable_ref(node: Any) -> bool:
+    """True when the document contains an internal reference whose target
+    the local diff cannot track: a ``$ref`` into the document body (e.g.
+    ``#/properties/x`` — a change AT the target silently changes every ref
+    site, which a structural diff of the sites cannot see), an anchor ref
+    (``#name``), or any ``$dynamicRef`` (resolution depends on dynamic
+    scope). ``#/$defs/...`` targets are fine — a changed ``$defs`` already
+    forces the full-document fallback — and external URIs resolve through
+    a registry this diff does not claim to cover."""
+    if isinstance(node, dict):
+        for kw in ("$ref", "$dynamicRef"):
+            v = node.get(kw)
+            if isinstance(v, str) and v.startswith("#"):
+                if kw == "$dynamicRef" or not v.startswith("#/$defs/"):
+                    return True
+        return any(_has_unlocalizable_ref(v) for v in node.values())
+    if isinstance(node, list):
+        return any(_has_unlocalizable_ref(v) for v in node)
+    return False
+
+
 def delta_schema(old_doc: Any, new_doc: Any) -> Any | None:
     """Minimal schema equivalent to v2 ON v1-VALID instances; ``None``
     when v2 is purely widening (re-validate nothing).
@@ -380,6 +414,10 @@ def delta_schema(old_doc: Any, new_doc: Any) -> Any | None:
         return None
     if any(c.keyword == "$defs" for c in changes):
         # a changed definition alters every $ref site: local diff is blind
+        return new_doc
+    if _has_unlocalizable_ref(old_doc) or _has_unlocalizable_ref(new_doc):
+        # a $ref into the document body (or an anchor/dynamic ref) couples
+        # its site to changes elsewhere; only the full document is sound
         return new_doc
     if isinstance(d, dict) and _contains_ref(d) \
             and isinstance(new_doc, dict) and "$defs" in new_doc \

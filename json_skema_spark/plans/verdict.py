@@ -239,6 +239,8 @@ def validate_yaml_column(df: DataFrame, yaml_col: str, schema_doc: Any, *,
     (YamlSupport.kt:12-54 feeding the same Validator) re-expressed over a
     column."""
     tmp = "_yaml_as_json"
+    while tmp in df.columns:  # never clobber a caller's column
+        tmp = "_" + tmp
     converted = yaml_to_json(df, yaml_col, out_col=tmp)
     parsed = F.parse_json(F.col(tmp))
     comp = Compiler(schema_doc, **compiler_kwargs)

@@ -119,15 +119,24 @@ def revalidate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
     note the audio invariant is schema-independent, so ``check_audio``
     defaults off here; re-enable it only if the invariant itself changed).
     """
+    import hashlib
+
     from json_skema_spark.plans.compat import delta_schema
     delta = delta_schema(old_schema_doc, new_schema_doc)
     if delta is None:
         return {"revalidation": "skipped", "reason": "backward-compatible"}
     kwargs.setdefault("check_audio", False)
-    metrics = validate_table(spark, clips, out_dir, schema_doc=delta,
+    # namespace the delta run by a fingerprint of the delta document: the
+    # natural CLI flow reuses the v1 run's --out, whose manifest already
+    # marks every bucket done — writing there would skip ALL delta work
+    # and report success. Distinct deltas get distinct manifests; re-runs
+    # of the SAME delta resume each other (that is the desired semantics).
+    fp = hashlib.md5(json.dumps(delta, sort_keys=True).encode()).hexdigest()[:12]
+    delta_out = os.path.join(out_dir, f"revalidate_{fp}")
+    metrics = validate_table(spark, clips, delta_out, schema_doc=delta,
                              **kwargs)
     return {"revalidation": "delta", "delta_schema": delta,
-            "metrics": metrics}
+            "out_dir": delta_out, "metrics": metrics}
 
 
 def main() -> None:

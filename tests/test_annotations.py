@@ -79,3 +79,15 @@ def test_no_deprecated_marks_empty_result(spark):
     assert out.count() == 0
     assert out.columns == ["schema_pointer", "property_path", "n_present",
                            "n_rows", "frac_present"]
+
+
+def test_missing_nested_field_is_skipped(spark):
+    """Review regression: a deprecated nested field ALREADY dropped from
+    the struct (the exact lifecycle this report serves) is skipped, not an
+    AnalysisException."""
+    df = spark.createDataFrame(
+        [("x", {"keep": "k"})],
+        "a string, meta struct<keep: string>")
+    rep = deprecated_usage(df, SCHEMA)  # SCHEMA marks meta.legacy + tags.[]
+    got = {r.property_path for r in rep.collect()}
+    assert got == {"a"}  # meta.legacy and tags.[] absent from the table

@@ -252,3 +252,30 @@ def test_corpus_schemas_self_compatible():
         twin = copy.deepcopy(case.schema)
         assert is_backward_compatible(case.schema, twin), case.name
         assert delta_schema(case.schema, twin) is None, case.name
+
+
+def test_pattern_properties_beside_additional_properties_not_widening():
+    """Review regression: removing patternProperties re-routes keys to
+    additionalProperties — NOT a pure widening, delta must carry context."""
+    old = {"patternProperties": {"^x": {}}, "additionalProperties": False}
+    new = {"additionalProperties": False}
+    assert not is_backward_compatible(old, new)
+    # delta is the full new node -> carries the additionalProperties
+    # context ({'x1': 1} is v1-valid, v2-invalid; a context-free delta
+    # would pass it)
+    assert delta_schema(old, new) == new
+
+    changed = {"patternProperties": {"^y": {}}, "additionalProperties": False}
+    d2 = delta_schema(old, changed)
+    assert d2 == changed  # not a context-free patternProperties copy
+
+
+def test_internal_ref_into_body_falls_back_to_full_doc():
+    """Review regression: a $ref into the document body couples its site
+    to changes the local diff cannot see."""
+    old = {"properties": {"x": {"minimum": 0},
+                          "y": {"$ref": "#/properties/x"}}}
+    new = {"properties": {"x": {"minimum": 5},
+                          "y": {"$ref": "#/properties/x"}}}
+    assert delta_schema(old, new) == new  # y must be re-checked too
+    assert not is_backward_compatible(old, new)

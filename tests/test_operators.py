@@ -385,3 +385,30 @@ def test_violation_digest_exact_counts_bounded_examples(spark):
     assert got["maximum"].example_keys == ["k0000", "k0001", "k0002"]
     assert got["required"].n_violations == 1
     assert got["required"].example_keys == ["z1"]
+
+
+def test_resume_honors_recorded_staging_dir(spark, tmp_path):
+    """Review regression: a resume invoked with a DIFFERENT staging_dir
+    must read the directory the crashed run actually staged (recorded in
+    the manifest), not silently treat every bucket as empty."""
+    df = spark.createDataFrame([(f"k{i}", i) for i in range(60)],
+                               "k string, v int")
+    mdir = str(tmp_path / "m")
+    run1_staging = str(tmp_path / "stage_A")
+
+    def crash_at_second(bucket_df, bucket_id):
+        if bucket_id >= 1:
+            raise RuntimeError("simulated crash")
+        return {"rows": bucket_df.count()}
+
+    m1 = checkpoint.PartitionManifest(mdir)
+    with pytest.raises(RuntimeError):
+        checkpoint.run_resumable(df, "k", 4, m1, crash_at_second,
+                                 staging_dir=run1_staging)
+    assert m1.staging_dir == run1_staging
+
+    m2 = checkpoint.PartitionManifest(mdir)
+    metrics = checkpoint.run_resumable(
+        df, "k", 4, m2, lambda b, i: {"rows": b.count()},
+        staging_dir=str(tmp_path / "stage_B_never_created"))
+    assert sum(m["rows"] for m in metrics.values()) == 60  # nothing lost

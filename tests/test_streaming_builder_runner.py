@@ -141,15 +141,24 @@ def test_runner_revalidate_delta(spark, tmp_path):
                    "reason": "backward-compatible"}
     assert not os.path.exists(str(tmp_path / "o1"))  # zero work, zero writes
 
+    # the delta run lands in its own fingerprinted namespace, so reusing
+    # the ORIGINAL v1 run's --out cannot silently resume the v1 manifest:
+    # run the full v1 validation into o2 first, then revalidate into the
+    # same o2 — the delta work must still happen
+    out2 = str(tmp_path / "o2")
+    validate_table(spark, clips, out2, schema_doc=CLIPS_SCHEMA_DOC,
+                   num_buckets=2, check_audio=False)
     tighter = copy.deepcopy(CLIPS_SCHEMA_DOC)
     tighter["properties"]["dur_ms"]["maximum"] = 1500
-    res2 = revalidate_table(spark, clips, str(tmp_path / "o2"),
+    res2 = revalidate_table(spark, clips, out2,
                             old_schema_doc=CLIPS_SCHEMA_DOC,
                             new_schema_doc=tighter, num_buckets=2)
     assert res2["revalidation"] == "delta"
     assert res2["delta_schema"] == {
         "properties": {"dur_ms": {"maximum": 1500}}}
-    viols = spark.read.parquet(str(tmp_path / "o2" / "violations" / "bucket=*"))
+    assert res2["out_dir"].startswith(os.path.join(out2, "revalidate_"))
+    viols = spark.read.parquet(
+        os.path.join(res2["out_dir"], "violations", "bucket=*"))
     got = {r.keyword for r in viols.select("keyword").distinct().collect()}
     assert got == {"maximum"}  # only the narrowed keyword can newly fail
     n_over = clips.filter("dur_ms > 1500").count()
