@@ -124,6 +124,17 @@ def validate(value, schema) -> bool:
         for k, sub in (s.get("properties") or {}).items():
             if k in value:
                 ok &= validate(value.get(k), sub)
+        pprops = s.get("patternProperties") or {}
+        for pat, sub in pprops.items():
+            for k in present:
+                if re.search(pat, k):
+                    ok &= validate(value[k], sub)
+        if "additionalProperties" in s:
+            named = set(s.get("properties") or {})
+            for k in present:
+                if k in named or any(re.search(p, k) for p in pprops):
+                    continue
+                ok &= validate(value[k], s["additionalProperties"])
         for k, deps in (s.get("dependentRequired") or {}).items():
             if k in present:
                 ok &= all(d in present for d in deps)

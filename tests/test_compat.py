@@ -136,6 +136,8 @@ def _mutate(rng, doc):
             node[k] = not v
         elif isinstance(v, (int, float)):
             node[k] = v + int(rng.choice([-2, -1, 1, 2]))
+            if k == "multipleOf" and node[k] <= 0:
+                node[k] = abs(node[k]) or 1  # spec: multipleOf > 0
         elif isinstance(v, str) and k != "type":
             node[k] = v + "x"
         elif isinstance(v, list) and v:
@@ -279,3 +281,63 @@ def test_internal_ref_into_body_falls_back_to_full_doc():
                           "y": {"$ref": "#/properties/x"}}}
     assert delta_schema(old, new) == new  # y must be re-checked too
     assert not is_backward_compatible(old, new)
+
+
+def _ap_schema(rng):
+    """Object schemas exercising the context-coupled keywords: properties
+    name-sets, patternProperties, additionalProperties (bool and schema)."""
+    s = {}
+    props = {}
+    for name in ("a", "b"):
+        if rng.random() < 0.6:
+            props[name] = _num_schema(rng, integer=True)
+    if props:
+        s["properties"] = props
+    r = rng.random()
+    if r < 0.35:
+        s["additionalProperties"] = False
+    elif r < 0.6:
+        s["additionalProperties"] = _num_schema(rng, integer=True)
+    if rng.random() < 0.5:
+        s["patternProperties"] = {
+            str(rng.choice(["^x", "^y", "[0-9]$"])):
+            _num_schema(rng, integer=True)}
+    if rng.random() < 0.4:
+        s["required"] = [str(rng.choice(["a", "b", "x1"]))]
+    return s
+
+
+def _ap_pool(rng, n=24):
+    keys = ["a", "b", "x1", "x2", "y9", "q"]
+    out = []
+    for _ in range(n):
+        d = {}
+        for k in keys:
+            if rng.random() < 0.45:
+                d[k] = int(rng.choice([x for x in INTS if x is not None]))
+        out.append(d)
+    return out
+
+
+@pytest.mark.parametrize("mode", ["mutated", "independent"])
+def test_delta_contract_fuzz_additional_pattern_properties(mode):
+    """Review regression fuzz: the delta contract must hold when
+    properties / patternProperties / additionalProperties interact."""
+    rng = np.random.default_rng(77 if mode == "mutated" else 778)
+    checked = 0
+    for _ in range(400):
+        v1 = _ap_schema(rng)
+        v2 = _mutate(rng, v1) if mode == "mutated" else _ap_schema(rng)
+        delta = delta_schema(v1, v2)
+        bc = is_backward_compatible(v1, v2)
+        for x in _ap_pool(rng):
+            if not validate(x, v1):
+                continue
+            checked += 1
+            under_v2 = validate(x, v2)
+            under_delta = True if delta is None else validate(x, delta)
+            assert under_v2 == under_delta, (
+                f"delta contract broken: v1={v1} v2={v2} delta={delta} x={x}")
+            if bc:
+                assert under_v2, f"bc but rejects: v1={v1} v2={v2} x={x}"
+    assert checked > 1000
