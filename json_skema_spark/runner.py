@@ -47,8 +47,17 @@ def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
                    schema_doc: Any = None,
                    transcripts_ref: DataFrame | None = None,
                    baseline_profile: DataFrame | None = None,
-                   num_buckets: int = 16, check_audio: bool = True) -> dict:
+                   num_buckets: int = 16, check_audio: bool = True,
+                   emit_clean: bool = False) -> dict:
     """Run the full validation pipeline with checkpointed resume.
+
+    ``emit_clean=True`` additionally materializes the quarantine split:
+    rows passing the schema verdict AND carrying no audio violation land
+    under ``clean/bucket=*`` — the table a training pipeline actually
+    consumes. Cost: one extra bucket-local read of the staged files plus
+    an anti-join against that bucket's violation keys (tiny unless the
+    bucket is mostly violations); rides the same per-bucket transaction,
+    so resume semantics are unchanged.
 
     Returns the manifest metrics map (bucket -> metrics).
     """
@@ -80,7 +89,23 @@ def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
         # bucket id rides the directory name (partition discovery on read)
         prof.write.mode("overwrite") \
             .parquet(os.path.join(out_dir, "profile", f"bucket={bucket}"))
-        return {"rows": obs_rows.get["n"], "violations": obs_viol.get["n"]}
+        metrics = {"rows": obs_rows.get["n"], "violations": obs_viol.get["n"]}
+        if emit_clean:
+            # quarantine split: schema verdict filters in-scan; audio (and
+            # any other key-attributed) violations anti-join by key from
+            # the violations just written. Null-key rows cannot anti-join,
+            # but any such row already fails `required` -> plan.passed
+            obs_clean = Observation(f"clean_{bucket}")
+            vkeys = (spark.read.parquet(vpath)
+                     .select(F.col("row_key").alias("clip_id"))
+                     .filter(F.col("clip_id").isNotNull()).distinct())
+            clean = (bucket_df.filter(plan.passed)
+                     .join(vkeys, "clip_id", "left_anti")
+                     .observe(obs_clean, F.count(F.lit(1)).alias("n")))
+            clean.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "clean", f"bucket={bucket}"))
+            metrics["clean_rows"] = obs_clean.get["n"]
+        return metrics
 
     metrics = checkpoint.run_resumable(
         clips, "clip_id", num_buckets, manifest, process,
@@ -151,6 +176,8 @@ def main() -> None:
     p.add_argument("--baseline-profile", help="baseline profile parquet")
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--no-audio", action="store_true")
+    p.add_argument("--emit-clean", action="store_true",
+                   help="also materialize passing rows under clean/bucket=*")
     args = p.parse_args()
 
     spark = SparkSession.builder.appName("json_skema_spark_validate").getOrCreate()
@@ -174,7 +201,8 @@ def main() -> None:
     metrics = validate_table(spark, clips, args.out, schema_doc=schema_doc,
                              transcripts_ref=tref, baseline_profile=base,
                              num_buckets=args.buckets,
-                             check_audio=not args.no_audio)
+                             check_audio=not args.no_audio,
+                             emit_clean=args.emit_clean)
     total = {"rows": sum(m.get("rows", 0) for m in metrics.values()),
              "violations": sum(m.get("violations", 0) for m in metrics.values()),
              "buckets": len(metrics)}

@@ -164,3 +164,26 @@ def test_runner_revalidate_delta(spark, tmp_path):
     n_over = clips.filter("dur_ms > 1500").count()
     assert viols.count() == n_over > 0
     clips.unpersist()
+
+
+def test_runner_emit_clean_quarantine_split(spark, tmp_path):
+    """emit_clean materializes exactly the rows with no violation of any
+    kind (schema or audio) — the quarantine split a training pipeline
+    consumes."""
+    out = str(tmp_path / "out")
+    clips = clips_src.clips_df(spark, 200, audio=True, inject=True).cache()
+    metrics = validate_table(spark, clips, out, num_buckets=3,
+                             check_audio=True, emit_clean=True)
+    clean = spark.read.parquet(os.path.join(out, "clean", "bucket=*"))
+    viols = spark.read.parquet(os.path.join(out, "violations", "bucket=*"))
+    bad_keys = {r.row_key for r in
+                viols.select("row_key").distinct().collect()
+                if r.row_key is not None}
+    clean_keys = {r.clip_id for r in clean.select("clip_id").collect()}
+    assert clean_keys.isdisjoint(bad_keys)
+    n_null_key_bad = viols.filter("row_key IS NULL").count()
+    assert clean.count() + len(bad_keys) + (1 if n_null_key_bad else 0) \
+        >= 200 - 1  # every row is either clean or attributed to a key
+    assert sum(m["clean_rows"] for m in metrics.values()) == clean.count()
+    assert clean.count() > 0
+    clips.unpersist()
