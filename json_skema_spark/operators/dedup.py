@@ -375,3 +375,21 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_id_a",
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"),
         (F.col("node") == F.col("label")).alias("is_canonical"))
+
+
+def drop_near_duplicates(df: DataFrame, text_col: str, id_col: str,
+                         **minhash_kwargs) -> DataFrame:
+    """One-call end-to-end dedup: MinHash-LSH pairs -> connected components
+    -> keep one canonical document per cluster. Returns ``df`` minus every
+    non-canonical cluster member.
+
+    Composition of the scale-audited pieces above: only (id, id) pairs and
+    labels ever shuffle beyond the LSH stage; the final drop is a left-anti
+    join of ``df`` against the non-canonical label rows (tiny relative to
+    the corpus — proportional to duplicates, not documents).
+    """
+    pairs = minhash_near_duplicates(df, text_col, id_col, **minhash_kwargs)
+    losers = (duplicate_clusters(pairs)
+              .filter(~F.col("is_canonical"))
+              .select(F.col("doc_id").alias(id_col)))
+    return df.join(losers, id_col, "left_anti")

@@ -412,3 +412,21 @@ def test_resume_honors_recorded_staging_dir(spark, tmp_path):
         df, "k", 4, m2, lambda b, i: {"rows": b.count()},
         staging_dir=str(tmp_path / "stage_B_never_created"))
     assert sum(m["rows"] for m in metrics.values()) == 60  # nothing lost
+
+
+def test_drop_near_duplicates_end_to_end(spark):
+    """pairs -> clusters -> keep canonical: transitive near-dups collapse
+    to one survivor; distinct docs survive untouched."""
+    from json_skema_spark.operators.dedup import drop_near_duplicates
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [("d1", base),
+            ("d2", base + " today"),        # near-dup of d1
+            ("d3", base + " today now"),    # near-dup of d2 (chains to d1)
+            ("d4", "completely different text about spark dataframes "
+                   "and shuffle boundaries in distributed engines")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    kept = {r.doc_id for r in
+            drop_near_duplicates(df, "text", "doc_id",
+                                 jaccard_threshold=0.5).collect()}
+    assert kept == {"d1", "d4"}  # min-id canonical survives each cluster
