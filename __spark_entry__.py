@@ -643,7 +643,9 @@ def _q_profile_merge(spark, sf_dir):
     """Mergeable-profile path (operators/stats.mergeable_profile +
     merge_profiles): lineitem profiled in 4 disjoint hash slices, parts
     merged — exact fields (n_rows, null_fraction, min/max) must equal a
-    single pass; the oracle recomputes them straight over the table. The
+    single pass; the oracle recomputes them straight over the table. (The
+    4 filtered scans here only SIMULATE independently-profiled slices; in
+    the runner each part rides its own bucket's single staged read.) The
     HLL-sketch field is engine-specific and excluded from the projection
     (estimate-vs-single-pass equivalence is pinned by
     tests/test_merge_profiles.py)."""
