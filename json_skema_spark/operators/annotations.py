@@ -91,6 +91,10 @@ def _path_exists(dtype: T.DataType, path: list[Any]) -> bool:
             _path_exists(dtype.elementType, rest)
     if isinstance(dtype, T.StructType) and step in dtype.fieldNames():
         return _path_exists(dtype[step].dataType, rest)
+    if isinstance(dtype, T.MapType) and isinstance(dtype.keyType, T.StringType):
+        # MapType is the engine's other object representation (open
+        # documents); any string key resolves, value type drives descent
+        return _path_exists(dtype.valueType, rest)
     return False
 
 
@@ -106,7 +110,7 @@ def deprecated_usage(df: DataFrame, schema_doc: dict) -> DataFrame:
     found = deprecated_paths(schema_doc)
     counters: list[tuple[str, str]] = []  # (pointer, dotted path) per agg slot
     aggs = [F.count(F.lit(1)).alias("_rows")]
-    table_type = T.StructType(df.schema.fields)
+    table_type = df.schema
     for ptr, path in found:
         if not path or not _path_exists(table_type, path):
             continue

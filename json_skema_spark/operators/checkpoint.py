@@ -145,21 +145,6 @@ def run_resumable(df: DataFrame, key: str, num_buckets: int,
     spark = df.sparkSession
     schema = df.schema  # staged files carry the data columns only
 
-    if manifest.staged:
-        # resume MUST read the directory the crashed run actually staged —
-        # a caller passing a different staging_dir on resume would
-        # otherwise "read" N missing directories as N empty buckets
-        staging = manifest.staging_dir or pre_staged_dir or staging_dir \
-            or os.path.join(manifest.dir, "staging")
-    elif pre_staged_dir is not None:
-        staging = pre_staged_dir
-        manifest.mark_staged(staging)
-    else:
-        staging = staging_dir or os.path.join(manifest.dir, "staging")
-        stage_by_bucket(df, key, num_buckets, staging,
-                        files_per_bucket=files_per_bucket)
-        manifest.mark_staged(staging)
-
     # Hadoop FS handle for explicit existence checks (works for any FS the
     # session can reach, not just local)
     jvm = spark._jvm
@@ -168,6 +153,28 @@ def run_resumable(df: DataFrame, key: str, num_buckets: int,
     def _exists(p: str) -> bool:
         hp = jvm.org.apache.hadoop.fs.Path(p)
         return hp.getFileSystem(hconf).exists(hp)
+
+    if manifest.staged:
+        # resume reads the directory the crashed run actually staged (a
+        # caller passing a different implicit staging_dir would otherwise
+        # "read" N missing directories as N empty buckets) — UNLESS the
+        # caller explicitly says the staged data moved (pre_staged_dir)
+        staging = pre_staged_dir or manifest.staging_dir or staging_dir \
+            or os.path.join(manifest.dir, "staging")
+        if not _exists(staging):
+            raise FileNotFoundError(
+                f"manifest says staging is complete but {staging!r} does "
+                "not exist (cleaned tmp dir? node swap?) — refusing to "
+                "treat every bucket as empty; delete the manifest to "
+                "restage, or pass pre_staged_dir to the moved data")
+    elif pre_staged_dir is not None:
+        staging = pre_staged_dir
+        manifest.mark_staged(staging)
+    else:
+        staging = staging_dir or os.path.join(manifest.dir, "staging")
+        stage_by_bucket(df, key, num_buckets, staging,
+                        files_per_bucket=files_per_bucket)
+        manifest.mark_staged(staging)
 
     for bucket in range(num_buckets):
         if manifest.is_done(bucket):

@@ -377,19 +377,27 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_id_a",
         (F.col("node") == F.col("label")).alias("is_canonical"))
 
 
-def drop_near_duplicates(df: DataFrame, text_col: str, id_col: str,
+def drop_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
+                         broadcast_losers: bool = True,
                          **minhash_kwargs) -> DataFrame:
     """One-call end-to-end dedup: MinHash-LSH pairs -> connected components
     -> keep one canonical document per cluster. Returns ``df`` minus every
     non-canonical cluster member.
 
     Composition of the scale-audited pieces above: only (id, id) pairs and
-    labels ever shuffle beyond the LSH stage; the final drop is a left-anti
-    join of ``df`` against the non-canonical label rows (tiny relative to
-    the corpus — proportional to duplicates, not documents).
+    labels ever shuffle beyond the LSH stage. The final drop broadcasts the
+    non-canonical id list by default — the labels come from a
+    localCheckpoint whose size statistics Spark cannot estimate, so without
+    the hint the anti-join would sort-merge and shuffle the full corpus
+    INCLUDING text payloads. Losers scale with the duplicate count, not the
+    corpus; pass ``broadcast_losers=False`` only for pathological corpora
+    where duplicates themselves exceed executor memory (the join then falls
+    back to a shuffle, which is the honest cost at that point).
     """
     pairs = minhash_near_duplicates(df, text_col, id_col, **minhash_kwargs)
     losers = (duplicate_clusters(pairs)
               .filter(~F.col("is_canonical"))
               .select(F.col("doc_id").alias(id_col)))
+    if broadcast_losers:
+        losers = F.broadcast(losers)
     return df.join(losers, id_col, "left_anti")

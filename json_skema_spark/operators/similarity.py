@@ -121,10 +121,13 @@ def train_ivf_centroids(df: DataFrame, embedding_col: str, *, n_lists: int = 16,
     frac_df = df.select(F.col(embedding_col).cast("array<double>").alias("e"))
     rows = approx_rows if approx_rows is not None else frac_df.count()
     if rows > sample_rows:
+        # no limit() after the sample: GlobalLimit consumes partitions in
+        # order, so limiting the ~1.25x oversample would drop the TAIL
+        # partitions and re-bias toward the head. The 4x safety cap only
+        # binds when approx_rows was >3x under-estimated.
         frac_df = frac_df.sample(fraction=min(1.0, 1.25 * sample_rows / rows),
-                                 seed=seed)
-    train = (frac_df.limit(sample_rows)
-             .select(array_to_vector(F.col("e")).alias("features")))
+                                 seed=seed).limit(4 * sample_rows)
+    train = frac_df.select(array_to_vector(F.col("e")).alias("features"))
     km = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(train)
     return np.array(km.clusterCenters())
 

@@ -364,8 +364,19 @@ def compat_report(old_doc: Any, new_doc: Any) -> list[Change]:
 
 
 def is_backward_compatible(old_doc: Any, new_doc: Any) -> bool:
-    """True iff every change is a widening: all v1-valid rows stay valid."""
-    return all(c.kind == WIDENING for c in compat_report(old_doc, new_doc))
+    """True iff every change is a widening: all v1-valid rows stay valid.
+
+    Refuses to certify (returns False) when the documents carry a
+    reference into the document body (``#/properties/...``, anchors,
+    ``$dynamicRef``): a ref site under ``not``/``oneOf``/``if`` INVERTS
+    polarity, so a widening at the target can be a narrowing at the site —
+    per-keyword classification cannot see that."""
+    changes = compat_report(old_doc, new_doc)
+    if not changes:
+        return True  # annotation-only diffs can't affect any ref site
+    if _has_unlocalizable_ref(old_doc) or _has_unlocalizable_ref(new_doc):
+        return False
+    return all(c.kind == WIDENING for c in changes)
 
 
 def _contains_ref(node: Any) -> bool:
@@ -410,14 +421,18 @@ def delta_schema(old_doc: Any, new_doc: Any) -> Any | None:
     """
     changes: list[Change] = []
     d = _diff(old_doc, new_doc, "#", changes)
+    if changes and (_has_unlocalizable_ref(old_doc)
+                    or _has_unlocalizable_ref(new_doc)):
+        # a ref into the document body (or an anchor/dynamic ref) couples
+        # its site to changes elsewhere — including polarity inversion
+        # under not/oneOf/if, where a widening at the target narrows the
+        # site — so this must preempt even the "pure widening" (d is None)
+        # early-out; only the full document is sound
+        return new_doc
     if d is None:
         return None
     if any(c.keyword == "$defs" for c in changes):
         # a changed definition alters every $ref site: local diff is blind
-        return new_doc
-    if _has_unlocalizable_ref(old_doc) or _has_unlocalizable_ref(new_doc):
-        # a $ref into the document body (or an anchor/dynamic ref) couples
-        # its site to changes elsewhere; only the full document is sound
         return new_doc
     if isinstance(d, dict) and _contains_ref(d) \
             and isinstance(new_doc, dict) and "$defs" in new_doc \

@@ -94,12 +94,22 @@ def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
             # quarantine split: schema verdict filters in-scan; audio (and
             # any other key-attributed) violations anti-join by key from
             # the violations just written. Null-key rows cannot anti-join,
-            # but any such row already fails `required` -> plan.passed
+            # but any such row already fails `required` -> plan.passed.
+            # Duplicate clip_ids hash to the SAME bucket (staging is
+            # bucketed by key), so the uniqueness check folds in here as a
+            # bucket-local count — every copy of a duplicated key is
+            # quarantined, consistent with violations_unique. Referential
+            # orphans are NOT excluded (transcripts_ref is not co-bucketed;
+            # see the post-loop violations_ref report).
+            from pyspark.sql import Window
             obs_clean = Observation(f"clean_{bucket}")
             vkeys = (spark.read.parquet(vpath)
                      .select(F.col("row_key").alias("clip_id"))
                      .filter(F.col("clip_id").isNotNull()).distinct())
-            clean = (bucket_df.filter(plan.passed)
+            n_copies = F.count(F.lit(1)).over(Window.partitionBy("clip_id"))
+            clean = (bucket_df.withColumn("_n_copies", n_copies)
+                     .filter(plan.passed & (F.col("_n_copies") == 1))
+                     .drop("_n_copies")
                      .join(vkeys, "clip_id", "left_anti")
                      .observe(obs_clean, F.count(F.lit(1)).alias("n")))
             clean.write.mode("overwrite").parquet(
@@ -194,7 +204,8 @@ def main() -> None:
         result = revalidate_table(
             spark, clips, args.out, old_schema_doc=old_doc,
             new_schema_doc=schema_doc or CLIPS_SCHEMA_DOC,
-            transcripts_ref=tref, num_buckets=args.buckets)
+            transcripts_ref=tref, num_buckets=args.buckets,
+            emit_clean=args.emit_clean)
         print(json.dumps({k: v for k, v in result.items()
                           if k != "metrics"}))
         return

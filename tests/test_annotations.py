@@ -91,3 +91,19 @@ def test_missing_nested_field_is_skipped(spark):
     rep = deprecated_usage(df, SCHEMA)  # SCHEMA marks meta.legacy + tags.[]
     got = {r.property_path for r in rep.collect()}
     assert got == {"a"}  # meta.legacy and tags.[] absent from the table
+
+
+def test_map_backed_object_column(spark):
+    """Review regression: MapType is the engine's open-document object
+    representation — deprecated paths through string-keyed maps resolve."""
+    df = spark.createDataFrame(
+        [("a", {"legacy": "1", "keep": "k"}),
+         ("b", {"keep": "k"}),
+         ("c", None)],
+        "a string, meta map<string,string>")
+    doc = {"properties": {"meta": {"properties": {
+        "legacy": {"deprecated": True}}}}}
+    rows = deprecated_usage(df, doc).collect()
+    assert len(rows) == 1
+    assert rows[0].property_path == "meta.legacy"
+    assert rows[0].n_present == 1 and rows[0].n_rows == 3

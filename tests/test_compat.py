@@ -341,3 +341,16 @@ def test_delta_contract_fuzz_additional_pattern_properties(mode):
             if bc:
                 assert under_v2, f"bc but rejects: v1={v1} v2={v2} x={x}"
     assert checked > 1000
+
+
+def test_polarity_inverting_ref_blocks_certification():
+    """Review regression: a body-ref under `not` inverts polarity — a
+    widening at the target narrows the site, so a 'pure widening' report
+    must not certify, and the delta must be the full document."""
+    old = {"properties": {"x": {"minimum": 5},
+                          "y": {"not": {"$ref": "#/properties/x"}}}}
+    new = {"properties": {"x": {"minimum": 0},   # widened at the target...
+                          "y": {"not": {"$ref": "#/properties/x"}}}}
+    # ...but {'x': 7, 'y': 3} is v1-valid and v2-invalid (3 now matches x)
+    assert not is_backward_compatible(old, new)
+    assert delta_schema(old, new) == new

@@ -430,3 +430,23 @@ def test_drop_near_duplicates_end_to_end(spark):
             drop_near_duplicates(df, "text", "doc_id",
                                  jaccard_threshold=0.5).collect()}
     assert kept == {"d1", "d4"}  # min-id canonical survives each cluster
+
+
+def test_resume_refuses_missing_staging_root(spark, tmp_path):
+    """Review regression: a staged manifest whose staging dir vanished
+    (tmp cleaner, node swap) must raise, not commit empty buckets."""
+    import shutil
+
+    df = spark.createDataFrame([(f"k{i}", i) for i in range(20)],
+                               "k string, v int")
+    mdir = str(tmp_path / "m")
+    m1 = checkpoint.PartitionManifest(mdir)
+    with pytest.raises(RuntimeError):
+        checkpoint.run_resumable(
+            df, "k", 4, m1,
+            lambda b, i: (_ for _ in ()).throw(RuntimeError("crash")))
+    shutil.rmtree(os.path.join(mdir, "staging"))
+    m2 = checkpoint.PartitionManifest(mdir)
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        checkpoint.run_resumable(df, "k", 4, m2,
+                                 lambda b, i: {"rows": b.count()})

@@ -187,3 +187,21 @@ def test_runner_emit_clean_quarantine_split(spark, tmp_path):
     assert sum(m["clean_rows"] for m in metrics.values()) == clean.count()
     assert clean.count() > 0
     clips.unpersist()
+
+
+def test_emit_clean_excludes_duplicate_keys(spark, tmp_path):
+    """Review regression: duplicated clip_ids (schema-clean, audio-clean)
+    are flagged by violations_unique — every copy must be quarantined,
+    not written to clean/."""
+    from pyspark.sql import functions as F2
+
+    clips = clips_src.clips_df(spark, 60, audio=False, inject=False)
+    dup = clips.limit(1)  # duplicate one row wholesale
+    both = clips.unionByName(dup)
+    dup_id = dup.collect()[0].clip_id
+    out = str(tmp_path / "out")
+    validate_table(spark, both, out, num_buckets=2, check_audio=False,
+                   emit_clean=True)
+    clean = spark.read.parquet(os.path.join(out, "clean", "bucket=*"))
+    assert clean.filter(F2.col("clip_id") == dup_id).count() == 0
+    assert clean.count() == 59  # the other rows survive exactly once
