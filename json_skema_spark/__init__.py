@@ -26,7 +26,8 @@ from json_skema_spark.plans.model import Resolver, SchemaError
 from json_skema_spark.plans.verdict import (ValidationPlan, validate,
                                              validate_json_column,
                                              validate_open_json,
-                                             validate_yaml_column)
+                                             validate_yaml_column,
+                                             violation_digest)
 
 __all__ = [
     "AggregateCompileError",
@@ -43,4 +44,5 @@ __all__ = [
     "validate_json_column",
     "validate_open_json",
     "validate_yaml_column",
+    "violation_digest",
 ]
