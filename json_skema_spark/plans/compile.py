@@ -39,6 +39,7 @@ Scale notes (100 TB target):
 
 from __future__ import annotations
 
+import math as _math
 import re as _re
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -69,6 +70,22 @@ class CompileError(Exception):
     def __init__(self, message: str, location: str | None = None):
         super().__init__(message)
         self.location = location
+
+
+def _name_pattern(pat: str, ploc: str) -> "_re.Pattern":
+    """Compile a patternProperties regex for COMPILE-TIME struct-name
+    matching. Runtime matching (map keys) uses ``rlike`` — the same Java
+    engine as the reference — but fixed struct names must be matched
+    driver-side; a Java-only construct (``\\p{Alpha}`` etc.) is reported
+    as a pointered CompileError instead of an uncaught ``re.error``."""
+    try:
+        return _re.compile(pat)
+    except _re.error as exc:
+        raise CompileError(
+            f"pattern {pat!r} is not a valid Python regex — compile-time "
+            "struct property-name matching cannot evaluate Java-only "
+            f"constructs ({exc}); use a map column for dynamic keys",
+            location=ploc)
 
 
 class AggregateCompileError(CompileError):
@@ -244,7 +261,13 @@ class Inst:
         if isinstance(self.dtype, T.StructType):
             if name not in self.dtype.fieldNames():
                 return F.lit(False)
-            return self.child(name).col.isNotNull()
+            c = self.child(name).col
+            if _is_variant(self.dtype[name].dataType) and not self.strict:
+                # a JSON-null variant member is absent under the engine's
+                # SQL convention — same rule as the MapType branch below
+                return c.isNotNull() & ~F.coalesce(vt.is_json_null(c),
+                                                   F.lit(False))
+            return c.isNotNull()
         if isinstance(self.dtype, T.MapType):
             has = F.coalesce(F.map_contains_key(self.col, F.lit(name)), F.lit(False))
             if _is_variant(self.dtype.valueType) and not self.strict:
@@ -385,6 +408,10 @@ _NUMERIC_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                   T.FloatType, T.DoubleType, T.DecimalType)
 _INTEGERISH = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 _STRINGISH = (T.StringType, T.VarcharType, T.CharType)
+# temporal columns carry json type "string" (_json_type_of): string
+# keywords evaluate over their canonical cast-to-string text (dates are
+# ISO "2024-01-01"; timestamps use Spark's space separator, not "T")
+_TEMPORAL = (T.DateType, T.TimestampType, T.TimestampNTZType)
 
 
 def _is_number(v: Any) -> bool:
@@ -719,7 +746,10 @@ class Compiler:
                       "null": vt.is_json_null if inst.strict else vt.is_absent}
             ok = F.lit(False)
             for t in types:
-                ok = ok | F.coalesce(checks[t](inst.col), F.lit(False))
+                # unknown type name -> never matches (same as the typed
+                # path), not a KeyError escaping the CompileError contract
+                check = checks.get(t, lambda _c: F.lit(False))
+                ok = ok | F.coalesce(check(inst.col), F.lit(False))
             prefix = (f"expected type: {types[0]}" if isinstance(tval, str)
                       else "expected type: one of " + ", ".join(types))
             msg = F.concat(F.lit(prefix + ", actual: "),
@@ -800,6 +830,10 @@ class Compiler:
         if isinstance(value, str):
             if isinstance(dtype, _STRINGISH):
                 return col == F.lit(value)
+            if isinstance(dtype, _TEMPORAL):
+                # json type "string" (see _json_type_of): compare the
+                # canonical text, not always-False
+                return col.cast("string") == F.lit(value)
             return F.lit(False)
         if isinstance(value, list):
             if not isinstance(dtype, T.ArrayType):
@@ -822,13 +856,14 @@ class Compiler:
                 for k, v in value.items():
                     if k not in dtype.fieldNames():
                         return F.lit(False)
+                    # child() handles the table root (col is None: fields
+                    # bind to real DataFrame columns) and nested structs
                     out = out & F.coalesce(
-                        self._value_equals(Inst(col.getField(k), dtype[k].dataType,
-                                                F.lit("")), v), F.lit(False))
+                        self._value_equals(inst.child(k), v), F.lit(False))
                 # properties absent from the const must be absent in the row
                 for name in dtype.fieldNames():
                     if name not in value:
-                        out = out & col.getField(name).isNull()
+                        out = out & ~inst.present(name)
                 return out
             if isinstance(dtype, T.MapType):
                 out = F.size(F.map_keys(col)) == len(value)
@@ -843,8 +878,6 @@ class Compiler:
     def _variant_equals(self, col: Column, value: Any, *,
                         strict: bool = False) -> Column:
         """Deep equality for runtime-dispatched variant values."""
-        import json as _json
-
         if value is None:
             # strict: const/enum null matches only an explicit JSON null
             return vt.is_json_null(col) if strict else vt.is_absent(col)
@@ -928,13 +961,35 @@ class Compiler:
             d = node["multipleOf"]
             # exact remainder via DecimalType, not float (BigDecimal.remainder,
             # Validator.kt:680-686); exact_repr is the value's decimal string
+            if not (_is_number(d) and d > 0):
+                raise CompileError(
+                    f"multipleOf must be a number > 0, got {d!r}",
+                    location=f"{kw_loc}/multipleOf")
             if isinstance(inst.dtype, _INTEGERISH) and isinstance(d, int):
                 fail = gate & ~inst.is_absent() & (F.pmod(inst.col, F.lit(d)) != 0)
-            else:
-                dec = exact_repr.cast(T.DecimalType(38, 12))
+            elif abs(float(d)) >= 1e26:
+                # divisor beyond decimal(38,12)'s integral range: exact
+                # decimal arithmetic impossible; double remainder
                 fail = gate & ~inst.is_absent() & (
-                    F.pmod(dec, F.lit(d).cast(T.DecimalType(38, 12)))
-                    != F.lit(0).cast(T.DecimalType(38, 12)))
+                    F.pmod(num, F.lit(float(d))) != 0)
+            else:
+                # scale sized so the DIVISOR survives its cast — a fixed
+                # (38,12) turns multipleOf 1e-13 into decimal zero and
+                # pmod raises DIVIDE_BY_ZERO under ANSI defaults
+                frac = 12
+                if 0 < abs(float(d)) < 1e-3:
+                    frac = min(30, max(12, 9 - _math.floor(
+                        _math.log10(abs(float(d))))))
+                ddt = T.DecimalType(38, frac)
+                dec = exact_repr.try_cast(ddt)
+                exact_fail = F.pmod(dec, F.lit(d).cast(ddt)) \
+                    != F.lit(0).cast(ddt)
+                # value outside decimal(38,frac) (huge double): try_cast
+                # yields null -> approximate double-remainder fallback
+                # instead of an ANSI cast error or a silent pass
+                fail = gate & ~inst.is_absent() & F.when(
+                    dec.isNotNull(), exact_fail).otherwise(
+                    F.pmod(num, F.lit(float(d))) != 0)
             parts.append(Compiled.simple(
                 fail, "multipleOf", f"{kw_loc}/multipleOf", inst.loc,
                 dyn + "/multipleOf",
@@ -949,6 +1004,12 @@ class Compiler:
         if _is_variant(inst.dtype):
             gate = F.coalesce(vt.is_string(inst.col), F.lit(False))
             col = F.when(gate, vt.as_string(inst.col))
+        elif isinstance(inst.dtype, _TEMPORAL):
+            # temporal columns ARE json strings (_json_type_of): evaluate
+            # length/pattern over the canonical text instead of silently
+            # skipping what `type: "string"` just accepted
+            gate = F.lit(True)
+            col = inst.col.cast("string")
         elif not isinstance(inst.dtype, (*_STRINGISH, T.BinaryType)):
             return None  # string keywords ignore non-string instances
         else:
@@ -1027,7 +1088,7 @@ class Compiler:
             if is_struct:
                 for pat, pschema in pattern_props.items():
                     ploc = f"{kw_loc}/patternProperties/{pointer_escape(pat)}"
-                    rx = _re.compile(pat)
+                    rx = _name_pattern(pat, ploc)
                     for pname in names:
                         if rx.search(pname):
                             child = self._compile(
@@ -1074,7 +1135,7 @@ class Compiler:
             ap = node["additionalProperties"]
             covered = set(prop_schemas)
             for pat in pattern_props:
-                rx = _re.compile(pat)
+                rx = _name_pattern(pat, f"{kw_loc}/patternProperties")
                 covered |= {n for n in names if rx.search(n)}
             residual = [n for n in names if n not in covered]
             aloc = f"{kw_loc}/additionalProperties"
@@ -1092,12 +1153,16 @@ class Compiler:
             patterns = list(pattern_props)
 
             def residual_keys(col):
-                def is_residual(k):
+                def is_residual(k, v):
                     cond = ~k.isin(*allowed) if allowed else F.lit(True)
                     for pat in patterns:
                         cond = cond & ~k.rlike(pat)
+                    if _is_variant(inst.dtype.valueType) and not inst.strict:
+                        # JSON-null members are absent (engine convention,
+                        # same as required/minProperties above)
+                        cond = cond & ~vt.is_json_null(v)
                     return cond
-                return F.map_filter(col, lambda k, v: is_residual(k))
+                return F.map_filter(col, is_residual)
 
             if ap is False:
                 extra = residual_keys(inst.col)
@@ -1133,7 +1198,13 @@ class Compiler:
             else:
                 elem_fn = self._element_fn(pn, T.StringType(), inst.loc, ploc,
                                            dyn + "/propertyNames", scope, depth, strict=inst.strict)
-                ok = F.forall(F.map_keys(inst.col), lambda k: elem_fn(k, F.lit(0)).passed)
+                pn_src = inst.col
+                if _is_variant(inst.dtype.valueType) and not inst.strict:
+                    # only PRESENT members' names validate: JSON-null
+                    # members are absent under the engine convention
+                    pn_src = F.map_filter(
+                        inst.col, lambda k, v: ~vt.is_json_null(v))
+                ok = F.forall(F.map_keys(pn_src), lambda k: elem_fn(k, F.lit(0)).passed)
                 add(Compiled.simple(
                     ~inst.is_absent() & ~F.coalesce(ok, F.lit(True)), "propertyNames",
                     ploc, inst.loc, dyn + "/propertyNames",
@@ -1246,13 +1317,19 @@ class Compiler:
                     (F.array_position(cmp_arr, x) - 1).alias("first"),
                     i.cast("long").alias("second"))),
                 lambda s: s.getField("first") < s.getField("second"))
-            first_pair = F.element_at(pairs, 1)
+            # F.get (not element_at): when the only duplicates are SQL NULL
+            # elements, array_position yields NULL pairs that the filter
+            # drops — element_at([], 1) would throw under ANSI mode
+            first_pair = F.get(pairs, 0)
             add(Compiled.simple(
                 ~inst.is_absent() & dup, "uniqueItems", f"{kw_loc}/uniqueItems",
                 inst.loc, dyn + "/uniqueItems",
-                F.format_string(
+                F.when(first_pair.isNotNull(), F.format_string(
                     "the same array element occurs at positions %s, %s",
-                    first_pair.getField("first"), first_pair.getField("second"))))
+                    first_pair.getField("first"), first_pair.getField("second")))
+                .otherwise(F.lit(
+                    "the same array element occurs multiple times "
+                    "(null elements)"))))
 
         # prefixItems (Validator.kt:730-749): i-th subschema on i-th element
         if prefix_n:

@@ -103,11 +103,21 @@ def json_type_name(col: Column) -> Column:
 
 def equality_key(col: Column) -> Column:
     """Canonical string key implementing JSON deep-equality classes:
-    numbers normalize to double repr (5 == 5.0, BigDecimal.compareTo
-    semantics JsonValue.kt:288-292); composites use their JSON text
-    (documented caveat: object key order matters for nested objects)."""
-    return (F.when(is_number(col), F.concat(F.lit("n:"),
-                                            as_double(col).cast("string")))
+    numbers normalize by VALUE (5 == 5.0, BigDecimal.compareTo semantics
+    JsonValue.kt:288-292); composites use their JSON text (documented
+    caveat: object key order matters for nested objects).
+
+    The numeric key is ``double-repr ':' integral-repr``: the double part
+    alone would collide distinct int64 values above 2^53 (both round to
+    the same double), so the exact decimal(38,0) rendering — which agrees
+    for 5 vs 5.0 but separates 2^53 from 2^53+1 — disambiguates; values
+    outside decimal(38,0) (fractional, |x| >= 1e38) fall back to "" where
+    the double part already separates them."""
+    num_key = F.concat(
+        F.lit("n:"), as_double(col).cast("string"), F.lit(":"),
+        F.coalesce(F.try_variant_get(col, "$", "decimal(38,0)")
+                   .cast("string"), F.lit("")))
+    return (F.when(is_number(col), num_key)
             .when(is_string(col), F.concat(F.lit("s:"), as_string(col)))
             .when(is_boolean(col), F.concat(F.lit("b:"), as_string(col)))
             .when(is_json_null(col), F.lit("z:null"))
