@@ -1237,13 +1237,14 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (SELECT doc_id, length(text) AS n_chars,
                 len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
                 len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                length(regexp_replace(text, '\\s+', '', 'g')) AS n_wchars,
                 len({_TOKENS}) AS n_tok FROM documents),
             b AS (SELECT doc_id,
                 CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 1.0
                      WHEN n_chars > 0 THEN 0.5 ELSE 0.0 END AS len_band,
                 CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars
                      ELSE 0.0 END AS alpha_ratio,
-                CASE WHEN (CASE WHEN n_tok > 0 THEN CAST(n_chars AS DOUBLE) / n_tok
+                CASE WHEN (CASE WHEN n_tok > 0 THEN CAST(n_wchars AS DOUBLE) / n_tok
                            ELSE 0.0 END) BETWEEN 3.0 AND 12.0
                      THEN 1.0 ELSE 0.4 END AS wl_band,
                 CASE WHEN (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars

@@ -205,10 +205,25 @@ def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
 
 
 def pcm_invariant_check(df: DataFrame, ref_transcripts: DataFrame | None = None,
-                        *, min_snr_db: float = 30.0) -> DataFrame:
+                        *, min_snr_db: float = 30.0,
+                        check_duration: bool = False,
+                        duration_tolerance: float = 0.02) -> DataFrame:
     """North-rule per-row invariant: decoded PCM vs the deterministic
     reference signal (allclose expressed as SNR >= ``min_snr_db``), plus
     transcript equality when a reference transcript table is joined in.
+
+    ``check_duration=True`` additionally fails rows whose decoded sample
+    count deviates from ``sr * dur_ms`` by more than ``duration_tolerance``
+    — without it, a structurally valid WAV holding only the first N samples
+    of a much longer claimed clip passes (the reference synth is truncated
+    to the decoded length and SNR compares the common prefix). Default OFF
+    because the in-repo fixtures intentionally cap synthesized audio at 2 s
+    (BENCH note) — enable it on production tables, or use the dedicated
+    ``audio_features.duration_consistency_violations`` report.
+
+    A clip absent from ``ref_transcripts`` (or a null transcript) gets
+    ``transcript_ok=False`` with ``error="missing_reference_transcript"``
+    so it is distinguishable from a genuine text mismatch.
 
     Output: (clip_id, decode_ok, snr_db, transcript_ok, error).
     """
@@ -253,7 +268,22 @@ def pcm_invariant_check(df: DataFrame, ref_transcripts: DataFrame | None = None,
                         s = snr_db(ref, sig)
                         snr[idx] = s
                         ok[idx] = s >= min_snr_db
-                terr[idx] = (tr == rtr) and tr is not None
+                        if check_duration:
+                            expected = int(eff_sr) * int(dur) / 1000.0
+                            if abs(len(sig) - expected) > max(
+                                    duration_tolerance * expected, 2.0):
+                                ok[idx] = False
+                                errs[idx] = (f"duration_mismatch: decoded "
+                                             f"{len(sig)} samples, claimed "
+                                             f"~{int(expected)}")
+                rtr_null = rtr is None or (not isinstance(rtr, str)
+                                           and pd.isna(rtr))
+                tr_null = tr is None or (not isinstance(tr, str)
+                                         and pd.isna(tr))
+                terr[idx] = (not rtr_null) and (not tr_null) and tr == rtr
+                if (rtr_null or tr_null) and not errs[idx]:
+                    errs[idx] = "null_transcript" if tr_null \
+                        else "missing_reference_transcript"
             yield pd.DataFrame({
                 "clip_id": pdf["clip_id"], "decode_ok": ok, "snr_db": snr,
                 "transcript_ok": terr, "error": errs})
@@ -275,6 +305,10 @@ def audio_violations(df: DataFrame, *, min_snr_db: float = 30.0,
         F.when(~F.col("decode_ok"),
                F.concat(F.lit(f"decoded PCM SNR below {min_snr_db} dB or decode "
                               "failed: "), F.coalesce(F.col("error"), F.lit(""))))
+        .when(F.col("error") == "missing_reference_transcript",
+              F.lit("no reference transcript exists for this clip"))
+        .when(F.col("error") == "null_transcript",
+              F.lit("transcript is null"))
         .otherwise(F.lit("transcript does not equal reference transcript"))
         .alias("message"),
         F.spark_partition_id().alias("partition_id"),

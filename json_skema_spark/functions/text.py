@@ -62,14 +62,19 @@ def language_id(col: Column) -> Column:
 
 
 def quality_score(col: Column) -> Column:
-    """Heuristic document quality in [0,1]: blend of length band, alpha
-    ratio, punctuation ratio, mean word length band, stopword presence."""
+    """Heuristic document quality in [0,1]: weighted blend of length band
+    (0.3), alpha ratio (0.3), mean-word-length band (0.2), and punctuation
+    band (0.2) — Gopher-rules-style thresholds. Mean word length counts
+    only non-whitespace characters (``n_chars/n_tok`` would charge every
+    token ~1 extra character for its separating space and misband
+    short-word documents near the 3.0 boundary)."""
     n_chars = F.length(col)
     n_alpha = F.regexp_count(col, F.lit(r"[A-Za-z]"))
     n_punct = F.regexp_count(col, F.lit(r"[^\w\s]"))
+    n_wchars = F.length(F.regexp_replace(col, r"\s+", ""))
     toks = tokens(col)
     n_tok = F.size(toks)
-    mean_wl = F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
+    mean_wl = F.when(n_tok > 0, n_wchars.cast("double") / n_tok).otherwise(F.lit(0.0))
     alpha_ratio = F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
     len_band = F.when((n_chars >= 100) & (n_chars <= 20000), F.lit(1.0)) \
@@ -77,8 +82,7 @@ def quality_score(col: Column) -> Column:
     wl_band = F.when((mean_wl >= 3.0) & (mean_wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.4))
     punct_band = F.when(punct_ratio <= 0.2, F.lit(1.0)).otherwise(F.lit(0.3))
     return F.round(
-        0.3 * len_band + 0.3 * alpha_ratio + 0.2 * wl_band + 0.2 * punct_band
-        - 0.0 * punct_ratio, 6)
+        0.3 * len_band + 0.3 * alpha_ratio + 0.2 * wl_band + 0.2 * punct_band, 6)
 
 
 _URL_RE = r"https?://[^\s]+|www\.[^\s]+"

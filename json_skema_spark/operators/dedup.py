@@ -56,6 +56,10 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str, *,
     """
     d = df.select(F.col(id_col).alias("doc_id"),
                   content_digest(F.col(text_col), normalize=normalize).alias("digest"))
+    # null text -> null digest; groupBy treats nulls as equal, which would
+    # report documents whose content was never compared as one duplicate
+    # cluster — null-text rows are simply not exact duplicates of anything
+    d = d.filter(F.col("digest").isNotNull())
     if max_ids is None:
         return (
             d.groupBy("digest")
@@ -138,7 +142,8 @@ def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
                             bands: int = 16, seed: int = 42,
                             jaccard_threshold: float = 0.8,
                             verify: bool = True,
-                            max_bucket: int = 1000) -> DataFrame:
+                            max_bucket: int = 1000,
+                            persist_signatures: bool = True) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH.
 
     Pipeline: shingle -> signature -> split into ``bands`` bands of
@@ -152,6 +157,12 @@ def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
     (semi-join pruned). Output: ``(doc_id_a, doc_id_b, jaccard)`` with
     ``doc_id_a < doc_id_b``.
     """
+    if bands <= 0 or num_hashes % bands != 0:
+        # silent truncation would alter the LSH S-curve the caller tuned
+        # (64 hashes / 12 bands would quietly use only 60), and
+        # bands > num_hashes would build zero-hash bands
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes})")
     rows_per_band = num_hashes // bands
     df = ensure_parallelism(df)
     # max_bucket guards the self-join against degenerate buckets (e.g. empty
@@ -165,6 +176,15 @@ def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
         F.col(id_col).alias("doc_id"),
         shingle_hashes(F.col(text_col), shingle_n, seed).alias("sh"),
     ).withColumn("sig", minhash_signature_from_hashes(F.col("sh"), num_hashes))
+    if persist_signatures:
+        # `base` feeds the bucket-size agg, the self-join, and both
+        # verify-stage joins: without a persist the dominant CPU cost
+        # (shingling + 64-way minhash over the full corpus) re-executes
+        # 3-4x — self-join branches are distinct subplans, so ReuseExchange
+        # alone does not dedupe them. MEMORY_AND_DISK spills; footprint is
+        # ids + hashed shingles + signatures (~KB/doc), never the text.
+        from pyspark import StorageLevel
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     banded = base.select(
         "doc_id",

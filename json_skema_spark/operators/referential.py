@@ -55,9 +55,18 @@ def members(fact: DataFrame, dim: DataFrame, key: str, *,
 
 def referential_violations(fact: DataFrame, dim: DataFrame, key: str, *,
                            keyword_location: str = "#/$ref",
-                           broadcast_threshold_rows: int = DEFAULT_BROADCAST_ROWS) -> DataFrame:
-    """Orphan rows rendered in the standard violations shape (FIXTURES.md §5)."""
-    o = orphans(fact, dim, key, broadcast_threshold_rows=broadcast_threshold_rows)
+                           broadcast_threshold_rows: int = DEFAULT_BROADCAST_ROWS,
+                           dim_rows: int | None = None) -> DataFrame:
+    """Orphan rows rendered in the standard violations shape (FIXTURES.md §5).
+
+    ``partition_id`` is tagged on the FACT SIDE BEFORE the join: evaluated
+    after an SMJ it would report the post-shuffle exchange partition (then
+    rewritten again by AQE coalescing), not the source partition the
+    violating row came from — same rule as ``uniqueness.duplicate_rows``."""
+    tagged = fact.withColumn("partition_id", F.spark_partition_id())
+    o = orphans(tagged, dim, key,
+                broadcast_threshold_rows=broadcast_threshold_rows,
+                dim_rows=dim_rows)
     return o.select(
         F.col(key).cast("string").alias("row_key"),
         F.lit("$ref").alias("keyword"),
@@ -67,19 +76,24 @@ def referential_violations(fact: DataFrame, dim: DataFrame, key: str, *,
         F.format_string(
             f"{key} %s has no matching row in the reference table",
             F.col(key).cast("string")).alias("message"),
-        F.spark_partition_id().alias("partition_id"),
+        F.col("partition_id"),
     )
 
 
 def field_equality_violations(fact: DataFrame, dim: DataFrame, key: str,
                               field: str, *, keyword_location: str = "#/const",
-                              broadcast_threshold_rows: int = DEFAULT_BROADCAST_ROWS) -> DataFrame:
+                              broadcast_threshold_rows: int = DEFAULT_BROADCAST_ROWS,
+                              dim_rows: int | None = None) -> DataFrame:
     """Rows where ``fact.field`` disagrees with ``dim.field`` for the same key
     (e.g. transcript equality vs the reference table — BASELINE.json
-    input_hint's per-row invariant). Null-safe comparison via ``eqNullSafe``."""
+    input_hint's per-row invariant). Null-safe comparison via ``eqNullSafe``.
+    ``dim_rows`` (caller-asserted dim size) gates the broadcast, same as
+    ``orphans``/``members``; ``partition_id`` is tagged pre-join (see
+    ``referential_violations``)."""
     d = dim.select(F.col(key), F.col(field).alias("_expected"))
-    d = _maybe_broadcast(d, broadcast_threshold_rows)
-    joined = fact.join(d, on=key, how="inner")
+    d = _maybe_broadcast(d, broadcast_threshold_rows, dim_rows)
+    tagged = fact.withColumn("partition_id", F.spark_partition_id())
+    joined = tagged.join(d, on=key, how="inner")
     return (
         joined.filter(~F.col(field).eqNullSafe(F.col("_expected")))
         .select(
@@ -89,6 +103,6 @@ def field_equality_violations(fact: DataFrame, dim: DataFrame, key: str,
             F.lit(f"#/{field}").alias("instance_location"),
             F.lit("#/const").alias("dynamic_path"),
             F.lit(f"{field} does not equal the reference value").alias("message"),
-            F.spark_partition_id().alias("partition_id"),
+            F.col("partition_id"),
         )
     )

@@ -39,7 +39,12 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity, zero-vector safe: a zero-norm side scores 0.0,
+    not NaN — Spark sorts NaN ABOVE every number, so an unguarded 0/0
+    would both pass `>= threshold` filters and displace real top-k hits
+    whenever the corpus carries padding/failed-encode all-zero rows."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def _lit_vec(vec) -> Column:
@@ -170,7 +175,8 @@ def embedding_near_duplicates(df: DataFrame, embedding_col: str, id_col: str, *,
                               cosine_threshold: float = 0.95,
                               bands: int = 16, planes_per_band: int = 4,
                               seed: int = 42, dim: int | None = None,
-                              max_bucket: int = 1000) -> DataFrame:
+                              max_bucket: int = 1000,
+                              persist_vectors: bool = True) -> DataFrame:
     """Near-duplicate pairs by embedding cosine: **banded** random-hyperplane
     LSH (the SimHash/MinHash banding trick applied to sign-projections), then
     exact-cosine verification. Output ``(id_a, id_b, cosine)``.
@@ -193,6 +199,11 @@ def embedding_near_duplicates(df: DataFrame, embedding_col: str, id_col: str, *,
     emb = F.col(embedding_col).cast("array<double>")
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"), emb.alias("e"))
+    if persist_vectors:
+        # reused by the banding stage, the bucket-size agg, and both
+        # verify joins (same rationale as minhash_near_duplicates)
+        from pyspark import StorageLevel
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     banded = base.select(
         "doc_id", "e",
         F.explode(F.array(*[

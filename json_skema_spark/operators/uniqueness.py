@@ -29,9 +29,18 @@ def duplicate_keys(df: DataFrame, key: str | Column, *,
     Output: ``(key, n_rows)`` with ``n_rows >= 2``.
     """
     k = F.col(key) if isinstance(key, str) else key
+    # DETERMINISTIC salt: monotonically_increasing_id is nondeterministic,
+    # and using it as a grouping key means a stage retry re-salts rows —
+    # reducers that fetched the old attempt keep them under the old salt
+    # while re-fetching reducers see the new one -> corrupted counts.
+    # spark_partition_id is stable across retries of the same plan (a
+    # re-run map task keeps its partition), and hashing it with the key
+    # spreads any single hot key across salt_buckets sub-groups.
     partial = (
         df.select(k.alias("key"))
-        .withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+        .withColumn("_salt", F.pmod(F.xxhash64(F.col("key"),
+                                               F.spark_partition_id(),
+                                               F.lit(17)),
                                     F.lit(salt_buckets)))
         .groupBy("key", "_salt")
         .agg(F.count("*").alias("_partial"))

@@ -28,16 +28,27 @@ def exact_dedup_stream(stream_df: DataFrame, text_col: str, ts_col: str, *,
                        normalize: bool = True) -> DataFrame:
     """Drop content-duplicate rows from a stream, state bounded by
     ``watermark``. Output: the input rows, first occurrence per digest."""
-    d = stream_df.withColumn(
-        "_digest", content_digest(F.col(text_col), normalize=normalize))
-    return (d.withWatermark(ts_col, watermark)
-            .dropDuplicatesWithinWatermark(["_digest"])
-            .drop("_digest"))
+    wm = stream_df.withWatermark(ts_col, watermark)
+    # null text -> null digest, and dropDuplicatesWithinWatermark groups
+    # null keys together: all-but-first null-text rows would be silently
+    # DROPPED as "duplicates" of content that was never compared. Null-text
+    # rows bypass dedup instead (they are not duplicates of anything).
+    deduped = (wm.filter(F.col(text_col).isNotNull())
+               .withColumn("_digest",
+                           content_digest(F.col(text_col),
+                                          normalize=normalize))
+               .dropDuplicatesWithinWatermark(["_digest"])
+               .drop("_digest"))
+    return deduped.unionByName(wm.filter(F.col(text_col).isNull()))
 
 
 def unique_key_stream(stream_df: DataFrame, key_col: str, ts_col: str, *,
                       watermark: str = "10 minutes") -> DataFrame:
     """Streaming analogue of the clip_id uniqueness rule: first row per key
-    wins within the watermark horizon; replays/duplicate ids are dropped."""
-    return (stream_df.withWatermark(ts_col, watermark)
-            .dropDuplicatesWithinWatermark([key_col]))
+    wins within the watermark horizon; replays/duplicate ids are dropped.
+    Null-key rows bypass dedup (a null is not a key occurrence) — route
+    them to the schema validator's `required` check instead."""
+    wm = stream_df.withWatermark(ts_col, watermark)
+    return (wm.filter(F.col(key_col).isNotNull())
+            .dropDuplicatesWithinWatermark([key_col])
+            .unionByName(wm.filter(F.col(key_col).isNull())))

@@ -161,3 +161,41 @@ def test_pii_scrub_and_counts(spark):
     assert rows["a"].s == "reach me at or via"
     assert (rows["b"].u, rows["b"].e, rows["b"].p) == (0, 0, 0)
     assert rows["b"].s == "no pii here at all"
+
+
+def test_pcm_check_duration_and_missing_reference(spark):
+    """check_duration=True flags truncated decodes; a clip absent from the
+    reference transcripts is distinguishable from a text mismatch."""
+    import numpy as np
+
+    from json_skema_spark.functions.audio import (
+        encode_wav_pcm16, pcm_invariant_check, synth_reference_signal)
+
+    sr, dur = 8000, 1000
+    full = synth_reference_signal(7, sr, dur)
+    rows = [
+        ("clip_000000000007", encode_wav_pcm16(full, sr), sr, dur,
+         "pcm_s16le", "hello"),
+        ("clip_000000000008",
+         encode_wav_pcm16(synth_reference_signal(8, sr, dur)[:100], sr),
+         sr, dur, "pcm_s16le", "hello"),  # 100 of 8000 samples
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    strict = {r.clip_id: r for r in
+              pcm_invariant_check(df, check_duration=True).collect()}
+    assert strict["clip_000000000007"].decode_ok
+    assert not strict["clip_000000000008"].decode_ok
+    assert "duration_mismatch" in strict["clip_000000000008"].error
+    lax = {r.clip_id: r for r in pcm_invariant_check(df).collect()}
+    assert lax["clip_000000000008"].decode_ok  # prefix SNR passes w/o check
+
+    ref = spark.createDataFrame([("clip_000000000007", "different")],
+                                "clip_id string, transcript string")
+    with_ref = {r.clip_id: r for r in
+                pcm_invariant_check(df, ref_transcripts=ref).collect()}
+    assert not with_ref["clip_000000000007"].transcript_ok  # real mismatch
+    r8 = with_ref["clip_000000000008"]
+    assert not r8.transcript_ok
+    assert r8.error == "missing_reference_transcript"

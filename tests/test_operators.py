@@ -450,3 +450,39 @@ def test_resume_refuses_missing_staging_root(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="does not exist"):
         checkpoint.run_resumable(df, "k", 4, m2,
                                  lambda b, i: {"rows": b.count()})
+
+
+def test_cosine_zero_vector_safe(spark):
+    """Zero-norm embeddings score 0.0, not NaN (NaN sorts ABOVE every
+    number in Spark and would both pass >= filters and top every top-k)."""
+    from json_skema_spark.operators.similarity import cosine, cosine_topk
+
+    df = spark.createDataFrame(
+        [("z", [0.0, 0.0]), ("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "doc_id string, e array<double>")
+    vals = {r.doc_id: r.c for r in df.select(
+        "doc_id", cosine(F.col("e"), F.array(F.lit(1.0), F.lit(0.0)))
+        .alias("c")).collect()}
+    assert vals["z"] == 0.0 and vals["a"] == 1.0
+    top = cosine_topk(df, "e", "doc_id", [1.0, 0.0], k=2).collect()
+    assert [r.doc_id for r in top] == ["a", "b"]  # zero vector not on top
+
+
+def test_exact_duplicates_ignores_null_text(spark):
+    """Null-text rows are not duplicates of each other (null digests group
+    together under groupBy)."""
+    from json_skema_spark.operators.dedup import exact_duplicates
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", None), ("c", "same"), ("d", "same")],
+        "doc_id string, text string")
+    got = exact_duplicates(df, "text", "doc_id").collect()
+    assert len(got) == 1 and set(got[0].doc_ids) == {"c", "d"}
+
+
+def test_minhash_bands_must_divide_hashes(spark):
+    from json_skema_spark.operators.dedup import minhash_near_duplicates
+
+    df = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="evenly divide"):
+        minhash_near_duplicates(df, "text", "doc_id", num_hashes=64, bands=12)

@@ -41,3 +41,27 @@ def test_running_tally_across_batches(spark, tmp_path):
         .trigger(availableNow=True).start())
     q2.awaitTermination(120)
     assert results["a"] == (3, 2)
+
+
+def test_stream_dedup_passes_null_text_through(spark, tmp_path):
+    """Null-text rows bypass streaming dedup instead of being dropped as
+    'duplicates' of each other."""
+    import datetime as dt
+
+    from json_skema_spark.streaming.dedup_stream import exact_dedup_stream
+
+    src = str(tmp_path / "in")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, None), (2, t0, None), (3, t0, "x"), (4, t0, "x")]
+    df = spark.createDataFrame(rows, "doc_id int, ts timestamp, text string")
+    df.coalesce(1).write.parquet(src)
+    got = []
+    q = (exact_dedup_stream(
+            spark.readStream.schema(df.schema).parquet(src), "text", "ts")
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda b, _i: got.extend(b.collect()))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    ids = sorted(r.doc_id for r in got)
+    assert 1 in ids and 2 in ids          # both null-text rows survive
+    assert len([i for i in ids if i in (3, 4)]) == 1  # dup text collapsed
