@@ -129,7 +129,11 @@ def sample_frames(df: DataFrame, *, every_ms: int = 500,
                     continue
                 hop = max(int(sr * every_ms / 1000), 1)
                 flen = max(int(sr * frame_ms / 1000), 1)
-                for i, start in enumerate(range(0, max(len(sig) - flen, 1), hop)):
+                # stop is len-flen+1 so an exactly-aligned final full
+                # window is included (stop of len-flen drops it whenever
+                # len-flen is a positive multiple of hop)
+                for i, start in enumerate(
+                        range(0, max(len(sig) - flen + 1, 1), hop)):
                     if i >= max_frames:
                         break
                     chunk = sig[start:start + flen]
@@ -232,12 +236,16 @@ def duration_consistency_violations(df: DataFrame, *,
                     pdf["clip_id"], pdf["codec"], pdf["bytes"],
                     pdf["sr_hz"], pdf["dur_ms"]):
                 sig, dec_sr, err = _decode_with(decoders, codec, buf)
-                if sig is None or not dec_sr or pd.isna(dur):
+                # decoder-reported rate, claimed sr_hz as the fallback
+                # (same convention as pcm_invariant_check)
+                eff_sr = dec_sr if dec_sr else (
+                    None if pd.isna(sr) else int(sr))
+                if sig is None or not eff_sr or pd.isna(dur):
                     # null dur_ms arrives as NaN; int(NaN) raises and would
                     # abort the job — a missing claim is required's problem,
                     # not a duration-consistency violation (ADVICE r01)
                     continue
-                actual_ms = int(len(sig) * 1000 / dec_sr)
+                actual_ms = int(len(sig) * 1000 / eff_sr)
                 if abs(actual_ms - int(dur)) > tolerance_ms:
                     out["clip_id"].append(cid)
                     out["claimed_ms"].append(int(dur))

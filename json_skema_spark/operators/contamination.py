@@ -31,17 +31,24 @@ def contamination_flags(df: DataFrame, text_col: str, id_col: str,
     sh = shingles(F.col(text_col), n)
     probe_arr = F.array(*[F.lit(p) for p in probes])
     hits = F.array_intersect(sh, probe_arr)
+    # null text -> null shingles -> null hits: the verdict must be a real
+    # boolean (False — no content, no contamination), not a NULL that
+    # downstream `filter(~contaminated)` silently drops
     return df.select(
         F.col(id_col),
-        (F.size(hits) > 0).alias("contaminated"),
-        F.array_join(F.sort_array(hits), "|").alias("matched"),
+        F.coalesce(F.size(hits) > 0, F.lit(False)).alias("contaminated"),
+        F.coalesce(F.array_join(F.sort_array(hits), "|"), F.lit(""))
+        .alias("matched"),
     )
 
 
 def decontaminate(df: DataFrame, text_col: str, id_col: str,
                   probes: list[str], *, n: int = 3) -> DataFrame:
     """Drop contaminated documents (the filter twin of
-    ``contamination_flags``)."""
+    ``contamination_flags``). Null-text rows are KEPT — no content means
+    no contamination (same convention as dedup: a null is not a match),
+    and an un-coalesced NULL predicate would silently drop them."""
     sh = shingles(F.col(text_col), n)
     probe_arr = F.array(*[F.lit(p) for p in probes])
-    return df.filter(F.size(F.array_intersect(sh, probe_arr)) == 0)
+    return df.filter(
+        F.coalesce(F.size(F.array_intersect(sh, probe_arr)) == 0, F.lit(True)))

@@ -39,7 +39,11 @@ def drift_report(current: DataFrame, baseline: DataFrame, *,
         F.col("approx_distinct").alias("ad_base"),
         F.col("quantiles").alias("q_base"),
     )
-    j = cur.join(F.broadcast(base), "column_name", "inner")
+    # FULL outer: a column added to or dropped from the profile is the most
+    # extreme drift there is — an inner join would emit no row for it and a
+    # monitor checking `drifted` would see all-clear. One-sided rows get
+    # null metric deltas and drifted=True (via the coalesce below).
+    j = cur.join(F.broadcast(base), "column_name", "full_outer")
     rel_shift = F.zip_with(
         "q_cur", "q_base",
         lambda a, b: F.when(
@@ -63,4 +67,7 @@ def drift_report(current: DataFrame, baseline: DataFrame, *,
         .alias("quantile_drift"),
     ).withColumn(
         "drifted",
-        F.col("null_drift") | F.col("distinct_drift") | F.col("quantile_drift"))
+        # one-sided (added/removed column) rows have null flags: drifted
+        F.coalesce(
+            F.col("null_drift") | F.col("distinct_drift")
+            | F.col("quantile_drift"), F.lit(True)))

@@ -53,6 +53,14 @@ def _json_type_of(dtype: T.DataType) -> str | None:
     return None
 
 
+def _finite(v: Any) -> bool:
+    """NaN/inf cannot appear in a JSON schema document (and Spark's max()
+    treats NaN as the LARGEST double, so dirty float columns surface them
+    here) — non-finite aggregates skip their keyword instead of crashing."""
+    import math
+    return not (isinstance(v, float) and not math.isfinite(v))
+
+
 def _render(v: Any) -> str:
     """Deterministic JSON rendering for the value column (floats kept
     compact so DuckDB's json rendering matches)."""
@@ -115,12 +123,20 @@ def suggest_constraints(df: DataFrame, columns: list[str] | None = None, *,
             out.append((c, "type", _render(jt)))
         if row["_rows"] > 0 and row[f"{c}__nonnull"] == row["_rows"]:
             out.append((c, "required", _render(True)))
-        if c in enums:
+        if c in enums and all(_finite(v) for v in enums[c]):
             out.append((c, "enum", _render(enums[c])))
         elif isinstance(dt, (*_INT_TYPES, *_FLOAT_TYPES)):
-            if row[f"{c}__min"] is not None:
-                out.append((c, "minimum", _render(float(row[f"{c}__min"]))))
-                out.append((c, "maximum", _render(float(row[f"{c}__max"]))))
+            lo, hi = row[f"{c}__min"], row[f"{c}__max"]
+            if lo is not None and _finite(lo) and _finite(hi):
+                if isinstance(dt, _INT_TYPES):
+                    # int64 routed through float would round past 2^53 and
+                    # could mine a maximum BELOW the actual data max,
+                    # breaking the zero-violation round-trip contract
+                    out.append((c, "minimum", _render(int(lo))))
+                    out.append((c, "maximum", _render(int(hi))))
+                else:
+                    out.append((c, "minimum", _render(float(lo))))
+                    out.append((c, "maximum", _render(float(hi))))
         elif isinstance(dt, T.StringType):
             if row[f"{c}__minlen"] is not None:
                 out.append((c, "minLength", _render(int(row[f"{c}__minlen"]))))

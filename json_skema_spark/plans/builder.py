@@ -22,47 +22,48 @@ from __future__ import annotations
 from typing import Any
 
 
+def _dual(fn):
+    """Class access -> factory (``SchemaBuilder.string()``); instance
+    access -> MERGE into the existing document, so
+    ``SchemaBuilder.string().enum("a", "b")`` keeps ``type: "string"``.
+    A plain classmethod here would shadow ``__getattr__``'s keyword
+    setters and silently DISCARD the accumulated document when chained —
+    the natural chain would build a weaker schema than written."""
+    class _Desc:
+        __doc__ = fn.__doc__
+
+        def __get__(self, obj, owner):
+            if obj is None:
+                return lambda *a, **k: fn(owner, *a, **k)
+
+            def merged(*a, **k):
+                obj._doc.update(fn(type(obj), *a, **k)._doc)
+                return obj
+            return merged
+    return _Desc()
+
+
 class SchemaBuilder:
     def __init__(self, doc: dict | None = None):
         self._doc: dict[str, Any] = dict(doc or {})
 
-    # -- constructors ------------------------------------------------------
-    @classmethod
-    def object(cls) -> "SchemaBuilder":
-        return cls({"type": "object"})
+    # -- constructors (dual: factories on the class, merging keyword
+    # setters on instances) -------------------------------------------------
+    object = _dual(lambda cls: cls({"type": "object"}))
+    string = _dual(lambda cls: cls({"type": "string"}))
+    integer = _dual(lambda cls: cls({"type": "integer"}))
+    number = _dual(lambda cls: cls({"type": "number"}))
+    boolean = _dual(lambda cls: cls({"type": "boolean"}))
+    enum = _dual(lambda cls, *values: cls({"enum": list(values)}))
+    const = _dual(lambda cls, value: cls({"const": value}))
+    ref = _dual(lambda cls, pointer: cls({"$ref": pointer}))
 
-    @classmethod
-    def string(cls) -> "SchemaBuilder":
-        return cls({"type": "string"})
-
-    @classmethod
-    def integer(cls) -> "SchemaBuilder":
-        return cls({"type": "integer"})
-
-    @classmethod
-    def number(cls) -> "SchemaBuilder":
-        return cls({"type": "number"})
-
-    @classmethod
-    def boolean(cls) -> "SchemaBuilder":
-        return cls({"type": "boolean"})
-
-    @classmethod
-    def array(cls, items: "SchemaBuilder | dict | None" = None) -> "SchemaBuilder":
+    @staticmethod
+    def _array_doc(cls, items=None):
         b = cls({"type": "array"})
         return b.items(items) if items is not None else b
 
-    @classmethod
-    def enum(cls, *values: Any) -> "SchemaBuilder":
-        return cls({"enum": list(values)})
-
-    @classmethod
-    def const(cls, value: Any) -> "SchemaBuilder":
-        return cls({"const": value})
-
-    @classmethod
-    def ref(cls, pointer: str) -> "SchemaBuilder":
-        return cls({"$ref": pointer})
+    array = _dual(lambda cls, items=None: SchemaBuilder._array_doc(cls, items))
 
     # -- generic -----------------------------------------------------------
     def kw(self, keyword: str, value: Any) -> "SchemaBuilder":
@@ -89,7 +90,12 @@ class SchemaBuilder:
         return self
 
     def required(self, *names: str) -> "SchemaBuilder":
-        self._doc.setdefault("required", []).extend(names)
+        # order-preserving dedupe: the 2020-12 meta-schema constrains
+        # required to a uniqueItems array
+        cur = self._doc.setdefault("required", [])
+        for n in names:
+            if n not in cur:
+                cur.append(n)
         return self
 
     def additional_properties(self, schema) -> "SchemaBuilder":

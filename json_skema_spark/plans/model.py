@@ -133,8 +133,6 @@ def fetch_schema_document(uri: str, *, timeout: float = 10.0,
     ``max_bytes`` (oversize -> SchemaError, not OOM), optional
     ``allow_http=False`` to require TLS, optional ``host_allowlist``.
     Redirect targets are re-checked against the same policy."""
-    if uri in _FETCH_MEMO:
-        return _FETCH_MEMO[uri]
     import urllib.parse
     import urllib.request
 
@@ -147,7 +145,12 @@ def fetch_schema_document(uri: str, *, timeout: float = 10.0,
         if host_allowlist is not None and parsed.hostname not in host_allowlist:
             raise SchemaError(f"host {parsed.hostname!r} not in allowlist: {u!r}")
 
+    # policy BEFORE memo: the memo only skips network I/O — a caller with
+    # a stricter allowlist must not receive a document another caller's
+    # laxer policy fetched earlier in the same process
     _check(uri)
+    if uri in _FETCH_MEMO:
+        return _FETCH_MEMO[uri]
 
     class _PolicyRedirect(urllib.request.HTTPRedirectHandler):
         def redirect_request(self, req, fp, code, msg, headers, newurl):
@@ -289,10 +292,19 @@ class Resolver:
             self._id_index.setdefault(base_uri, root_doc)
 
     # -- indexing (reference lookupAnchors, SchemaLoader.kt:229-263) --------
-    def _index_document(self, node: Any, base: str) -> None:
+    def _index_document(self, node: Any, base: str, *,
+                        in_schema_map: bool = False) -> None:
         if isinstance(node, bool):
             return
         if isinstance(node, dict):
+            if in_schema_map:
+                # keys are property/definition NAMES, values are schemas:
+                # a property literally named "enum"/"const" must still be
+                # indexed (the stop-list applies to keyword POSITIONS only,
+                # same position-awareness as strip_validation_keywords)
+                for child in node.values():
+                    self._index_document(child, base)
+                return
             sid = node.get("$id")
             if isinstance(sid, str):
                 base = urldefrag(urljoin(base, sid)).url
@@ -309,7 +321,8 @@ class Resolver:
             for key, child in node.items():
                 if key in _ANCHOR_STOP_KEYWORDS:
                     continue
-                self._index_document(child, base)
+                self._index_document(child, base,
+                                     in_schema_map=key in _SCHEMA_MAP_KW)
         elif isinstance(node, list):
             for child in node:
                 self._index_document(child, base)

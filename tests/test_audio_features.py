@@ -103,3 +103,20 @@ def test_audio_quality_stats_and_violations(spark):
          for r in audio_features.audio_quality_violations(df).collect()}
     assert set(v) == {"clip", "quiet"}
     assert "clipping ratio" in v["clip"] and "silence ratio" in v["quiet"]
+
+
+def test_sample_frames_includes_aligned_final_window(spark):
+    """A full window whose start lands exactly at len-flen is sampled
+    (off-by-one dropped it when len-flen was a multiple of the hop)."""
+    import numpy as np
+
+    from json_skema_spark.functions.audio import encode_wav_pcm16
+    from json_skema_spark.functions.audio_features import sample_frames
+
+    sr = 16000
+    sig = np.zeros(9600, dtype=np.float64)  # 600 ms
+    df = spark.createDataFrame(
+        [("c1", "pcm_s16le", encode_wav_pcm16(sig, sr))],
+        "clip_id string, codec string, bytes binary")
+    rows = sample_frames(df, every_ms=500, frame_ms=100).collect()
+    assert sorted(r.start_ms for r in rows) == [0, 500]

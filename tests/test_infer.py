@@ -52,3 +52,19 @@ def test_suggested_schema_roundtrips_with_zero_violations(spark):
         "o_totalprice double, o_orderpriority string")
     v = compile_schema(doc, bad.schema).violations(bad, "o_orderkey")
     assert v.count() > 0
+
+
+def test_suggest_skips_non_finite_and_keeps_bigints_exact(spark):
+    """NaN/inf aggregates skip their keyword instead of crashing; int64
+    bounds past 2^53 are mined exactly (float routing would mine a maximum
+    BELOW the data max, breaking the zero-violation round trip)."""
+    from json_skema_spark.operators.infer import suggest_constraints
+
+    data = [(float("nan"), 9007199254740993)] + \
+        [(1.0, i) for i in range(20)]  # >12 distinct: stays out of enum
+    df = spark.createDataFrame(data, "v double, big bigint")
+    rows = {(r.column_name, r.keyword): r.value
+            for r in suggest_constraints(df).collect()}
+    assert ("v", "minimum") not in rows  # NaN poisons min/max: skipped
+    assert rows[("big", "maximum")] == "9007199254740993"
+    assert rows[("big", "minimum")] == "0"

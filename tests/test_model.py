@@ -117,3 +117,27 @@ def test_driver_contract_fully_oracled():
     import __spark_entry__ as e
     qs, oracles = set(e.queries()), set(e.oracle_sql())
     assert oracles == qs, (sorted(qs - oracles), sorted(oracles - qs))
+
+
+def test_anchor_under_property_named_const_or_enum():
+    """The anchor indexer's enum/const stop-list is position-aware: a
+    PROPERTY literally named 'const' or 'enum' is a schema and must be
+    indexed (only keyword-position enum/const hold raw data)."""
+    from json_skema_spark.plans.model import Resolver
+
+    doc = {"properties": {
+        "const": {"$anchor": "A", "type": "integer"},
+        "enum": {"$anchor": "B", "type": "string"},
+    }}
+    r = Resolver(doc)
+    node, _ = r.resolve("#A", "")
+    assert node["type"] == "integer"
+    node2, _ = r.resolve("#B", "")
+    assert node2["type"] == "string"
+    # keyword-position const/enum values stay un-indexed (raw data)
+    data_doc = {"const": {"$anchor": "C"}}
+    import pytest as _pytest
+
+    from json_skema_spark.plans.model import SchemaError
+    with _pytest.raises(SchemaError):
+        Resolver(data_doc).resolve("#C", "")

@@ -486,3 +486,31 @@ def test_minhash_bands_must_divide_hashes(spark):
     df = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
     with pytest.raises(ValueError, match="evenly divide"):
         minhash_near_duplicates(df, "text", "doc_id", num_hashes=64, bands=12)
+
+
+def test_contamination_null_text_kept(spark):
+    from json_skema_spark.operators.contamination import (
+        contamination_flags, decontaminate)
+
+    df = spark.createDataFrame(
+        [("a", "the quick brown fox runs"), ("b", None)],
+        "doc_id string, text string")
+    flags = {r.doc_id: r.contaminated for r in contamination_flags(
+        df, "text", "doc_id", ["quick brown fox"]).collect()}
+    assert flags == {"a": True, "b": False}  # real boolean, not NULL
+    kept = {r.doc_id for r in decontaminate(
+        df, "text", "doc_id", ["quick brown fox"]).collect()}
+    assert kept == {"b"}  # null text survives decontamination
+
+
+def test_drift_report_flags_added_and_removed_columns(spark):
+    from json_skema_spark.operators.drift import drift_report
+    from json_skema_spark.operators.stats import profile
+
+    base_df = spark.createDataFrame([(1, "x")], "a int, b string")
+    cur_df = spark.createDataFrame([(1, 2.0)], "a int, c double")
+    rep = {r.column_name: r for r in drift_report(
+        profile(cur_df), profile(base_df)).collect()}
+    assert set(rep) == {"a", "b", "c"}
+    assert not rep["a"].drifted
+    assert rep["b"].drifted and rep["c"].drifted  # removed/added = drift

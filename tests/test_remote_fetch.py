@@ -107,3 +107,18 @@ def test_nested_remote_chain(spark, server):
     schema = {"$ref": f"{base}/a.json"}
     assert _compile_passed(spark, schema, 2) is False
     assert _compile_passed(spark, schema, 4) is True
+
+
+def test_memo_does_not_bypass_policy(server):
+    """A URI fetched under a lax policy must still be policy-checked for a
+    stricter caller — the memo only skips network I/O."""
+    from json_skema_spark.plans.model import SchemaError, fetch_schema_document
+
+    base, routes, _hits = server
+    routes["/memo_policy.json"] = {"type": "integer"}
+    uri = f"{base}/memo_policy.json"
+    fetch_schema_document(uri)  # memoize under the default policy
+    with pytest.raises(SchemaError, match="allowlist"):
+        fetch_schema_document(uri, host_allowlist={"allowed.example"})
+    with pytest.raises(SchemaError, match="http"):
+        fetch_schema_document(uri, allow_http=False)
