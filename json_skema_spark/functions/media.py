@@ -182,13 +182,19 @@ def image_stats(df: DataFrame) -> DataFrame:
                 if img is None:
                     rows.append((iid, False, e, None, None, None, None))
                     continue
-                f = img.astype(np.float64)
+                # color stats over the first 3 channels only: an alpha
+                # plane would contaminate the gray stddev (identical RGB
+                # content scoring differently as RGB vs RGBA), and a
+                # missing channel reports None, not a silently-duplicated
+                # neighbor
+                f = img[..., :3].astype(np.float64)
                 means = f.mean(axis=(0, 1))
                 gray = f.mean(axis=2)
-                rows.append((iid, True, "", float(means[0]),
-                             float(means[min(1, len(means) - 1)]),
-                             float(means[min(2, len(means) - 1)]),
-                             float(gray.std())))
+                rows.append((
+                    iid, True, "", float(means[0]),
+                    float(means[1]) if len(means) > 1 else None,
+                    float(means[2]) if len(means) > 2 else None,
+                    float(gray.std())))
             yield pd.DataFrame(rows, columns=[
                 "image_id", "decode_ok", "error", "mean_r", "mean_g",
                 "mean_b", "std_gray"])

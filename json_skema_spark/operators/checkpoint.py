@@ -74,10 +74,20 @@ class PartitionManifest:
     def staging_dir(self) -> str | None:
         return self._state.get("staging_dir")
 
-    def mark_staged(self, staging_dir: str) -> None:
+    def mark_staged(self, staging_dir: str, *,
+                    num_buckets: int | None = None,
+                    key: str | None = None) -> None:
         self._state["staged"] = True
         self._state["staging_dir"] = staging_dir
+        if num_buckets is not None:
+            self._state["num_buckets"] = num_buckets
+        if key is not None:
+            self._state["key"] = key
         self._flush()
+
+    @property
+    def num_buckets(self) -> int | None:
+        return self._state.get("num_buckets")
 
     def _flush(self) -> None:
         tmp = self.path + ".tmp"
@@ -94,6 +104,14 @@ def bucket_column(key_col, num_buckets: int):
     return F.pmod(F.xxhash64(key_col), F.lit(num_buckets))
 
 
+def fs_exists(spark, path: str) -> bool:
+    """Existence probe through the Hadoop FS API — correct for any
+    filesystem the session can reach (s3/hdfs/local), unlike os.path."""
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    return hp.getFileSystem(spark._jsc.hadoopConfiguration()).exists(hp)
+
+
 def stage_by_bucket(df: DataFrame, key: str, num_buckets: int,
                     staging_dir: str, *,
                     files_per_bucket: int | None = None) -> None:
@@ -105,11 +123,14 @@ def stage_by_bucket(df: DataFrame, key: str, num_buckets: int,
     map-side write — zero shuffle, but each input task emits one file per
     bucket it touches (tasks x buckets files: fine for thousands of tasks,
     pathological at 100 TB where 800k tasks x 64 buckets = 50M files).
-    Setting ``files_per_bucket`` inserts ONE balanced shuffle on
-    ``(_bucket, salt)`` so the staging holds exactly
-    ``num_buckets * files_per_bucket`` files — at large scale one shuffle
-    is far cheaper than a 50M-file metadata bomb (and still one pass over
-    the data; the round-2 design re-SCANNED the table once per bucket).
+    Setting ``files_per_bucket`` inserts ONE shuffle on ``(_bucket, salt)``
+    so the staging holds on the order of ``num_buckets * files_per_bucket``
+    files — hash-partitioning collides (some partitions carry 2+
+    (bucket, salt) pairs, some none, and ``partitionBy`` writes one file
+    per bucket per task), so the bound is approximate small-constant-factor
+    control, not an exact count. At large scale one shuffle is far cheaper
+    than a 50M-file metadata bomb (and still one pass over the data; the
+    round-2 design re-SCANNED the table once per bucket).
     """
     tagged = df.withColumn("_bucket", bucket_column(F.col(key), num_buckets))
     if files_per_bucket is not None:
@@ -145,20 +166,23 @@ def run_resumable(df: DataFrame, key: str, num_buckets: int,
     spark = df.sparkSession
     schema = df.schema  # staged files carry the data columns only
 
-    # Hadoop FS handle for explicit existence checks (works for any FS the
-    # session can reach, not just local)
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-
     def _exists(p: str) -> bool:
-        hp = jvm.org.apache.hadoop.fs.Path(p)
-        return hp.getFileSystem(hconf).exists(hp)
+        return fs_exists(spark, p)
 
     if manifest.staged:
         # resume reads the directory the crashed run actually staged (a
         # caller passing a different implicit staging_dir would otherwise
         # "read" N missing directories as N empty buckets) — UNLESS the
         # caller explicitly says the staged data moved (pre_staged_dir)
+        if manifest.num_buckets is not None \
+                and manifest.num_buckets != num_buckets:
+            raise ValueError(
+                f"resume requested num_buckets={num_buckets} but the "
+                f"staged data was bucketed {manifest.num_buckets} ways — "
+                "a mismatch would read missing bucket dirs as EMPTY and "
+                "commit them done, silently skipping validation; rerun "
+                f"with num_buckets={manifest.num_buckets} or delete the "
+                "manifest to restage")
         staging = pre_staged_dir or manifest.staging_dir or staging_dir \
             or os.path.join(manifest.dir, "staging")
         if not _exists(staging):
@@ -169,12 +193,12 @@ def run_resumable(df: DataFrame, key: str, num_buckets: int,
                 "restage, or pass pre_staged_dir to the moved data")
     elif pre_staged_dir is not None:
         staging = pre_staged_dir
-        manifest.mark_staged(staging)
+        manifest.mark_staged(staging, num_buckets=num_buckets, key=key)
     else:
         staging = staging_dir or os.path.join(manifest.dir, "staging")
         stage_by_bucket(df, key, num_buckets, staging,
                         files_per_bucket=files_per_bucket)
-        manifest.mark_staged(staging)
+        manifest.mark_staged(staging, num_buckets=num_buckets, key=key)
 
     for bucket in range(num_buckets):
         if manifest.is_done(bucket):

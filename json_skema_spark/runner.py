@@ -65,6 +65,28 @@ def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
     plan = compile_schema(schema_doc, clips.schema)
     manifest = checkpoint.PartitionManifest(os.path.join(out_dir, "_manifest"))
 
+    # co-bucket the transcript reference ONCE: joining the full ref table
+    # inside every bucket job would rescan+shuffle it num_buckets times —
+    # the same N-full-scans pathology the staging redesign eliminates for
+    # the input. The _SUCCESS probe makes the ref staging crash-safe.
+    ref_staging = None
+    ref_schema = None
+    if transcripts_ref is not None and check_audio:
+        ref_staging = os.path.join(out_dir, "_staging_ref")
+        ref_schema = transcripts_ref.schema
+        if not checkpoint.fs_exists(
+                spark, os.path.join(ref_staging, "_SUCCESS")):
+            checkpoint.stage_by_bucket(transcripts_ref, "clip_id",
+                                       num_buckets, ref_staging)
+
+    def _ref_bucket(bucket: int) -> DataFrame | None:
+        if ref_staging is None:
+            return None if transcripts_ref is None else transcripts_ref
+        p = os.path.join(ref_staging, f"_bucket={bucket}")
+        if checkpoint.fs_exists(spark, p):
+            return spark.read.schema(ref_schema).parquet(p)
+        return spark.createDataFrame([], ref_schema)
+
     def process(bucket_df: DataFrame, bucket: int) -> dict:
         # Metrics ride the writes as Observation nodes (CollectMetrics in
         # the plan): zero extra jobs. The round-2 version cached the whole
@@ -76,7 +98,7 @@ def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
         if check_audio:
             viols = viols.unionByName(
                 audio_fn.audio_violations(bucket_df,
-                                          ref_transcripts=transcripts_ref))
+                                          ref_transcripts=_ref_bucket(bucket)))
         viols = viols.observe(obs_viol, F.count(F.lit(1)).alias("n"))
         vpath = os.path.join(out_dir, "violations", f"bucket={bucket}")
         viols.write.mode("overwrite").parquet(vpath)
@@ -204,8 +226,8 @@ def main() -> None:
         result = revalidate_table(
             spark, clips, args.out, old_schema_doc=old_doc,
             new_schema_doc=schema_doc or CLIPS_SCHEMA_DOC,
-            transcripts_ref=tref, num_buckets=args.buckets,
-            emit_clean=args.emit_clean)
+            transcripts_ref=tref, baseline_profile=base,
+            num_buckets=args.buckets, emit_clean=args.emit_clean)
         print(json.dumps({k: v for k, v in result.items()
                           if k != "metrics"}))
         return

@@ -47,8 +47,9 @@ def _make_row(i: int, *, audio: bool, inject: bool, seed: int = SEED):
     dur = int(np.clip(rng.lognormal(7.0, 0.8), 200, 30000))
     if inject and u[3] < 0.005:
         dur = int(rng.choice([0, 7_200_000]))
-    codec = str(rng.choice(_CODECS, p=[0.985, 0.01, 0.005])) if not inject \
-        else str(rng.choice(_CODECS, p=[0.985, 0.01, 0.005]))
+    # one draw regardless of inject (byte-stable rng stream; the injection
+    # override below is what actually changes codecs)
+    codec = str(rng.choice(_CODECS, p=[0.985, 0.01, 0.005]))
     if inject and u[4] < 0.005:
         codec = str(rng.choice(np.array(["mp3", ""])))
     nw = int(rng.integers(3, 41))

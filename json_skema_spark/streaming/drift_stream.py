@@ -47,10 +47,24 @@ def windowed_drift(stream_df: DataFrame, baseline: dict[str, dict],
 
     Thresholds mirror ``operators.drift.drift_report``: ``null_drift`` when
     |null_fraction - baseline| exceeds ``null_delta_threshold``;
-    ``distinct_drift`` when the approx-distinct ratio falls outside
-    [t, 1/t]. Emits in append mode once the watermark closes a window.
+    ``distinct_drift`` when the SCALE-ANCHORED distinct ratio falls outside
+    [t, 1/t]. A window holds far fewer rows than the baseline table, so a
+    raw ``ad_window / ad_baseline`` would fire on every healthy window of a
+    high-cardinality column (1e5-row window vs 1e7 baseline ids = 0.01);
+    the anchor is ``min(baseline_distinct, window_rows)`` — the most
+    distinct values this window COULD have shown: high-cardinality columns
+    compare against the window's own row count, low-cardinality columns
+    against the baseline's value-set size, and both regimes sit near 1.0
+    when healthy, near 0 when collapsed to a constant.
+
+    Baseline columns MISSING from the stream emit a constant drifted row
+    per window (the batch ``drift_report`` convention: a vanished column is
+    the most extreme drift); columns newly ADDED to the stream are out of
+    scope here — run the batch ``drift_report`` for schema-drift detection.
+    Emits in append mode once the watermark closes a window.
     """
-    cols = list(baseline)
+    cols = [c for c in baseline if c in stream_df.columns]
+    missing = [c for c in baseline if c not in stream_df.columns]
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in cols:
         aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
@@ -64,8 +78,10 @@ def windowed_drift(stream_df: DataFrame, baseline: dict[str, dict],
         nf = (F.col("_rows") - F.col(f"{c}__nn")) / \
             F.greatest(F.col("_rows"), F.lit(1))
         nd = F.abs(nf - F.lit(float(baseline[c]["null_fraction"])))
-        ratio = F.col(f"{c}__ad") / \
-            F.greatest(F.lit(float(baseline[c]["approx_distinct"])), F.lit(1.0))
+        anchor = F.greatest(
+            F.least(F.lit(float(baseline[c]["approx_distinct"])),
+                    F.col("_rows").cast("double")), F.lit(1.0))
+        ratio = F.col(f"{c}__ad") / anchor
         per_col.append(F.struct(
             F.lit(c).alias("column_name"),
             nf.alias("null_fraction"),
@@ -76,6 +92,15 @@ def windowed_drift(stream_df: DataFrame, baseline: dict[str, dict],
             ((ratio < distinct_ratio_threshold)
              | (ratio > 1.0 / distinct_ratio_threshold))
             .alias("distinct_drift")))
+    for c in missing:
+        per_col.append(F.struct(
+            F.lit(c).alias("column_name"),
+            F.lit(None).cast("double").alias("null_fraction"),
+            F.lit(None).cast("double").alias("null_delta"),
+            F.lit(True).alias("null_drift"),
+            F.lit(None).cast("long").alias("approx_distinct"),
+            F.lit(None).cast("double").alias("distinct_ratio"),
+            F.lit(True).alias("distinct_drift")))
 
     return (win.select(F.col("w.start").alias("window_start"),
                        F.col("w.end").alias("window_end"),

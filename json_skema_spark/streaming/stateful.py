@@ -16,6 +16,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from json_skema_spark.plans.compile import Compiler
@@ -47,9 +48,12 @@ def running_violation_tally(stream_df: DataFrame, schema_doc: Any,
     every micro-batch; emit in update mode."""
     plan = ValidationPlan(Compiler(schema_doc, **compiler_kwargs),
                           stream_df.schema)
+    # key cast to string: OUTPUT_SCHEMA declares `key string`, and a
+    # non-string grouping column (int shard ids — the docstring's own
+    # suggested key class) would fail the pandas->Arrow conversion on the
+    # first micro-batch
     flagged = stream_df.withColumn("passed", plan.passed) \
-        .select(key_col, "passed") \
-        .withColumnRenamed(key_col, "key")
+        .select(F.col(key_col).cast("string").alias("key"), "passed")
     return (
         flagged.groupBy("key")
         .applyInPandasWithState(

@@ -59,3 +59,36 @@ def test_windowed_drift_flags_null_surge(spark, tmp_path):
     assert r.null_fraction == 0.5 and r.null_drift
     # tag collapsed to a single value: distinct ratio ~1/20
     assert by_key[(1, "tag")].distinct_drift
+
+
+def test_distinct_ratio_scale_anchored_and_missing_column(spark, tmp_path):
+    """A healthy window of a high-cardinality column must NOT fire
+    distinct_drift just because the window holds fewer rows than the
+    baseline table; a baseline column missing from the stream emits a
+    drifted row."""
+    base_df = spark.createDataFrame(
+        [(datetime(2026, 1, 1), f"id{i}", float(i)) for i in range(400)],
+        "ts timestamp, uid string, gone double")
+    from json_skema_spark.operators.stats import profile
+    baseline = baseline_map(profile(base_df, ["uid", "gone"]))
+    assert baseline["uid"]["approx_distinct"] > 300
+
+    src = str(tmp_path / "in")
+    stream_rows = [(datetime(2026, 1, 1, 12, 0, s % 60), f"w{s}")
+                   for s in range(40)] + [(datetime(2026, 1, 1, 12, 5), "x")]
+    spark.createDataFrame(stream_rows, "ts timestamp, uid string") \
+        .write.parquet(src)  # note: no 'gone' column
+    out = windowed_drift(
+        spark.readStream.schema("ts timestamp, uid string").parquet(src),
+        baseline, "ts", window="1 minute", watermark="1 minute")
+    got = []
+    q = (out.writeStream.outputMode("append")
+         .foreachBatch(lambda b, _i: got.extend(b.collect()))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    w0 = {r.column_name: r for r in got if r.window_start.minute == 0}
+    # 40 distinct uids in a 40-row window vs 400-distinct baseline:
+    # anchored ratio ~1.0 -> healthy, NOT drifted
+    assert not w0["uid"].distinct_drift
+    assert w0["gone"].distinct_drift and w0["gone"].null_drift

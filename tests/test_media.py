@@ -98,3 +98,22 @@ def test_video_frame_sampling(spark):
     # max_frames cap
     capped = media.sample_video_frames(df, every_ms=200, max_frames=3).collect()
     assert [r.frame_index for r in capped] == [0, 1, 2]
+
+
+def test_image_stats_alpha_not_in_gray(spark):
+    """RGBA: the alpha plane must not contaminate gray stddev — identical
+    visual content scores the same as RGB."""
+    import numpy as np
+
+    from json_skema_spark.functions.media import encode_rgb8raw, image_stats
+
+    rgb = np.zeros((4, 4, 3), np.uint8)
+    rgb[:2] = 255  # high contrast
+    rgba = np.dstack([rgb, np.full((4, 4), 255, np.uint8)])
+    df = spark.createDataFrame(
+        [("rgb", "rgb8raw", encode_rgb8raw(rgb)),
+         ("rgba", "rgb8raw", encode_rgb8raw(rgba))],
+        "image_id string, codec string, bytes binary")
+    got = {r.image_id: r for r in image_stats(df).collect()}
+    assert got["rgb"].std_gray == got["rgba"].std_gray
+    assert got["rgb"].mean_r == got["rgba"].mean_r

@@ -514,3 +514,20 @@ def test_drift_report_flags_added_and_removed_columns(spark):
     assert set(rep) == {"a", "b", "c"}
     assert not rep["a"].drifted
     assert rep["b"].drifted and rep["c"].drifted  # removed/added = drift
+
+
+def test_resume_refuses_bucket_count_mismatch(spark, tmp_path):
+    """Review regression: resuming with a different num_buckets would read
+    missing bucket dirs as empty and skip validation — must raise."""
+    df = spark.createDataFrame([(f"k{i}", i) for i in range(20)],
+                               "k string, v int")
+    mdir = str(tmp_path / "m")
+    m1 = checkpoint.PartitionManifest(mdir)
+    with pytest.raises(RuntimeError):
+        checkpoint.run_resumable(
+            df, "k", 8, m1,
+            lambda b, i: (_ for _ in ()).throw(RuntimeError("crash")))
+    m2 = checkpoint.PartitionManifest(mdir)
+    with pytest.raises(ValueError, match="bucketed 8 ways"):
+        checkpoint.run_resumable(df, "k", 4, m2,
+                                 lambda b, i: {"rows": b.count()})

@@ -65,3 +65,22 @@ def test_stream_dedup_passes_null_text_through(spark, tmp_path):
     ids = sorted(r.doc_id for r in got)
     assert 1 in ids and 2 in ids          # both null-text rows survive
     assert len([i for i in ids if i in (3, 4)]) == 1  # dup text collapsed
+
+
+def test_running_tally_integer_key(spark, tmp_path):
+    """Review regression: a non-string key column (int shard ids) must not
+    kill the query at Arrow conversion — it is cast to the declared
+    string key."""
+    src = str(tmp_path / "iin")
+    spark.createDataFrame([(7, 8000), (7, 99)], "shard int, sr_hz int") \
+        .write.parquet(src)
+    out = running_violation_tally(
+        spark.readStream.schema("shard int, sr_hz int").parquet(src),
+        {"properties": {"sr_hz": {"enum": [8000]}}}, "shard")
+    res = {}
+    q = (out.writeStream.outputMode("update")
+         .foreachBatch(lambda b, _i: res.update(
+             {r.key: (r.rows_seen, r.rows_failed) for r in b.collect()}))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert res == {"7": (2, 1)}

@@ -205,3 +205,26 @@ def test_emit_clean_excludes_duplicate_keys(spark, tmp_path):
     clean = spark.read.parquet(os.path.join(out, "clean", "bucket=*"))
     assert clean.filter(F2.col("clip_id") == dup_id).count() == 0
     assert clean.count() == 59  # the other rows survive exactly once
+
+
+def test_runner_stages_transcript_ref_once(spark, tmp_path):
+    """Review regression: the transcript reference is co-bucketed ONCE and
+    each bucket job reads only its own ref directory — not a full-ref join
+    per bucket. Transcript mismatches still surface."""
+    from json_skema_spark.sources.clips import transcripts_ref_df
+
+    out = str(tmp_path / "out")
+    clips = clips_src.clips_df(spark, 80, audio=True, inject=False).cache()
+    ref = transcripts_ref_df(spark, 80)
+    # corrupt one reference transcript to force a mismatch violation
+    ref = ref.withColumn(
+        "transcript",
+        F.when(F.col("clip_id") == clips.limit(1).collect()[0].clip_id,
+               F.lit("__wrong__")).otherwise(F.col("transcript")))
+    validate_table(spark, clips, out, num_buckets=3, check_audio=True,
+                   transcripts_ref=ref)
+    assert os.path.exists(os.path.join(out, "_staging_ref", "_SUCCESS"))
+    viols = spark.read.parquet(os.path.join(out, "violations", "bucket=*"))
+    msgs = {r.message for r in viols.collect()}
+    assert any("transcript" in m for m in msgs)
+    clips.unpersist()
