@@ -89,7 +89,12 @@ def _q_violation_digest(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     plan = compile_schema(ORDERS_SCHEMA, orders.schema)
     v = plan.violations(orders, "o_orderkey")
-    return violation_digest(v, per_keyword=5)
+    # example_keys serialized to a joined string: the driver's value-hash
+    # comparator needs hash-comparable scalar cells, not arrays (same
+    # pattern as dedup_exact_documents below).
+    return violation_digest(v, per_keyword=5).select(
+        "keyword", "keyword_location", "n_violations",
+        F.array_join(F.col("example_keys"), ",").alias("example_keys"))
 
 
 def _q_lineitem_verdict(spark, sf_dir):
@@ -827,7 +832,7 @@ def oracle_sql() -> dict[str, str]:
             WITH v AS ({_ORDERS_VIOLS_SQL})
             SELECT keyword, keyword_location,
                    count(*) AS n_violations,
-                   (list(row_key ORDER BY row_key))[1:5] AS example_keys
+                   array_to_string((list(row_key ORDER BY row_key))[1:5], ',') AS example_keys
             FROM v GROUP BY keyword, keyword_location
         """,
         "validate_lineitem_verdict": f"""
