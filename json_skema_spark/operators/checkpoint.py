@@ -43,6 +43,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 class PartitionManifest:
@@ -89,6 +90,34 @@ class PartitionManifest:
     def num_buckets(self) -> int | None:
         return self._state.get("num_buckets")
 
+    # -- run options (emit_clean, ref-staging fingerprint, lineage...) ----
+    # Recorded so a RESUME into the same out_dir can detect that it was
+    # invoked with different semantics than the run that committed buckets
+    # (e.g. emit_clean newly on: committed buckets would silently lack
+    # their clean/ split — ADVICE r03).
+
+    def option(self, name: str):
+        return self._state.get("options", {}).get(name)
+
+    def record_option(self, name, value) -> None:
+        self._state.setdefault("options", {})[name] = value
+        self._flush()
+
+    # -- global (cross-bucket) phase steps --------------------------------
+    # Buckets are transactional; the post-loop global checks (uniqueness,
+    # referential, drift) need the same mark-done semantics or a crash
+    # mid-global-phase redoes full-table scans on restart AND leaves
+    # partially-written output indistinguishable from complete output
+    # (VERDICT r03 #2). The manifest entry IS the commit marker: written
+    # only after the parquet write (with its _SUCCESS) committed.
+
+    def is_global_done(self, step: str) -> bool:
+        return step in self._state.get("global", {})
+
+    def mark_global_done(self, step: str, metrics: dict | None = None) -> None:
+        self._state.setdefault("global", {})[step] = metrics or {}
+        self._flush()
+
     def _flush(self) -> None:
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
@@ -112,9 +141,33 @@ def fs_exists(spark, path: str) -> bool:
     return hp.getFileSystem(spark._jsc.hadoopConfiguration()).exists(hp)
 
 
+def with_source_file(df: DataFrame, col_name: str = "_src_file") -> DataFrame:
+    """Capture the source file path as a REGULAR column before the rows
+    leave their original files.
+
+    ``_metadata.file_path`` only exists on a file-source scan; once rows
+    are staged (stage_by_bucket) the metadata cites the *staging*
+    directory, losing the provenance the reference's SourceLocation idea
+    carries (JsonValue.kt:63-123). Capturing it into ``_src_file`` before
+    staging lets ``ValidationPlan.violations(file_lineage=True)`` cite the
+    original input file from a resumed run. No-op pass-through when the
+    column already exists; raises a clear error for non-file sources.
+    """
+    if col_name in df.columns:
+        return df
+    try:
+        return df.withColumn(col_name, F.col("_metadata.file_path"))
+    except Exception as e:  # AnalysisException: not a file-based source
+        raise ValueError(
+            "source-file lineage requested but the input is not a "
+            "file-based scan (no _metadata column) — read from "
+            f"parquet/Iceberg or pre-populate {col_name!r}") from e
+
+
 def stage_by_bucket(df: DataFrame, key: str, num_buckets: int,
                     staging_dir: str, *,
-                    files_per_bucket: int | None = None) -> None:
+                    files_per_bucket: int | None = None,
+                    capture_source_file: bool = False) -> None:
     """ONE pass: tag rows with their hash bucket, write bucket-partitioned
     parquet; every later per-bucket read prunes to one ``_bucket=<id>``
     directory.
@@ -132,6 +185,16 @@ def stage_by_bucket(df: DataFrame, key: str, num_buckets: int,
     than a 50M-file metadata bomb (and still one pass over the data; the
     round-2 design re-SCANNED the table once per bucket).
     """
+    if "_bucket" in df.columns:
+        # silently replacing a user column would make partitionBy consume
+        # it and the resume's explicit-schema read return it all-NULL —
+        # silent data loss in the staged copy (ADVICE r03)
+        raise ValueError(
+            "input already has a '_bucket' column; staging would overwrite "
+            "it with the hash-bucket id and the staged copy would read it "
+            "back as NULL — rename the column before staging")
+    if capture_source_file:
+        df = with_source_file(df)
     tagged = df.withColumn("_bucket", bucket_column(F.col(key), num_buckets))
     if files_per_bucket is not None:
         salt = F.pmod(F.xxhash64(F.col(key), F.lit(0x5a17)),
@@ -146,7 +209,8 @@ def run_resumable(df: DataFrame, key: str, num_buckets: int,
                   process: Callable[[DataFrame, int], dict], *,
                   staging_dir: str | None = None,
                   pre_staged_dir: str | None = None,
-                  files_per_bucket: int | None = None) -> dict:
+                  files_per_bucket: int | None = None,
+                  capture_source_file: bool = False) -> dict:
     """Process each hash bucket of ``df`` exactly once across restarts.
 
     ``process(bucket_df, bucket_id) -> metrics dict``; its side effects
@@ -165,6 +229,15 @@ def run_resumable(df: DataFrame, key: str, num_buckets: int,
     """
     spark = df.sparkSession
     schema = df.schema  # staged files carry the data columns only
+
+    if manifest.staged:
+        # the schema the staged files ACTUALLY carry is governed by how the
+        # crashed run staged them, not by this invocation's flag — a
+        # mismatch would read _src_file as all-NULL or drop it silently
+        capture_source_file = bool(manifest.option("lineage"))
+    if capture_source_file and "_src_file" not in [f.name for f in schema]:
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField("_src_file", T.StringType())])
 
     def _exists(p: str) -> bool:
         return fs_exists(spark, p)
@@ -193,11 +266,14 @@ def run_resumable(df: DataFrame, key: str, num_buckets: int,
                 "restage, or pass pre_staged_dir to the moved data")
     elif pre_staged_dir is not None:
         staging = pre_staged_dir
+        manifest.record_option("lineage", capture_source_file)
         manifest.mark_staged(staging, num_buckets=num_buckets, key=key)
     else:
         staging = staging_dir or os.path.join(manifest.dir, "staging")
         stage_by_bucket(df, key, num_buckets, staging,
-                        files_per_bucket=files_per_bucket)
+                        files_per_bucket=files_per_bucket,
+                        capture_source_file=capture_source_file)
+        manifest.record_option("lineage", capture_source_file)
         manifest.mark_staged(staging, num_buckets=num_buckets, key=key)
 
     for bucket in range(num_buckets):

@@ -75,7 +75,14 @@ class ValidationPlan:
         ]
         out_extra = []
         if file_lineage:
-            cols.append(F.col("_metadata.file_path").alias("source_file"))
+            # prefer a pre-captured _src_file (checkpoint.with_source_file):
+            # after staged resume, _metadata.file_path cites the STAGING
+            # directory; _src_file carries provenance to the original input
+            # file — the reference's SourceLocation contract is provenance
+            # to the source (JsonValue.kt:63-123)
+            src = (F.col("_src_file") if "_src_file" in df.columns
+                   else F.col("_metadata.file_path"))
+            cols.append(src.alias("source_file"))
             out_extra = ["source_file"]
         base = df.select(*cols)
         return (

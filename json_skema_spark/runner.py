@@ -43,12 +43,23 @@ CLIPS_SCHEMA_DOC = {
 }
 
 
+def _ref_fingerprint(df: DataFrame) -> str:
+    """Cheap identity fingerprint for a reference table: schema + the
+    sorted source-file list (empty for non-file sources). Enough to catch
+    the failure modes that matter — a restage after the ref table was
+    rewritten, or a ref read from a different path."""
+    import hashlib
+    basis = df.schema.simpleString() + "|" + "|".join(sorted(df.inputFiles()))
+    return hashlib.md5(basis.encode()).hexdigest()
+
+
 def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
                    schema_doc: Any = None,
                    transcripts_ref: DataFrame | None = None,
                    baseline_profile: DataFrame | None = None,
                    num_buckets: int = 16, check_audio: bool = True,
-                   emit_clean: bool = False) -> dict:
+                   emit_clean: bool = False, emit_digest: bool = False,
+                   file_lineage: bool = False) -> dict:
     """Run the full validation pipeline with checkpointed resume.
 
     ``emit_clean=True`` additionally materializes the quarantine split:
@@ -59,25 +70,67 @@ def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
     bucket is mostly violations); rides the same per-bucket transaction,
     so resume semantics are unchanged.
 
+    ``emit_digest=True`` writes a per-bucket triage digest (exact keyword
+    counts + bounded example keys) under ``digest/bucket=*`` — the
+    artifact an operator reads FIRST after a bad deploy; computed from the
+    just-written violations (violations-sized read, never a table rescan).
+
+    ``file_lineage=True`` captures ``_metadata.file_path`` into the staged
+    copy so violation rows cite the ORIGINAL input file (``source_file``
+    column) even from a resumed run. Requires a file-based input scan.
+
     Returns the manifest metrics map (bucket -> metrics).
     """
     schema_doc = schema_doc or CLIPS_SCHEMA_DOC
     plan = compile_schema(schema_doc, clips.schema)
     manifest = checkpoint.PartitionManifest(os.path.join(out_dir, "_manifest"))
 
+    # a resume must run with the semantics of the run that committed
+    # buckets: emit_clean/emit_digest newly ON would silently leave the
+    # committed buckets without their clean//digest/ output while
+    # reporting success (ADVICE r03)
+    for opt, val in (("emit_clean", emit_clean), ("emit_digest", emit_digest)):
+        prior = manifest.option(opt)
+        if prior is not None and prior != bool(val) and manifest.completed:
+            raise ValueError(
+                f"resume requested {opt}={bool(val)} but the run that "
+                f"committed {len(manifest.completed)} bucket(s) into this "
+                f"out_dir ran with {opt}={prior} — their output would be "
+                "inconsistent; finish with the original setting or use a "
+                "fresh out_dir")
+        manifest.record_option(opt, bool(val))
+
     # co-bucket the transcript reference ONCE: joining the full ref table
     # inside every bucket job would rescan+shuffle it num_buckets times —
     # the same N-full-scans pathology the staging redesign eliminates for
-    # the input. The _SUCCESS probe makes the ref staging crash-safe.
+    # the input. Reuse is guarded like the main staging (ADVICE r03): the
+    # _SUCCESS probe alone cannot tell "staged 16 ways from today's ref"
+    # from "staged 8 ways from last week's ref" — a silent mismatch
+    # commits false missing_reference_transcript violations.
     ref_staging = None
     ref_schema = None
     if transcripts_ref is not None and check_audio:
         ref_staging = os.path.join(out_dir, "_staging_ref")
         ref_schema = transcripts_ref.schema
-        if not checkpoint.fs_exists(
-                spark, os.path.join(ref_staging, "_SUCCESS")):
+        ref_meta = {"num_buckets": num_buckets,
+                    "fingerprint": _ref_fingerprint(transcripts_ref)}
+        prior_ref = manifest.option("ref_staging")
+        if prior_ref is not None and prior_ref != ref_meta \
+                and manifest.completed:
+            raise ValueError(
+                f"resume with a DIFFERENT transcript reference or bucket "
+                f"count ({ref_meta} vs staged {prior_ref}) after "
+                f"{len(manifest.completed)} bucket(s) committed against "
+                "the old reference — restaging now would mix verdicts "
+                "from two references; rerun with the original ref/buckets "
+                "or use a fresh out_dir")
+        reusable = (
+            checkpoint.fs_exists(spark, os.path.join(ref_staging, "_SUCCESS"))
+            and prior_ref == ref_meta)
+        if not reusable:
             checkpoint.stage_by_bucket(transcripts_ref, "clip_id",
                                        num_buckets, ref_staging)
+            manifest.record_option("ref_staging", ref_meta)
 
     def _ref_bucket(bucket: int) -> DataFrame | None:
         if ref_staging is None:
@@ -94,20 +147,37 @@ def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
         # to count them — 3 extra passes per bucket (VERDICT r02 #1).
         obs_viol = Observation(f"viol_{bucket}")
         obs_rows = Observation(f"rows_{bucket}")
-        viols = plan.violations(bucket_df, "clip_id")
+        # data_df: the original table shape — the staged lineage column
+        # must not leak into the profile (it is not a data column) or the
+        # clean split (consumers expect the input schema)
+        data_df = bucket_df.drop("_src_file") if file_lineage else bucket_df
+        viols = plan.violations(bucket_df, "clip_id",
+                                file_lineage=file_lineage)
         if check_audio:
+            # audio violations carry no source_file column; with lineage
+            # on, unionByName fills it NULL (key-attributed provenance
+            # still reaches them via row_key -> staged _src_file)
             viols = viols.unionByName(
-                audio_fn.audio_violations(bucket_df,
-                                          ref_transcripts=_ref_bucket(bucket)))
+                audio_fn.audio_violations(data_df,
+                                          ref_transcripts=_ref_bucket(bucket)),
+                allowMissingColumns=file_lineage)
         viols = viols.observe(obs_viol, F.count(F.lit(1)).alias("n"))
         vpath = os.path.join(out_dir, "violations", f"bucket={bucket}")
         viols.write.mode("overwrite").parquet(vpath)
+        if emit_digest:
+            # triage artifact, computed from the violations JUST written
+            # (violations-sized read-back, not a plan recompute); rides
+            # the same per-bucket transaction as the violations
+            from json_skema_spark.plans.verdict import violation_digest
+            violation_digest(spark.read.parquet(vpath), per_keyword=10) \
+                .write.mode("overwrite").parquet(
+                    os.path.join(out_dir, "digest", f"bucket={bucket}"))
         # MERGEABLE per-bucket profile parts (counts + min/max + HLL
         # sketches): the post-loop drift step merges these instead of
         # re-scanning the table — the global profile costs buckets x
         # columns rows, not a second full pass
         prof = stats.mergeable_profile(
-            bucket_df.observe(obs_rows, F.count(F.lit(1)).alias("n")))
+            data_df.observe(obs_rows, F.count(F.lit(1)).alias("n")))
         # bucket id rides the directory name (partition discovery on read)
         prof.write.mode("overwrite") \
             .parquet(os.path.join(out_dir, "profile", f"bucket={bucket}"))
@@ -129,7 +199,7 @@ def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
                      .select(F.col("row_key").alias("clip_id"))
                      .filter(F.col("clip_id").isNotNull()).distinct())
             n_copies = F.count(F.lit(1)).over(Window.partitionBy("clip_id"))
-            clean = (bucket_df.withColumn("_n_copies", n_copies)
+            clean = (data_df.withColumn("_n_copies", n_copies)
                      .filter(plan.passed & (F.col("_n_copies") == 1))
                      .drop("_n_copies")
                      .join(vkeys, "clip_id", "left_anti")
@@ -139,23 +209,42 @@ def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
             metrics["clean_rows"] = obs_clean.get["n"]
         return metrics
 
+    staging_dir = os.path.join(out_dir, "_staging")
     metrics = checkpoint.run_resumable(
         clips, "clip_id", num_buckets, manifest, process,
-        staging_dir=os.path.join(out_dir, "_staging"))
+        staging_dir=staging_dir, capture_source_file=file_lineage)
 
-    # global (cross-bucket) checks — cheap aggregates over keys only
-    dup = uniqueness.uniqueness_violations(clips, "clip_id")
-    dup.write.mode("overwrite").parquet(os.path.join(out_dir, "violations_unique"))
-    if transcripts_ref is not None:
-        orph = referential.referential_violations(clips, transcripts_ref, "clip_id")
-        orph.write.mode("overwrite").parquet(os.path.join(out_dir, "violations_ref"))
-    if baseline_profile is not None:
+    # global (cross-bucket) checks, under the SAME manifest transaction
+    # semantics as buckets (VERDICT r03 #2): the manifest entry is the
+    # commit marker — a crash mid-global-phase restarts ONLY the missing
+    # steps, and partially-written output is never mistaken for complete.
+    # Keys come from the STAGED copy (parquet column pruning reads the
+    # clip_id column only), so a resumed run never touches the source.
+    def _staged_keys() -> DataFrame:
+        s = manifest.staging_dir or staging_dir
+        if checkpoint.fs_exists(spark, s):
+            return spark.read.parquet(s).select("clip_id")
+        return clips.select("clip_id")
+
+    if not manifest.is_global_done("unique"):
+        dup = uniqueness.uniqueness_violations(_staged_keys(), "clip_id")
+        dup.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "violations_unique"))
+        manifest.mark_global_done("unique")
+    if transcripts_ref is not None and not manifest.is_global_done("ref"):
+        orph = referential.referential_violations(
+            _staged_keys(), transcripts_ref, "clip_id")
+        orph.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "violations_ref"))
+        manifest.mark_global_done("ref")
+    if baseline_profile is not None and not manifest.is_global_done("drift"):
         # merge the per-bucket parts written above: zero additional input
         # scans (round-2 design re-profiled the whole table here)
         parts = spark.read.parquet(os.path.join(out_dir, "profile"))
         cur = stats.merge_profiles(parts.drop("bucket"))
         drift_report(cur, baseline_profile).write.mode("overwrite") \
             .parquet(os.path.join(out_dir, "drift"))
+        manifest.mark_global_done("drift")
     return metrics
 
 
@@ -210,10 +299,20 @@ def main() -> None:
     p.add_argument("--no-audio", action="store_true")
     p.add_argument("--emit-clean", action="store_true",
                    help="also materialize passing rows under clean/bucket=*")
+    p.add_argument("--emit-digest", action="store_true",
+                   help="also write a per-bucket violation triage digest")
+    p.add_argument("--file-lineage", action="store_true",
+                   help="violation rows cite the original input file "
+                        "(source_file column), surviving staged resume")
+    p.add_argument("--format", default="parquet",
+                   help="input source format: parquet (default) or iceberg "
+                        "(requires the Iceberg runtime jars + catalog conf "
+                        "on the cluster; --input is then a table name)")
     args = p.parse_args()
 
     spark = SparkSession.builder.appName("json_skema_spark_validate").getOrCreate()
-    clips = spark.read.parquet(args.input)
+    from json_skema_spark.sources.tables import read_table
+    clips = read_table(spark, args.input, format=args.format)
     schema_doc = None
     if args.schema:
         with open(args.schema) as f:
@@ -235,7 +334,9 @@ def main() -> None:
                              transcripts_ref=tref, baseline_profile=base,
                              num_buckets=args.buckets,
                              check_audio=not args.no_audio,
-                             emit_clean=args.emit_clean)
+                             emit_clean=args.emit_clean,
+                             emit_digest=args.emit_digest,
+                             file_lineage=args.file_lineage)
     total = {"rows": sum(m.get("rows", 0) for m in metrics.values()),
              "violations": sum(m.get("violations", 0) for m in metrics.values()),
              "buckets": len(metrics)}

@@ -27,6 +27,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     raise ValueError(f"unknown format {fmt!r}")
 
 
+def read_table(spark: SparkSession, path_or_name: str, *,
+               format: str = "parquet") -> DataFrame:
+    """Production input dispatch for ``runner.py --format``.
+
+    - ``parquet``: ``path_or_name`` is a directory/file path.
+    - ``iceberg``: ``path_or_name`` is a catalog table name
+      (``catalog.db.table``). Requires the Iceberg runtime on the
+      cluster: ``--packages org.apache.iceberg:iceberg-spark-runtime-...``
+      plus ``spark.sql.catalog.<name>`` conf. Not testable in this
+      sandbox (no jars) — the dispatch raises a targeted error instead
+      of Spark's raw ClassNotFound.
+
+    Iceberg + resume recipe: if the table is partitioned with a
+    ``bucket(N, clip_id)`` transform, skip the staging pass entirely —
+    pass the table's data directory as ``pre_staged_dir`` to
+    ``checkpoint.run_resumable`` with ``num_buckets=N`` (the layout is
+    already the ``_bucket=<id>`` shape staging would produce, modulo the
+    partition dir name; see operators/checkpoint.py:17-20).
+    """
+    if format == "parquet":
+        return spark.read.parquet(path_or_name)
+    if format == "iceberg":
+        try:
+            return spark.read.format("iceberg").load(path_or_name)
+        except Exception as e:
+            raise RuntimeError(
+                "format=iceberg requires the Iceberg runtime jars "
+                "(org.apache.iceberg:iceberg-spark-runtime) and a "
+                "spark.sql.catalog.<name> configuration on the cluster; "
+                f"loading {path_or_name!r} failed") from e
+    raise ValueError(f"unknown format {format!r} (parquet|iceberg)")
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
 

@@ -1,0 +1,220 @@
+"""Round-4 production-path hardening: global phase under the manifest,
+source-file lineage through staging, resume-option guards, per-bucket
+digest, Iceberg format dispatch (VERDICT r03 #2-#4, #6, #8 + ADVICE r03)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_skema_spark.operators import checkpoint
+from json_skema_spark.runner import validate_table
+from json_skema_spark.sources import clips as clips_src
+
+
+def _mtime_tree(path):
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            out[p] = os.path.getmtime(p)
+    return out
+
+
+# ---------------------------------------------------------------- lineage
+
+def test_violations_cite_original_files_not_staging(spark, tmp_path):
+    """file_lineage=True: violation rows carry source_file pointing at the
+    ORIGINAL input parquet even though bucket jobs read the staged copy
+    (whose _metadata.file_path cites _staging)."""
+    src = str(tmp_path / "orig_input")
+    clips_src.clips_df(spark, 120, audio=False, inject=True) \
+        .write.parquet(src)
+    clips = spark.read.parquet(src)
+    out = str(tmp_path / "out")
+    validate_table(spark, clips, out, num_buckets=3, check_audio=False,
+                   file_lineage=True)
+    viols = spark.read.parquet(os.path.join(out, "violations", "bucket=*"))
+    assert "source_file" in viols.columns
+    srcs = [r.source_file for r in
+            viols.select("source_file").distinct().collect()]
+    assert srcs, "expected injected violations"
+    assert all("orig_input" in s for s in srcs), srcs
+    assert not any("_staging" in s for s in srcs), srcs
+
+
+def test_lineage_column_stays_out_of_profile_and_clean(spark, tmp_path):
+    src = str(tmp_path / "orig_input")
+    clips_src.clips_df(spark, 60, audio=False, inject=True).write.parquet(src)
+    clips = spark.read.parquet(src)
+    out = str(tmp_path / "out")
+    validate_table(spark, clips, out, num_buckets=2, check_audio=False,
+                   file_lineage=True, emit_clean=True)
+    prof = spark.read.parquet(os.path.join(out, "profile", "bucket=*"))
+    cols_profiled = {r.column_name for r in
+                     prof.select("column_name").distinct().collect()}
+    assert "_src_file" not in cols_profiled
+    clean = spark.read.parquet(os.path.join(out, "clean", "bucket=*"))
+    assert "_src_file" not in clean.columns
+    assert set(clean.columns) == set(clips.columns)
+
+
+def test_with_source_file_rejects_non_file_source(spark):
+    df = spark.createDataFrame([("a",)], "clip_id string")
+    with pytest.raises(ValueError, match="file-based"):
+        checkpoint.with_source_file(df)
+
+
+def test_stage_by_bucket_rejects_existing_bucket_column(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1)], "clip_id string, _bucket int")
+    with pytest.raises(ValueError, match="_bucket"):
+        checkpoint.stage_by_bucket(df, "clip_id", 2, str(tmp_path / "s"))
+
+
+# ----------------------------------------------------- global-phase manifest
+
+def test_global_phase_resumes_without_redoing_buckets(spark, tmp_path,
+                                                      monkeypatch):
+    """Kill the run between the bucket loop and the global phase: restart
+    must skip every committed bucket and complete ONLY the missing global
+    steps; a partial global output is never treated as complete."""
+    out = str(tmp_path / "out")
+    clips = clips_src.clips_df(spark, 100, audio=False, inject=True).cache()
+
+    from json_skema_spark.operators import uniqueness as uniq_mod
+
+    real = uniq_mod.uniqueness_violations
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before global phase")
+
+    monkeypatch.setattr("json_skema_spark.runner.uniqueness.uniqueness_violations",
+                        boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        validate_table(spark, clips, out, num_buckets=3, check_audio=False)
+
+    m = json.loads(open(os.path.join(out, "_manifest", "manifest.json")).read())
+    assert set(m["completed"]) == {"0", "1", "2"}  # buckets committed
+    assert "unique" not in m.get("global", {})     # global NOT committed
+    assert not os.path.exists(os.path.join(out, "violations_unique"))
+
+    # restart: buckets untouched (no file rewritten), global completes
+    before = _mtime_tree(os.path.join(out, "violations"))
+    monkeypatch.setattr(
+        "json_skema_spark.runner.uniqueness.uniqueness_violations", real)
+    validate_table(spark, clips, out, num_buckets=3, check_audio=False)
+    assert _mtime_tree(os.path.join(out, "violations")) == before
+    m2 = json.loads(open(os.path.join(out, "_manifest", "manifest.json")).read())
+    assert "unique" in m2["global"]
+    assert os.path.exists(os.path.join(out, "violations_unique", "_SUCCESS"))
+
+    # a third run redoes nothing at all (globals also committed)
+    before_u = _mtime_tree(os.path.join(out, "violations_unique"))
+    validate_table(spark, clips, out, num_buckets=3, check_audio=False)
+    assert _mtime_tree(os.path.join(out, "violations_unique")) == before_u
+    clips.unpersist()
+
+
+def test_global_unique_reads_staged_copy_not_source(spark, tmp_path):
+    """The uniqueness pass must work even when the original source is gone
+    after staging — proof it reads the staged copy on resume."""
+    src = str(tmp_path / "orig_input")
+    dup = clips_src.clips_df(spark, 40, audio=False, inject=False)
+    one = dup.limit(1)
+    dup.unionByName(one).write.parquet(src)  # one duplicated clip_id
+    clips = spark.read.parquet(src)
+    out = str(tmp_path / "out")
+    validate_table(spark, clips, out, num_buckets=2, check_audio=False)
+    uv = spark.read.parquet(os.path.join(out, "violations_unique"))
+    assert uv.count() == 1
+    assert uv.first().keyword == "uniqueItems"
+
+
+# -------------------------------------------------------- resume-option guards
+
+def test_emit_clean_flip_on_resume_raises(spark, tmp_path):
+    out = str(tmp_path / "out")
+    clips = clips_src.clips_df(spark, 50, audio=False, inject=True).cache()
+    validate_table(spark, clips, out, num_buckets=2, check_audio=False)
+    with pytest.raises(ValueError, match="emit_clean"):
+        validate_table(spark, clips, out, num_buckets=2, check_audio=False,
+                       emit_clean=True)
+    clips.unpersist()
+
+
+def test_ref_staging_guard_restages_on_unrecorded_success(spark, tmp_path):
+    """_SUCCESS alone no longer proves the ref staging is reusable: with no
+    manifest record (crash before recording) the ref is restaged."""
+    from json_skema_spark.sources.clips import transcripts_ref_df
+    out = str(tmp_path / "out")
+    clips = clips_src.clips_df(spark, 40, audio=True, inject=False).cache()
+    ref = transcripts_ref_df(spark, 40)
+    validate_table(spark, clips, out, num_buckets=2, check_audio=True,
+                   transcripts_ref=ref)
+    mpath = os.path.join(out, "_manifest", "manifest.json")
+    m = json.loads(open(mpath).read())
+    assert m["options"]["ref_staging"]["num_buckets"] == 2
+    # simulate the ADVICE crash: _SUCCESS exists, manifest record missing
+    # AND buckets not yet committed
+    del m["options"]["ref_staging"]
+    m["completed"] = {}
+    open(mpath, "w").write(json.dumps(m))
+    before = _mtime_tree(os.path.join(out, "_staging_ref"))
+    validate_table(spark, clips, out, num_buckets=2, check_audio=True,
+                   transcripts_ref=ref)
+    assert _mtime_tree(os.path.join(out, "_staging_ref")) != before
+    clips.unpersist()
+
+
+def test_ref_change_after_committed_buckets_raises(spark, tmp_path):
+    from json_skema_spark.sources.clips import transcripts_ref_df
+    out = str(tmp_path / "out")
+    clips = clips_src.clips_df(spark, 40, audio=True, inject=False).cache()
+    ref_src = str(tmp_path / "refA")
+    transcripts_ref_df(spark, 40).write.parquet(ref_src)
+    validate_table(spark, clips, out, num_buckets=2, check_audio=True,
+                   transcripts_ref=spark.read.parquet(ref_src))
+    # a DIFFERENT ref source (different file fingerprint) on resume
+    ref_src2 = str(tmp_path / "refB")
+    transcripts_ref_df(spark, 40).write.parquet(ref_src2)
+    with pytest.raises(ValueError, match="DIFFERENT transcript reference"):
+        validate_table(spark, clips, out, num_buckets=2, check_audio=True,
+                       transcripts_ref=spark.read.parquet(ref_src2))
+    clips.unpersist()
+
+
+# ------------------------------------------------------------------ digest
+
+def test_emit_digest_rides_bucket_transaction(spark, tmp_path):
+    out = str(tmp_path / "out")
+    clips = clips_src.clips_df(spark, 120, audio=False, inject=True).cache()
+    validate_table(spark, clips, out, num_buckets=3, check_audio=False,
+                   emit_digest=True)
+    dg = spark.read.parquet(os.path.join(out, "digest", "bucket=*"))
+    viols = spark.read.parquet(os.path.join(out, "violations", "bucket=*"))
+    # exact counts: digest n_violations per keyword_location sums (over
+    # buckets) to the violations table's counts
+    got = {r.keyword_location: r.total for r in
+           dg.groupBy("keyword_location")
+             .agg(F.sum("n_violations").alias("total")).collect()}
+    want = {r.keyword_location: r.total for r in
+            viols.groupBy("keyword_location")
+                 .agg(F.count("*").alias("total")).collect()}
+    assert got == want and got
+    # example_keys bounded and present
+    assert all(0 < len(r.example_keys) <= 10 for r in dg.collect())
+    clips.unpersist()
+
+
+# ---------------------------------------------------------- iceberg dispatch
+
+def test_read_table_dispatch(spark, tmp_path):
+    from json_skema_spark.sources.tables import read_table
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1,)], "a int").write.parquet(p)
+    assert read_table(spark, p).count() == 1
+    with pytest.raises(RuntimeError, match="[Ii]ceberg"):
+        read_table(spark, "cat.db.t", format="iceberg")
+    with pytest.raises(ValueError, match="unknown format"):
+        read_table(spark, p, format="orc2")
