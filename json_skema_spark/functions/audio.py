@@ -147,6 +147,40 @@ def unregister_decoder(codec: str) -> None:
     _DECODERS.pop(codec, None)
 
 
+def register_optional_decoders() -> list[str]:
+    """Register REAL flac/opus decoders when ``soundfile`` (libsndfile) is
+    importable; returns the codecs registered ([] when the lib is absent —
+    the registry keeps its deterministic ``codec_not_supported`` reject).
+
+    Call on the driver BEFORE building a plan: UDF closures snapshot the
+    registry by value. The decode contract is identical to
+    ``decode_wav_pcm16``: mono float in [-1,1], true sample rate, error
+    string — so ``pcm_invariant_check``/``audio_violations`` work
+    unchanged whichever decoder served the row.
+    """
+    registered: list[str] = []
+    try:
+        import soundfile as sf  # optional: not in the sandbox image
+    except ImportError:
+        return registered
+    import io
+
+    def _sf_decode(buf: Any) -> tuple[np.ndarray | None, int, str]:
+        try:
+            data, sr = sf.read(io.BytesIO(bytes(buf)), dtype="float64",
+                               always_2d=True)
+        except Exception as exc:
+            return None, 0, f"decode_error:{type(exc).__name__}"
+        if data.shape[1] != 1:
+            return None, int(sr), "unsupported_pcm_layout"
+        return data[:, 0], int(sr), ""
+
+    for codec in ("flac", "opus"):
+        register_decoder(codec, _sf_decode)
+        registered.append(codec)
+    return registered
+
+
 def _decoder_snapshot() -> dict[str, Decoder]:
     """Value-copy of the registry for capture into a UDF closure."""
     return dict(_DECODERS)

@@ -104,6 +104,34 @@ def unregister_image_decoder(codec: str) -> None:
     _IMAGE_DECODERS.pop(codec, None)
 
 
+def register_optional_image_decoders() -> list[str]:
+    """Register REAL jpeg/png/webp decoders when Pillow is importable;
+    returns the codecs registered ([] when absent — the registry keeps its
+    deterministic ``codec_not_supported`` reject). Same contract as
+    ``decode_rgb8raw``: HxWx3 uint8 RGB array + error string. Call on the
+    driver before building a plan (UDF closures snapshot the registry)."""
+    registered: list[str] = []
+    try:
+        from PIL import Image  # optional: not in the sandbox image
+    except ImportError:
+        return registered
+    import io
+
+    import numpy as np
+
+    def _pil_decode(buf: Any) -> tuple[Any, str]:
+        try:
+            img = Image.open(io.BytesIO(bytes(buf))).convert("RGB")
+            return np.asarray(img, dtype=np.uint8), ""
+        except Exception as exc:
+            return None, f"decode_error:{type(exc).__name__}"
+
+    for codec in ("jpeg", "png", "webp"):
+        register_image_decoder(codec, _pil_decode)
+        registered.append(codec)
+    return registered
+
+
 def _decode_image(decoders: dict, codec: Any, buf: Any):
     fn = decoders.get(codec)
     if fn is not None:

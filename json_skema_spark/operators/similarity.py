@@ -126,12 +126,17 @@ def train_ivf_centroids(df: DataFrame, embedding_col: str, *, n_lists: int = 16,
     frac_df = df.select(F.col(embedding_col).cast("array<double>").alias("e"))
     rows = approx_rows if approx_rows is not None else frac_df.count()
     if rows > sample_rows:
-        # no limit() after the sample: GlobalLimit consumes partitions in
-        # order, so limiting the ~1.25x oversample would drop the TAIL
-        # partitions and re-bias toward the head. The 4x safety cap only
-        # binds when approx_rows was >3x under-estimated.
-        frac_df = frac_df.sample(fraction=min(1.0, 1.25 * sample_rows / rows),
-                                 seed=seed).limit(4 * sample_rows)
+        # the safety cap (4x) must not be a bare GlobalLimit: that consumes
+        # head partitions first, so when approx_rows under-estimates by >3x
+        # the cap binds and re-biases the sample toward the head of the
+        # table (ADVICE r03). Ranking by a deterministic hash of the vector
+        # makes the capped subset a uniform draw regardless of physical
+        # order — TakeOrderedAndProject, each task keeps at most the cap.
+        frac_df = (frac_df
+                   .sample(fraction=min(1.0, 1.25 * sample_rows / rows),
+                           seed=seed)
+                   .withColumn("_h", F.xxhash64(F.col("e"), F.lit(seed)))
+                   .orderBy("_h").limit(4 * sample_rows).drop("_h"))
     train = frac_df.select(array_to_vector(F.col("e")).alias("features"))
     km = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(train)
     return np.array(km.clusterCenters())

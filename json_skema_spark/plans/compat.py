@@ -376,7 +376,45 @@ def is_backward_compatible(old_doc: Any, new_doc: Any) -> bool:
         return True  # annotation-only diffs can't affect any ref site
     if _has_unlocalizable_ref(old_doc) or _has_unlocalizable_ref(new_doc):
         return False
+    if _has_dangling_defs_ref(new_doc):
+        return False  # v2 cannot compile — never certify it
     return all(c.kind == WIDENING for c in changes)
+
+
+def _collect_defs_refs(node: Any, out: list[str]) -> None:
+    if isinstance(node, dict):
+        v = node.get("$ref")
+        if isinstance(v, str) and v.startswith("#/$defs/"):
+            out.append(v)
+        for val in node.values():
+            _collect_defs_refs(val, out)
+    elif isinstance(node, list):
+        for val in node:
+            _collect_defs_refs(val, out)
+
+
+def _has_dangling_defs_ref(doc: Any) -> bool:
+    """True when the document carries a ``#/$defs/...`` $ref whose target
+    no longer resolves — e.g. v2 removed ``$defs`` but a ref site remains.
+
+    Without this probe, the removal classifies as a pure widening
+    ("applicator removed") and the early-outs certify a document that
+    cannot even compile (ADVICE r03)."""
+    refs: list[str] = []
+    _collect_defs_refs(doc, refs)
+    for ref in refs:
+        target: Any = doc
+        ok = True
+        for tok in ref[2:].split("/"):
+            tok = tok.replace("~1", "/").replace("~0", "~")
+            if isinstance(target, dict) and tok in target:
+                target = target[tok]
+            else:
+                ok = False
+                break
+        if not ok:
+            return True
+    return False
 
 
 def _contains_ref(node: Any) -> bool:
@@ -428,6 +466,12 @@ def delta_schema(old_doc: Any, new_doc: Any) -> Any | None:
         # under not/oneOf/if, where a widening at the target narrows the
         # site — so this must preempt even the "pure widening" (d is None)
         # early-out; only the full document is sound
+        return new_doc
+    if changes and _has_dangling_defs_ref(new_doc):
+        # e.g. $defs removed while a '#/$defs/x' ref site remains: v2
+        # cannot compile, so there is no sound delta — return the full
+        # document and let the compiler raise loudly instead of silently
+        # skipping re-validation (ADVICE r03)
         return new_doc
     if d is None:
         return None

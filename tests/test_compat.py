@@ -354,3 +354,35 @@ def test_polarity_inverting_ref_blocks_certification():
     # ...but {'x': 7, 'y': 3} is v1-valid and v2-invalid (3 now matches x)
     assert not is_backward_compatible(old, new)
     assert delta_schema(old, new) == new
+
+
+def test_dangling_defs_ref_never_certified():
+    """ADVICE r03: removing $defs while a '#/$defs/x' $ref remains must
+    not classify as a pure widening — v2 cannot compile."""
+    from json_skema_spark.plans.compat import (delta_schema,
+                                               is_backward_compatible)
+    old = {"properties": {"a": {"$ref": "#/$defs/pos"}},
+           "$defs": {"pos": {"type": "integer", "minimum": 0}}}
+    new = {"properties": {"a": {"$ref": "#/$defs/pos"}}}  # $defs removed
+    assert is_backward_compatible(old, new) is False
+    # no silent None (skip-revalidation): the full doc comes back so the
+    # compiler raises loudly on the dangling ref
+    assert delta_schema(old, new) == new
+
+    # removing one definition among several, same story
+    old2 = {"properties": {"a": {"$ref": "#/$defs/x"},
+                           "b": {"$ref": "#/$defs/y"}},
+            "$defs": {"x": {"minimum": 0}, "y": {"maximum": 9}}}
+    new2 = {"properties": {"a": {"$ref": "#/$defs/x"},
+                           "b": {"$ref": "#/$defs/y"}},
+            "$defs": {"x": {"minimum": 0}}}
+    assert is_backward_compatible(old2, new2) is False
+    assert delta_schema(old2, new2) == new2
+
+    # control: intact $defs with a true widening still certifies
+    old3 = {"properties": {"a": {"$ref": "#/$defs/x"}}, "required": ["a"],
+            "$defs": {"x": {"minimum": 0}}}
+    new3 = {"properties": {"a": {"$ref": "#/$defs/x"}},
+            "$defs": {"x": {"minimum": 0}}}
+    assert is_backward_compatible(old3, new3) is True
+    assert delta_schema(old3, new3) is None

@@ -41,3 +41,29 @@ def test_ivf_list_assignment_balanced(spark):
         .groupBy("l").count().collect())
     assert len(counts) == 4
     assert all(r["count"] > 20 for r in counts)  # no empty/degenerate list
+
+
+def test_ivf_sample_cap_not_head_biased(spark):
+    """ADVICE r03: when approx_rows under-estimates by >3x the 4x safety
+    cap binds; the capped subset must remain a uniform draw, not the head
+    partitions. Head rows cluster at -10, tail rows at +10: a head-biased
+    cap trains every centroid near -10."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from json_skema_spark.operators.similarity import train_ivf_centroids
+
+    n = 4000
+    # ordered source: first half -10-centered, second half +10-centered,
+    # one row per ordered partition range
+    df = (spark.range(0, n, 1, 8)
+          .select(F.when(F.col("id") < n // 2, F.lit(-10.0))
+                  .otherwise(F.lit(10.0)).alias("c"), "id")
+          .select(F.array(
+              F.col("c") + (F.pmod(F.xxhash64("id"), F.lit(100)) / 100.0),
+              F.col("c") - (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100)) / 100.0),
+          ).alias("emb")))
+    # approx_rows 10x under-estimated -> fraction 1.0 -> cap binds hard
+    cents = train_ivf_centroids(df, "emb", n_lists=2, approx_rows=n // 10,
+                                sample_rows=100, seed=7)
+    signs = sorted(np.sign(cents[:, 0]))
+    assert signs == [-1.0, 1.0], f"head-biased centroids: {cents}"

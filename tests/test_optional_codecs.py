@@ -1,0 +1,84 @@
+"""Import-guarded REAL codec registration (VERDICT r03 next #5): flac/opus
+via soundfile, jpeg/png/webp via Pillow — registered only when the library
+is importable, deterministic rejection otherwise. The real-path tests are
+skip-marked in environments without the libs (this sandbox); the graceful-
+absence path always runs."""
+
+import importlib.util
+
+import pytest
+
+from json_skema_spark.functions import audio as audio_fn
+from json_skema_spark.functions import media as media_fn
+
+_HAS_SF = importlib.util.find_spec("soundfile") is not None
+_HAS_PIL = importlib.util.find_spec("PIL") is not None
+
+
+def test_optional_audio_decoders_absent_is_graceful():
+    if _HAS_SF:
+        pytest.skip("soundfile present: absence path not reachable")
+    assert audio_fn.register_optional_decoders() == []
+    # flac still deterministically rejects, never crashes
+    sig, sr, err = audio_fn._decode_dispatch("flac", b"fLaC....")
+    assert sig is None and err == "codec_not_supported:flac"
+
+
+def test_optional_image_decoders_absent_is_graceful():
+    if _HAS_PIL:
+        pytest.skip("Pillow present: absence path not reachable")
+    assert media_fn.register_optional_image_decoders() == []
+
+
+@pytest.mark.skipif(not _HAS_SF, reason="soundfile not installed")
+def test_real_flac_decoder_roundtrip(spark):
+    """With soundfile present: encode a synthetic tone as FLAC, run it
+    through the SAME pcm_invariant_check path as WAV rows."""
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    try:
+        codecs = audio_fn.register_optional_decoders()
+        assert "flac" in codecs
+        sr = 16000
+        sig = audio_fn.synth_signal(0, sr_hz=sr, dur_ms=200) \
+            if hasattr(audio_fn, "synth_signal") else \
+            np.sin(2 * np.pi * 440.0 * np.arange(sr // 5) / sr) * 0.5
+        buf = io.BytesIO()
+        sf.write(buf, sig, sr, format="FLAC")
+        flac_bytes = buf.getvalue()
+        out, got_sr, err = audio_fn._decode_dispatch("flac", flac_bytes)
+        assert err == "" and got_sr == sr
+        assert np.allclose(out, sig, atol=1e-3)
+
+        df = spark.createDataFrame(
+            [("c1", bytearray(flac_bytes), sr, 200, "flac", "t")],
+            "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+            "codec string, transcript string")
+        checked = audio_fn.pcm_invariant_check(df, None).collect()
+        assert checked[0].decode_ok
+    finally:
+        audio_fn.unregister_decoder("flac")
+        audio_fn.unregister_decoder("opus")
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed")
+def test_real_png_decoder_roundtrip():
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    try:
+        codecs = media_fn.register_optional_image_decoders()
+        assert "png" in codecs
+        arr = (np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3))
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        out, err = media_fn._IMAGE_DECODERS["png"](buf.getvalue())
+        assert err == "" and np.array_equal(out, arr)
+    finally:
+        for c in ("jpeg", "png", "webp"):
+            media_fn.unregister_image_decoder(c)

@@ -18,7 +18,14 @@ import pytest
 
 from json_skema_spark.sources.suite import load_suite_groups, run_suite
 
-SUITE_ROOT = os.path.join(os.path.dirname(__file__), "suite")
+# Drop-in switch for the OFFICIAL corpus: point JSON_SCHEMA_SUITE_ROOT at
+# the `tests/` directory of a json-schema-org/JSON-Schema-Test-Suite
+# checkout (the dir containing draft2020-12/) and this gate runs it
+# unchanged. Default: the re-authored in-repo corpus (same file format).
+SUITE_ROOT = os.environ.get(
+    "JSON_SCHEMA_SUITE_ROOT",
+    os.path.join(os.path.dirname(__file__), "suite"))
+_OFFICIAL = "JSON_SCHEMA_SUITE_ROOT" in os.environ
 
 # (file, group description, test description) -> reason. Empty = everything
 # green. Entries here must name a documented engine divergence, never hide
@@ -51,6 +58,8 @@ REQUIRED_FILES = {
 }
 
 
+@pytest.mark.skipif(_OFFICIAL, reason="coverage floor pins the in-repo "
+                    "corpus; the official checkout has its own file set")
 def test_suite_files_cover_required_keywords():
     groups = load_suite_groups(SUITE_ROOT)
     files = {g.file for g in groups}
@@ -76,3 +85,32 @@ def test_suite_conformance(spark):
     print(f"\nsuite: {n_pass}/{len(results)} pass, "
           f"{len(skipped)} skipped (documented)")
     assert not failures, "\n".join(failures[:25])
+
+
+def test_official_checkout_layout_runs_unchanged(spark, tmp_path,
+                                                 monkeypatch):
+    """The JSON_SCHEMA_SUITE_ROOT switch: a directory in the official
+    checkout layout (<root>/draft2020-12/*.json) loads and runs without
+    edits — proof a real json-schema-org checkout drops in."""
+    import importlib
+    import json as _json
+    d = tmp_path / "official" / "draft2020-12"
+    d.mkdir(parents=True)
+    (d / "type.json").write_text(_json.dumps([{
+        "description": "integer type",
+        "schema": {"type": "integer"},
+        "tests": [
+            {"description": "an int", "data": 3, "valid": True},
+            {"description": "a string", "data": "x", "valid": False},
+        ]}]))
+    monkeypatch.setenv("JSON_SCHEMA_SUITE_ROOT",
+                       str(tmp_path / "official"))
+    import tests.test_suite_conformance as mod
+    mod = importlib.reload(mod)
+    try:
+        assert mod._OFFICIAL and mod.SUITE_ROOT.endswith("official")
+        results = run_suite(spark, mod.SUITE_ROOT)
+        assert len(results) == 2 and all(r.ok for r in results)
+    finally:
+        monkeypatch.delenv("JSON_SCHEMA_SUITE_ROOT")
+        importlib.reload(mod)
