@@ -91,6 +91,24 @@ def timed_floor(fn, min_reps: int = 3, max_reps: int = 7,
     return min(times)
 
 
+def timed_floor_with_reps(fn, **kw) -> tuple[float, list[float]]:
+    """timed_floor + the raw rep times, so the recorded artifact carries
+    its own interference evidence: a floor whose reps span 3s..11s was
+    measured through noisy-neighbor stomps (this VM's interference is
+    largely invisible to /proc/stat steal — see BENCH/BASELINE.md), while
+    tightly-grouped reps certify the floor was genuinely reached."""
+    reps: list[float] = []
+
+    def wrapped():
+        t0 = time.time()
+        out = fn()
+        reps.append(round(time.time() - t0, 3))
+        return out
+
+    floor = timed_floor(wrapped, **kw)
+    return floor, reps
+
+
 def main() -> None:
     import __spark_entry__ as entry
     from json_skema_spark import compile_schema
@@ -154,7 +172,7 @@ def main() -> None:
         return plan.apply(clips, mode="verdict").groupBy("passed").count().collect()
 
     timed(run_probe)  # warm-up pass (page cache + codegen JIT)
-    probe_secs = timed_floor(run_probe)
+    probe_secs, probe_reps = timed_floor_with_reps(run_probe, max_reps=9)
     q_secs["clips_constraint_eval"] = round(probe_secs, 3)
     clips_per_sec = n / probe_secs
 
@@ -167,7 +185,7 @@ def main() -> None:
         return audio.pcm_invariant_check(aclips).groupBy("decode_ok").count().collect()
 
     timed(run_audio)  # warm-up pass (spins up every Python worker)
-    audio_secs = timed_floor(run_audio)
+    audio_secs, audio_reps = timed_floor_with_reps(run_audio, max_reps=9)
     q_secs["clips_audio_snr"] = round(audio_secs, 3)
     audio_clips_per_sec = an / audio_secs
 
@@ -185,6 +203,12 @@ def main() -> None:
             "audio_snr_clips_per_sec": round(audio_clips_per_sec, 1),
             "audio_n": an,
         },
+        # raw rep times for the two clips probes: tightly-grouped reps
+        # certify a genuine floor; a wide spread means the recorded number
+        # was measured through this VM's (steal-invisible) noisy-neighbor
+        # interference — read it against BENCH/BASELINE.md's clean floors
+        "probe_reps": {"clips_constraint_eval": probe_reps,
+                       "clips_audio_snr": audio_reps},
     }))
 
 
