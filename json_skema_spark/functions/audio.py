@@ -163,21 +163,38 @@ def register_optional_decoders() -> list[str]:
         import soundfile as sf  # optional: not in the sandbox image
     except ImportError:
         return registered
-    import io
 
     def _sf_decode(buf: Any) -> tuple[np.ndarray | None, int, str]:
+        # imports INSIDE the body: cloudpickle would otherwise capture the
+        # soundfile module by reference and an executor lacking the lib
+        # would die at closure DESERIALIZATION (whole-task failure, 4
+        # retries, job dead) instead of containing the miss per row as a
+        # decode_error verdict — the registry's never-crash contract
+        import io as _io
+
+        import soundfile as _sf
         try:
-            data, sr = sf.read(io.BytesIO(bytes(buf)), dtype="float64",
-                               always_2d=True)
+            data, sr = _sf.read(_io.BytesIO(bytes(buf)), dtype="float64",
+                                always_2d=True)
         except Exception as exc:
             return None, 0, f"decode_error:{type(exc).__name__}"
         if data.shape[1] != 1:
             return None, int(sr), "unsupported_pcm_layout"
         return data[:, 0], int(sr), ""
 
-    for codec in ("flac", "opus"):
-        register_decoder(codec, _sf_decode)
-        registered.append(codec)
+    register_decoder("flac", _sf_decode)
+    registered.append("flac")
+    # opus support depends on the linked libsndfile (>= 1.0.29): register
+    # only when the driver's library actually has it, else keep the honest
+    # codec_not_supported reject instead of per-row decode_error blaming
+    # valid rows for an environment limitation
+    try:
+        has_opus = "OPUS" in sf.available_subtypes("OGG")
+    except Exception:
+        has_opus = False
+    if has_opus:
+        register_decoder("opus", _sf_decode)
+        registered.append("opus")
     return registered
 
 

@@ -112,17 +112,21 @@ def register_optional_image_decoders() -> list[str]:
     driver before building a plan (UDF closures snapshot the registry)."""
     registered: list[str] = []
     try:
-        from PIL import Image  # optional: not in the sandbox image
+        import PIL.Image  # noqa: F401 — optional: not in the sandbox image
     except ImportError:
         return registered
-    import io
-
-    import numpy as np
 
     def _pil_decode(buf: Any) -> tuple[Any, str]:
+        # imports INSIDE the body (see audio.register_optional_decoders):
+        # an executor lacking Pillow contains the miss per row as a
+        # decode_error verdict instead of dying at closure deserialization
+        import io as _io
+
+        import numpy as _np
+        from PIL import Image as _Image
         try:
-            img = Image.open(io.BytesIO(bytes(buf))).convert("RGB")
-            return np.asarray(img, dtype=np.uint8), ""
+            img = _Image.open(_io.BytesIO(bytes(buf))).convert("RGB")
+            return _np.asarray(img, dtype=_np.uint8), ""
         except Exception as exc:
             return None, f"decode_error:{type(exc).__name__}"
 

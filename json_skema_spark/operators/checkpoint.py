@@ -114,6 +114,9 @@ class PartitionManifest:
     def is_global_done(self, step: str) -> bool:
         return step in self._state.get("global", {})
 
+    def global_metrics(self, step: str) -> dict | None:
+        return self._state.get("global", {}).get(step)
+
     def mark_global_done(self, step: str, metrics: dict | None = None) -> None:
         self._state.setdefault("global", {})[step] = metrics or {}
         self._flush()
@@ -266,6 +269,21 @@ def run_resumable(df: DataFrame, key: str, num_buckets: int,
                 "restage, or pass pre_staged_dir to the moved data")
     elif pre_staged_dir is not None:
         staging = pre_staged_dir
+        if capture_source_file:
+            # pre-staged data (e.g. an Iceberg bucket-transform table) was
+            # written by someone else: requesting lineage it does not
+            # carry would read _src_file as all-NULL silently — the same
+            # explicit-schema failure mode the _bucket guard prevents
+            actual = {f.name
+                      for f in spark.read.parquet(pre_staged_dir).schema}
+            if "_src_file" not in actual:
+                raise ValueError(
+                    "capture_source_file=True with pre_staged_dir, but the "
+                    f"pre-staged data at {pre_staged_dir!r} has no "
+                    "_src_file column — every violation's source_file "
+                    "would be NULL; stage it with "
+                    "checkpoint.with_source_file first or run without "
+                    "lineage")
         manifest.record_option("lineage", capture_source_file)
         manifest.mark_staged(staging, num_buckets=num_buckets, key=key)
     else:

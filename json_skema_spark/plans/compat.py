@@ -400,19 +400,16 @@ def _has_dangling_defs_ref(doc: Any) -> bool:
     Without this probe, the removal classifies as a pure widening
     ("applicator removed") and the early-outs certify a document that
     cannot even compile (ADVICE r03)."""
+    from json_skema_spark.plans.model import SchemaError, evaluate_pointer
     refs: list[str] = []
     _collect_defs_refs(doc, refs)
     for ref in refs:
-        target: Any = doc
-        ok = True
-        for tok in ref[2:].split("/"):
-            tok = tok.replace("~1", "/").replace("~0", "~")
-            if isinstance(target, dict) and tok in target:
-                target = target[tok]
-            else:
-                ok = False
-                break
-        if not ok:
+        try:
+            # the resolver's pointer walk (lists, bounds, percent-decoding,
+            # RFC 6901 unescape) — not a reimplementation that would
+            # misjudge '#/$defs/x/allOf/0' as dangling
+            evaluate_pointer(doc, ref[1:])
+        except SchemaError:
             return True
     return False
 

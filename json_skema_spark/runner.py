@@ -99,6 +99,19 @@ def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
                 "inconsistent; finish with the original setting or use a "
                 "fresh out_dir")
         manifest.record_option(opt, bool(val))
+    # file_lineage is stricter: the STAGED FILES themselves either carry
+    # _src_file or they don't, so a flip after staging (even with zero
+    # buckets committed) cannot be honored — lineage-on over a lineage-off
+    # staging would silently cite the _staging directory, and lineage-off
+    # over a lineage-on staging would leak _src_file into profile/clean
+    prior_lineage = manifest.option("lineage")
+    if prior_lineage is not None and prior_lineage != bool(file_lineage):
+        raise ValueError(
+            f"resume requested file_lineage={bool(file_lineage)} but the "
+            f"staging was written with file_lineage={prior_lineage} — the "
+            "staged files cannot change shape on resume; rerun with "
+            f"file_lineage={prior_lineage} or delete the manifest+staging "
+            "to restage")
 
     # co-bucket the transcript reference ONCE: joining the full ref table
     # inside every bucket job would rescan+shuffle it num_buckets times —
@@ -222,29 +235,51 @@ def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
     # clip_id column only), so a resumed run never touches the source.
     def _staged_keys() -> DataFrame:
         s = manifest.staging_dir or staging_dir
-        if checkpoint.fs_exists(spark, s):
-            return spark.read.parquet(s).select("clip_id")
-        return clips.select("clip_id")
+        if not checkpoint.fs_exists(spark, s):
+            # same refusal run_resumable makes for buckets: a live-source
+            # fallback would silently compute the global checks from a
+            # table that may have been appended to since staging —
+            # diverging from the per-bucket outputs with no error
+            raise FileNotFoundError(
+                f"staging dir {s!r} vanished before the global phase — "
+                "refusing to fall back to the live source (its content "
+                "may have drifted from the staged snapshot the buckets "
+                "validated); delete the manifest to restage")
+        return spark.read.parquet(s).select("clip_id")
+
+    # global steps skip on resume only when their INPUT is unchanged: the
+    # uniqueness input (staged keys) is immutable, but the ref table /
+    # baseline profile are caller-supplied — a re-run with an updated ref
+    # must recompute, not silently return the old run's orphan report
+    def _global_fresh(step: str, fingerprint: str | None) -> bool:
+        if not manifest.is_global_done(step):
+            return False
+        rec = manifest.global_metrics(step) or {}
+        return rec.get("fingerprint") == fingerprint
 
     if not manifest.is_global_done("unique"):
         dup = uniqueness.uniqueness_violations(_staged_keys(), "clip_id")
         dup.write.mode("overwrite").parquet(
             os.path.join(out_dir, "violations_unique"))
         manifest.mark_global_done("unique")
-    if transcripts_ref is not None and not manifest.is_global_done("ref"):
-        orph = referential.referential_violations(
-            _staged_keys(), transcripts_ref, "clip_id")
-        orph.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "violations_ref"))
-        manifest.mark_global_done("ref")
-    if baseline_profile is not None and not manifest.is_global_done("drift"):
-        # merge the per-bucket parts written above: zero additional input
-        # scans (round-2 design re-profiled the whole table here)
-        parts = spark.read.parquet(os.path.join(out_dir, "profile"))
-        cur = stats.merge_profiles(parts.drop("bucket"))
-        drift_report(cur, baseline_profile).write.mode("overwrite") \
-            .parquet(os.path.join(out_dir, "drift"))
-        manifest.mark_global_done("drift")
+    if transcripts_ref is not None:
+        fp = _ref_fingerprint(transcripts_ref)
+        if not _global_fresh("ref", fp):
+            orph = referential.referential_violations(
+                _staged_keys(), transcripts_ref, "clip_id")
+            orph.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "violations_ref"))
+            manifest.mark_global_done("ref", {"fingerprint": fp})
+    if baseline_profile is not None:
+        fp = _ref_fingerprint(baseline_profile)
+        if not _global_fresh("drift", fp):
+            # merge the per-bucket parts written above: zero additional
+            # input scans (round-2 design re-profiled the whole table here)
+            parts = spark.read.parquet(os.path.join(out_dir, "profile"))
+            cur = stats.merge_profiles(parts.drop("bucket"))
+            drift_report(cur, baseline_profile).write.mode("overwrite") \
+                .parquet(os.path.join(out_dir, "drift"))
+            manifest.mark_global_done("drift", {"fingerprint": fp})
     return metrics
 
 
@@ -326,7 +361,8 @@ def main() -> None:
             spark, clips, args.out, old_schema_doc=old_doc,
             new_schema_doc=schema_doc or CLIPS_SCHEMA_DOC,
             transcripts_ref=tref, baseline_profile=base,
-            num_buckets=args.buckets, emit_clean=args.emit_clean)
+            num_buckets=args.buckets, emit_clean=args.emit_clean,
+            emit_digest=args.emit_digest, file_lineage=args.file_lineage)
         print(json.dumps({k: v for k, v in result.items()
                           if k != "metrics"}))
         return

@@ -386,3 +386,19 @@ def test_dangling_defs_ref_never_certified():
             "$defs": {"x": {"minimum": 0}}}
     assert is_backward_compatible(old3, new3) is True
     assert delta_schema(old3, new3) is None
+
+
+def test_defs_ref_with_list_index_not_misjudged_dangling():
+    """Review regression: '#/$defs/x/allOf/0' steps through a LIST — the
+    dangling-ref probe must use the resolver's pointer walk, not a
+    dict-only reimplementation, or a pure widening triggers a full
+    10^12-row re-validation."""
+    from json_skema_spark.plans.compat import (delta_schema,
+                                               is_backward_compatible)
+    old = {"properties": {"a": {"$ref": "#/$defs/x/allOf/0"}},
+           "required": ["a"],
+           "$defs": {"x": {"allOf": [{"minimum": 0}]}}}
+    new = {"properties": {"a": {"$ref": "#/$defs/x/allOf/0"}},
+           "$defs": {"x": {"allOf": [{"minimum": 0}]}}}
+    assert is_backward_compatible(old, new) is True
+    assert delta_schema(old, new) is None

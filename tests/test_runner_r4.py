@@ -218,3 +218,93 @@ def test_read_table_dispatch(spark, tmp_path):
         read_table(spark, "cat.db.t", format="iceberg")
     with pytest.raises(ValueError, match="unknown format"):
         read_table(spark, p, format="orc2")
+
+
+# --------------------------------------------- review-pass regressions (r4)
+
+def test_file_lineage_flip_on_resume_raises(spark, tmp_path):
+    """Staged files either carry _src_file or not — a lineage flip on
+    resume cannot be honored in either direction."""
+    src = str(tmp_path / "orig_input")
+    clips_src.clips_df(spark, 30, audio=False, inject=True).write.parquet(src)
+    clips = spark.read.parquet(src)
+    out = str(tmp_path / "out")
+    validate_table(spark, clips, out, num_buckets=2, check_audio=False,
+                   file_lineage=True)
+    with pytest.raises(ValueError, match="file_lineage"):
+        validate_table(spark, clips, out, num_buckets=2, check_audio=False,
+                       file_lineage=False)
+    out2 = str(tmp_path / "out2")
+    validate_table(spark, clips, out2, num_buckets=2, check_audio=False)
+    with pytest.raises(ValueError, match="file_lineage"):
+        validate_table(spark, clips, out2, num_buckets=2, check_audio=False,
+                       file_lineage=True)
+
+
+def test_global_ref_recomputed_when_ref_changes(spark, tmp_path):
+    """A finished run re-invoked with an UPDATED transcript reference must
+    recompute violations_ref, not skip it as already-done (the global
+    manifest entry is fingerprinted by its input)."""
+    out = str(tmp_path / "out")
+    clips = clips_src.clips_df(spark, 30, audio=False, inject=False).cache()
+    ids = [r.clip_id for r in clips.select("clip_id").collect()]
+    refA_src = str(tmp_path / "refA")
+    refB_src = str(tmp_path / "refB")
+    spark.createDataFrame([(i,) for i in ids], "clip_id string") \
+        .write.parquet(refA_src)                       # complete: 0 orphans
+    spark.createDataFrame([(i,) for i in ids[:-3]], "clip_id string") \
+        .write.parquet(refB_src)                       # 3 clips orphaned
+    validate_table(spark, clips, out, num_buckets=2, check_audio=False,
+                   transcripts_ref=spark.read.parquet(refA_src))
+    assert spark.read.parquet(
+        os.path.join(out, "violations_ref")).count() == 0
+    # same out_dir, updated ref: the ref step must re-run (check_audio off
+    # -> no staged-ref guard involved, this is the global-phase path)
+    validate_table(spark, clips, out, num_buckets=2, check_audio=False,
+                   transcripts_ref=spark.read.parquet(refB_src))
+    assert spark.read.parquet(
+        os.path.join(out, "violations_ref")).count() == 3
+    clips.unpersist()
+
+
+def test_pre_staged_lineage_without_src_file_raises(spark, tmp_path):
+    """Requesting lineage over pre-staged data that has no _src_file must
+    refuse instead of reading all-NULL source_file."""
+    pre = str(tmp_path / "pre")
+    df = clips_src.clips_df(spark, 20, audio=False, inject=False)
+    checkpoint.stage_by_bucket(df, "clip_id", 2, pre)  # no lineage column
+    manifest = checkpoint.PartitionManifest(str(tmp_path / "m"))
+    with pytest.raises(ValueError, match="_src_file"):
+        checkpoint.run_resumable(df, "clip_id", 2, manifest,
+                                 lambda b, i: {}, pre_staged_dir=pre,
+                                 capture_source_file=True)
+
+
+def test_cli_forwards_digest_and_lineage_to_revalidate(spark, tmp_path,
+                                                       monkeypatch):
+    """--emit-digest/--file-lineage reach revalidate_table when
+    --previous-schema is given (review regression: silently dropped)."""
+    import json as _json
+    import sys
+
+    from json_skema_spark import runner as runner_mod
+    src = str(tmp_path / "in")
+    clips_src.clips_df(spark, 10, audio=False, inject=False) \
+        .write.parquet(src)
+    old_s = tmp_path / "old.json"
+    new_s = tmp_path / "new.json"
+    old_s.write_text(_json.dumps({"properties": {"dur_ms": {"minimum": 1}}}))
+    new_s.write_text(_json.dumps({"properties": {"dur_ms": {"minimum": 5}}}))
+    seen = {}
+
+    def fake_reval(spark_, clips_, out_, **kw):
+        seen.update(kw)
+        return {"revalidation": "delta"}
+
+    monkeypatch.setattr(runner_mod, "revalidate_table", fake_reval)
+    monkeypatch.setattr(sys, "argv", [
+        "runner.py", "--input", src, "--out", str(tmp_path / "o"),
+        "--schema", str(new_s), "--previous-schema", str(old_s),
+        "--emit-digest", "--file-lineage", "--no-audio"])
+    runner_mod.main()
+    assert seen["emit_digest"] is True and seen["file_lineage"] is True

@@ -22,9 +22,13 @@ from json_skema_spark.sources.suite import load_suite_groups, run_suite
 # the `tests/` directory of a json-schema-org/JSON-Schema-Test-Suite
 # checkout (the dir containing draft2020-12/) and this gate runs it
 # unchanged. Default: the re-authored in-repo corpus (same file format).
-SUITE_ROOT = os.environ.get(
-    "JSON_SCHEMA_SUITE_ROOT",
-    os.path.join(os.path.dirname(__file__), "suite"))
+def _suite_root() -> str:
+    return os.environ.get(
+        "JSON_SCHEMA_SUITE_ROOT",
+        os.path.join(os.path.dirname(__file__), "suite"))
+
+
+SUITE_ROOT = _suite_root()
 _OFFICIAL = "JSON_SCHEMA_SUITE_ROOT" in os.environ
 
 # (file, group description, test description) -> reason. Empty = everything
@@ -92,7 +96,6 @@ def test_official_checkout_layout_runs_unchanged(spark, tmp_path,
     """The JSON_SCHEMA_SUITE_ROOT switch: a directory in the official
     checkout layout (<root>/draft2020-12/*.json) loads and runs without
     edits — proof a real json-schema-org checkout drops in."""
-    import importlib
     import json as _json
     d = tmp_path / "official" / "draft2020-12"
     d.mkdir(parents=True)
@@ -105,12 +108,7 @@ def test_official_checkout_layout_runs_unchanged(spark, tmp_path,
         ]}]))
     monkeypatch.setenv("JSON_SCHEMA_SUITE_ROOT",
                        str(tmp_path / "official"))
-    import tests.test_suite_conformance as mod
-    mod = importlib.reload(mod)
-    try:
-        assert mod._OFFICIAL and mod.SUITE_ROOT.endswith("official")
-        results = run_suite(spark, mod.SUITE_ROOT)
-        assert len(results) == 2 and all(r.ok for r in results)
-    finally:
-        monkeypatch.delenv("JSON_SCHEMA_SUITE_ROOT")
-        importlib.reload(mod)
+    root = _suite_root()  # the same resolution the module does at import
+    assert root.endswith("official")
+    results = run_suite(spark, root)
+    assert len(results) == 2 and all(r.ok for r in results)
