@@ -123,6 +123,42 @@ def _q_customers_without_orders(spark, sf_dir):
                                "c_custkey").select("c_custkey")
 
 
+def _q_orders_null_injected(spark, sf_dir):
+    """NULL-path gate (review r04): the sf fixtures carry ZERO NULL cells,
+    so the required-keyword and null-member paths were compared on
+    vacuously-true results. Deterministic NULL injection (key-derived)
+    makes the comparison exercise them: ~1% of rows lose o_orderstatus
+    (required+enum), ~1% lose o_totalprice (optional keyword skips), ~1%
+    lose o_custkey (required)."""
+    orders = _t(spark, sf_dir, "orders")
+    inj = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 89 == 0, F.lit(None))
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 83 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey")).alias("o_custkey"))
+    schema = {"type": "object",
+              "properties": {"o_orderstatus": {"enum": ["O", "F", "P"]},
+                             "o_totalprice": {"minimum": 0}},
+              "required": ["o_orderstatus", "o_custkey"]}
+    plan = compile_schema(schema, inj.schema)
+    return plan.apply(inj, mode="verdict").select("o_orderkey", "passed")
+
+
+def _q_orphans_injected(spark, sf_dir):
+    """Orphan-path gate (review r04): the fixture has zero orphan
+    customers, so referential.orphans' output path compared empty-vs-empty.
+    Dropping every order whose custkey is divisible by 7 orphans a
+    deterministic ~14% of customers — the anti-join's nonzero path."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 7 != 0)
+    return referential.orphans(
+        c, o.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey").select("c_custkey")
+
+
 def _q_profile_lineitem(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     cols = ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"]
@@ -133,8 +169,13 @@ def _q_profile_lineitem(spark, sf_dir):
 
 def _q_exact_dup_documents(spark, sf_dir):
     # doc_ids serialized to a joined string: the driver's value-hash
-    # comparator needs hash-comparable scalar cells, not arrays
-    docs = _t(spark, sf_dir, "documents")
+    # comparator needs hash-comparable scalar cells, not arrays.
+    # doc_id pre-cast to STRING so the operator's sort (and its max_ids
+    # K-smallest cap) is lexicographic like the oracle's VARCHAR
+    # list_sort — numeric sort emits '9,10' where the oracle says '10,9'
+    # for any dup group crossing a digit-length boundary (review r04)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
     return dedup.exact_duplicates(docs, "text", "doc_id") \
         .select("digest", "n_docs",
                 F.array_join(F.col("doc_ids").cast("array<string>"), ",")
@@ -190,10 +231,16 @@ def _q_topk_embeddings(spark, sf_dir):
     return top.select("vec_id", F.round("score", 6).alias("score"))
 
 
-def _q_minhash_pairs_documents(spark, sf_dir):
+def _minhash_pairs(spark, sf_dir):
+    """Shared pair construction for the two minhash queries — ONE place
+    encodes the (threshold, columns) contract both oracles mirror."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_near_duplicates(docs, "text", "doc_id",
-                                          jaccard_threshold=0.5)
+    return dedup.minhash_near_duplicates(docs, "text", "doc_id",
+                                         jaccard_threshold=0.5)
+
+
+def _q_minhash_pairs_documents(spark, sf_dir):
+    pairs = _minhash_pairs(spark, sf_dir)
     return pairs.select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -202,10 +249,7 @@ def _q_minhash_clusters(spark, sf_dir):
     duplicate_clusters: min-label propagation + pointer jumping): the
     transitive closure A~B~C collapses to one keep-decision. Oracle: the
     same pair SQL wrapped in a recursive CTE computing min-reachable-id."""
-    docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_near_duplicates(docs, "text", "doc_id",
-                                          jaccard_threshold=0.5)
-    return dedup.duplicate_clusters(pairs)
+    return dedup.duplicate_clusters(_minhash_pairs(spark, sf_dir))
 
 
 def _ivf_fixed_centroids():
@@ -352,23 +396,27 @@ ARRAY_SCHEMA = {
 def _q_array_keywords(spark, sf_dir):
     """items/prefix-slice/contains/min-maxItems/uniqueItems over the first 6
     whitespace tokens of each document (ArrayValidationTest.kt parity)."""
-    docs = _t(spark, sf_dir, "documents")
-    d = docs.select("doc_id",
-                    F.slice(F.split(F.col("text"), " "), 1,
-                            (F.lit(3) + F.pmod("doc_id", F.lit(5))).cast("int"))
-                    .alias("toks"))
+    d = _array_toks(spark, sf_dir)
     plan = compile_schema(ARRAY_SCHEMA, d.schema)
     return plan.apply(d, mode="verdict").select("doc_id", "passed")
+
+
+def _array_toks(spark, sf_dir):
+    """Shared toks derivation for the two array-keyword queries — the
+    slice expression is the contract both DuckDB oracles mirror; keep it
+    in ONE place."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       F.slice(F.split(F.col("text"), " "), 1,
+                               (F.lit(3) + F.pmod("doc_id", F.lit(5)))
+                               .cast("int"))
+                       .alias("toks"))
 
 
 def _q_array_violation_summary(spark, sf_dir):
     """Per-keyword violation counts for the array schema — pins keyword and
     keyword_location strings, not just the verdict bit."""
-    docs = _t(spark, sf_dir, "documents")
-    d = docs.select("doc_id",
-                    F.slice(F.split(F.col("text"), " "), 1,
-                            (F.lit(3) + F.pmod("doc_id", F.lit(5))).cast("int"))
-                    .alias("toks"))
+    d = _array_toks(spark, sf_dir)
     plan = compile_schema(ARRAY_SCHEMA, d.schema)
     return plan.summary(d)
 
@@ -564,12 +612,21 @@ def _q_events_unevaluated(spark, sf_dir):
     """
     from json_skema_spark.plans.verdict import validate_open_json
     ev = _t(spark, sf_dir, "events")
+    # NULL-SAFE doc build: F.concat null-propagates, so a NULL user_id /
+    # event_type / value would collapse the WHOLE doc to NULL while the
+    # oracle still computes a verdict from the columns (review r04).
+    # NULL columns render as JSON null — present non-matching values in
+    # strict mode — and the oracle mirrors that exactly.
     doc = F.concat(
-        F.lit('{"uid": '), F.col("user_id").cast("string"),
-        F.lit(', "type": "'), F.col("event_type"), F.lit('"'),
+        F.lit('{"uid": '),
+        F.coalesce(F.col("user_id").cast("string"), F.lit("null")),
+        F.lit(', "type": '),
+        F.when(F.col("event_type").isNull(), F.lit("null"))
+        .otherwise(F.concat(F.lit('"'), F.col("event_type"), F.lit('"'))),
         F.when(F.col("event_id") % 3 == 0,
                F.concat(F.lit(', "extra": '),
-                        F.round(F.col("value"), 2).cast("string")))
+                        F.coalesce(F.round(F.col("value"), 2).cast("string"),
+                                   F.lit("null"))))
         .otherwise(F.lit("")),
         F.when(F.col("event_id") % 5 == 0, F.lit(', "note": null'))
         .otherwise(F.lit("")),
@@ -699,6 +756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_violation_summary": _q_lineitem_violation_summary,
         "unique_duplicate_orderkeys": _q_duplicate_orderkeys,
         "referential_customers_without_orders": _q_customers_without_orders,
+        "validate_orders_null_injected": _q_orders_null_injected,
+        "referential_orphans_injected": _q_orphans_injected,
         "profile_lineitem": _q_profile_lineitem,
         "dedup_exact_documents": _q_exact_dup_documents,
         "text_token_stats": _q_token_stats_documents,
@@ -832,7 +891,10 @@ def oracle_sql() -> dict[str, str]:
             WITH v AS ({_ORDERS_VIOLS_SQL})
             SELECT keyword, keyword_location,
                    count(*) AS n_violations,
-                   array_to_string((list(row_key ORDER BY row_key))[1:5], ',') AS example_keys
+                   array_to_string(
+                       (list(row_key ORDER BY row_key)
+                        FILTER (WHERE row_key IS NOT NULL))[1:5],
+                       ',') AS example_keys
             FROM v GROUP BY keyword, keyword_location
         """,
         "validate_lineitem_verdict": f"""
@@ -849,6 +911,29 @@ def oracle_sql() -> dict[str, str]:
         "referential_customers_without_orders": """
             SELECT c_custkey FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+        """,
+        "validate_orders_null_injected": """
+            WITH inj AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                            ELSE o_orderstatus END AS s,
+                       CASE WHEN o_orderkey % 89 = 0 THEN NULL
+                            ELSE o_totalprice END AS p,
+                       CASE WHEN o_orderkey % 83 = 0 THEN NULL
+                            ELSE o_custkey END AS ck
+                FROM orders)
+            SELECT o_orderkey,
+                   s IS NOT NULL AND coalesce(s IN ('O','F','P'), false)
+                   AND ck IS NOT NULL
+                   AND (p IS NULL OR p >= 0)
+                   AS passed
+            FROM inj
+        """,
+        "referential_orphans_injected": """
+            SELECT c_custkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_custkey % 7 <> 0)
         """,
         "profile_lineitem": """
             SELECT 'l_orderkey' AS column_name, count(*) AS n_rows,
@@ -1080,8 +1165,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "validate_events_unevaluated": """
             SELECT event_id,
-                   event_type IN ('click', 'view')
-                   AND NOT (event_id % 5 = 0)
+                   coalesce(user_id IS NOT NULL
+                            AND event_type IN ('click', 'view')
+                            AND NOT (event_id % 3 = 0 AND value IS NULL)
+                            AND NOT (event_id % 5 = 0), false)
                    AS passed
             FROM events
         """,

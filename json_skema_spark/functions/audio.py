@@ -198,20 +198,29 @@ def register_optional_decoders() -> list[str]:
     return registered
 
 
-def _decoder_snapshot() -> dict[str, Decoder]:
-    """Value-copy of the registry for capture into a UDF closure."""
-    return dict(_DECODERS)
+def _decoder_snapshot() -> tuple[dict[str, Decoder], frozenset]:
+    """Value-copy of (decoders, known codecs) for capture into a UDF
+    closure. The KNOWN set must ride the snapshot too: reading the
+    module-global on an executor (whose re-imported module only has the
+    builtins) would report 'unknown_codec' where the driver says
+    'codec_not_supported' — inconsistent verdicts for the same row
+    (review r04)."""
+    return dict(_DECODERS), frozenset(_KNOWN_CODECS)
 
 
-def _decode_with(decoders: dict[str, Decoder], codec: Any,
+def _decode_with(decoders, codec: Any,
                  buf: Any) -> tuple[np.ndarray | None, int, str]:
+    if isinstance(decoders, tuple):
+        decoders, known = decoders
+    else:  # bare-dict callers (driver-side dispatch)
+        known = _KNOWN_CODECS
     fn = decoders.get(codec)
     if fn is not None:
         try:
             return fn(buf)
         except Exception as exc:  # decoder bug must not kill the task
             return None, 0, f"decode_error:{type(exc).__name__}"
-    if codec in _KNOWN_CODECS:
+    if codec in known:
         return None, 0, f"codec_not_supported:{codec}"
     return None, 0, f"unknown_codec:{codec}"
 
@@ -343,9 +352,16 @@ def pcm_invariant_check(df: DataFrame, ref_transcripts: DataFrame | None = None,
 
 
 def audio_violations(df: DataFrame, *, min_snr_db: float = 30.0,
-                     ref_transcripts: DataFrame | None = None) -> DataFrame:
-    """Failed invariants rendered in the standard violations shape."""
-    checked = pcm_invariant_check(df, ref_transcripts, min_snr_db=min_snr_db)
+                     ref_transcripts: DataFrame | None = None,
+                     **invariant_kwargs) -> DataFrame:
+    """Failed invariants rendered in the standard violations shape.
+
+    ``invariant_kwargs`` pass through to ``pcm_invariant_check`` so the
+    production violations path can enable the opt-in gates
+    (``check_duration=True``, ``duration_tolerance=...``) — without this,
+    runner.py's pipeline had no way to turn them on (review r04)."""
+    checked = pcm_invariant_check(df, ref_transcripts, min_snr_db=min_snr_db,
+                                  **invariant_kwargs)
     bad = checked.filter(~F.col("decode_ok") | ~F.col("transcript_ok"))
     return bad.select(
         F.col("clip_id").alias("row_key"),

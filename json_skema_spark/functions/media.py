@@ -136,14 +136,27 @@ def register_optional_image_decoders() -> list[str]:
     return registered
 
 
-def _decode_image(decoders: dict, codec: Any, buf: Any):
+def _image_decoder_snapshot() -> tuple[dict, frozenset]:
+    """(decoders, known) value-copy for UDF closures — the known set must
+    ship with the snapshot or executors report 'unknown_codec' where the
+    driver says 'codec_not_supported' (see audio._decoder_snapshot)."""
+    return dict(_IMAGE_DECODERS), frozenset(_KNOWN_IMAGE_CODECS)
+
+
+def _decode_image(decoders, codec: Any, buf: Any):
+    # same dispatch contract as audio._decode_with (kept separate only
+    # because the return shapes differ: (img, err) vs (sig, sr, err))
+    if isinstance(decoders, tuple):
+        decoders, known = decoders
+    else:
+        known = _KNOWN_IMAGE_CODECS
     fn = decoders.get(codec)
     if fn is not None:
         try:
             return fn(buf)
         except Exception as exc:
             return None, f"decode_error:{type(exc).__name__}"
-    if codec in _KNOWN_IMAGE_CODECS:
+    if codec in known:
         return None, f"codec_not_supported:{codec}"
     return None, f"unknown_codec:{codec}"
 
@@ -153,7 +166,7 @@ def _decode_image(decoders: dict, codec: Any, buf: Any):
 def image_decode_check(df: DataFrame) -> DataFrame:
     """Per-row decode-ability -> (image_id, decode_ok, error, width, height,
     channels). Input needs (image_id, codec, bytes)."""
-    decoders = dict(_IMAGE_DECODERS)
+    decoders = _image_decoder_snapshot()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -176,7 +189,7 @@ def image_decode_check(df: DataFrame) -> DataFrame:
 def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Nearest-neighbor resize -> re-encoded rgb8raw bytes (exact numpy
     index math — deterministic across runs/partitionings)."""
-    decoders = dict(_IMAGE_DECODERS)
+    decoders = _image_decoder_snapshot()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -203,7 +216,7 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
 
 def image_stats(df: DataFrame) -> DataFrame:
     """Per-channel means + gray stddev — the feature-extraction shape."""
-    decoders = dict(_IMAGE_DECODERS)
+    decoders = _image_decoder_snapshot()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

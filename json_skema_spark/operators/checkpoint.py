@@ -47,14 +47,43 @@ from pyspark.sql import types as T
 
 
 class PartitionManifest:
-    def __init__(self, manifest_dir: str):
+    """Driver-side JSON manifest. Plain local-FS I/O by default; when
+    ``manifest_dir`` carries a URI scheme (``s3a://``, ``hdfs://``,
+    ``file://``) pass the SparkSession so reads/writes go through the
+    Hadoop FS API — ``os.makedirs("s3a://…")`` would otherwise silently
+    create a bogus LOCAL relative directory and every resume guard in
+    this module would never fire on a real cluster (review r04)."""
+
+    def __init__(self, manifest_dir: str, spark=None):
         self.dir = manifest_dir
-        self.path = os.path.join(manifest_dir, "manifest.json")
-        os.makedirs(manifest_dir, exist_ok=True)
+        self.path = manifest_dir.rstrip("/") + "/manifest.json"
+        self._remote = "://" in manifest_dir
+        self._spark = spark
+        if self._remote and spark is None:
+            raise ValueError(
+                f"manifest dir {manifest_dir!r} is on a cluster filesystem "
+                "— pass the SparkSession: PartitionManifest(dir, spark)")
         self._state = {"completed": {}}
-        if os.path.exists(self.path):
-            with open(self.path) as f:
-                self._state = json.load(f)
+        if self._remote:
+            fs, jvm = self._hfs()
+            p = jvm.org.apache.hadoop.fs.Path(self.path)
+            if fs.exists(p):
+                stream = fs.open(p)
+                baos = jvm.java.io.ByteArrayOutputStream()
+                jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                    stream, baos, 65536, True)
+                self._state = json.loads(baos.toString("UTF-8"))
+        else:
+            os.makedirs(manifest_dir, exist_ok=True)
+            if os.path.exists(self.path):
+                with open(self.path) as f:
+                    self._state = json.load(f)
+
+    def _hfs(self):
+        jvm = self._spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(self.dir)
+        fs = p.getFileSystem(self._spark._jsc.hadoopConfiguration())
+        return fs, jvm
 
     @property
     def completed(self) -> dict[str, dict]:
@@ -122,9 +151,24 @@ class PartitionManifest:
         self._flush()
 
     def _flush(self) -> None:
+        body = json.dumps(self._state, indent=1, sort_keys=True)
+        if self._remote:
+            # write-temp + rename: atomic on HDFS; on S3A rename is
+            # copy+delete but the tmp file is complete before the swap,
+            # so a reader never sees a torn manifest
+            fs, jvm = self._hfs()
+            hp = jvm.org.apache.hadoop.fs.Path
+            fs.mkdirs(hp(self.dir))
+            tmp, dst = hp(self.path + ".tmp"), hp(self.path)
+            out = fs.create(tmp, True)
+            out.write(bytearray(body.encode("utf-8")))
+            out.close()
+            fs.delete(dst, False)
+            fs.rename(tmp, dst)
+            return
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(self._state, f, indent=1, sort_keys=True)
+            f.write(body)
         os.replace(tmp, self.path)  # atomic commit per bucket
 
     def metrics(self) -> dict[str, dict]:
@@ -236,8 +280,18 @@ def run_resumable(df: DataFrame, key: str, num_buckets: int,
     if manifest.staged:
         # the schema the staged files ACTUALLY carry is governed by how the
         # crashed run staged them, not by this invocation's flag — a
-        # mismatch would read _src_file as all-NULL or drop it silently
-        capture_source_file = bool(manifest.option("lineage"))
+        # mismatch would read _src_file as all-NULL or silently cite the
+        # staging dir, so it REFUSES rather than silently overriding
+        # (review r04; validate_table raises its own friendlier message
+        # first, this one protects direct run_resumable callers)
+        prior = bool(manifest.option("lineage"))
+        if bool(capture_source_file) != prior:
+            raise ValueError(
+                f"resume requested capture_source_file="
+                f"{bool(capture_source_file)} but the staging was written "
+                f"with {prior} — the staged files cannot change shape on "
+                "resume; match the original setting or delete the "
+                "manifest+staging to restage")
     if capture_source_file and "_src_file" not in [f.name for f in schema]:
         schema = T.StructType(
             list(schema.fields) + [T.StructField("_src_file", T.StringType())])
@@ -269,6 +323,23 @@ def run_resumable(df: DataFrame, key: str, num_buckets: int,
                 "restage, or pass pre_staged_dir to the moved data")
     elif pre_staged_dir is not None:
         staging = pre_staged_dir
+        # sanity-check the layout BEFORE marking staged: a typo'd path or
+        # an Iceberg table's real partition-dir naming (`clip_id_bucket=0`,
+        # not `_bucket=0`) would otherwise read every bucket as "genuinely
+        # empty" and commit the whole table as validated without opening a
+        # single row (review r04)
+        if not _exists(pre_staged_dir):
+            raise FileNotFoundError(
+                f"pre_staged_dir {pre_staged_dir!r} does not exist")
+        if not any(_exists(os.path.join(pre_staged_dir, f"_bucket={b}"))
+                   for b in range(num_buckets)):
+            raise ValueError(
+                f"pre_staged_dir {pre_staged_dir!r} contains no "
+                f"_bucket=<id> directory for any of the {num_buckets} "
+                "buckets — every bucket would be committed as empty. An "
+                "Iceberg bucket-transform table names its partition dirs "
+                "'<col>_bucket=<id>'; re-expose them as '_bucket=<id>' "
+                "(or restage with stage_by_bucket)")
         if capture_source_file:
             # pre-staged data (e.g. an Iceberg bucket-transform table) was
             # written by someone else: requesting lineage it does not

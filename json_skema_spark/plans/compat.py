@@ -43,8 +43,13 @@ _MAX_STYLE = ("maximum", "exclusiveMaximum", "maxLength", "maxItems",
               "maxProperties", "maxContains")
 # annotation-only keywords: never affect validation (2020-12 §9)
 _ANNOTATIONS = {"title", "description", "default", "examples", "deprecated",
-                "$comment", "readOnly", "writeOnly", "$id", "$schema",
+                "$comment", "readOnly", "writeOnly", "$schema",
                 "$anchor"}
+# NOTE: "$id" is deliberately NOT an annotation here: changing it rebases
+# every relative $ref resolved against it (2020-12 §8.2), which this
+# structural diff cannot track — an $id change refuses certification.
+
+_MISSING = object()  # distinguishes an ABSENT keyword from a JSON null value
 # self-contained applicators: v2's assertion for the keyword does not
 # depend on sibling keywords, so the delta may carry it verbatim
 _OPAQUE_LOCAL = ("allOf", "anyOf", "oneOf", "not", "$ref", "$dynamicRef",
@@ -91,7 +96,10 @@ def _hashable(v: Any):
 
 def _divides(a: Any, b: Any) -> bool:
     try:
-        return abs(round(b / a) * a - b) < 1e-12
+        # RELATIVE tolerance: an absolute 1e-12 calls ANY pair of
+        # sub-picoscale divisors (e.g. 1.5e-13 vs 1e-13) integer multiples
+        # and wrongly certifies the change as widening (review r04)
+        return abs(round(b / a) * a - b) <= 1e-12 * abs(b)
     except Exception:
         return False
 
@@ -136,10 +144,8 @@ def _classify(kw: str, old: Any, new: Any) -> tuple[str, str]:
         if n <= o:
             return NARROWING, f"enum shrank by {len(o - n)}"
         return UNKNOWN, "enum replaced"
-    if kw == "const":
-        if new is None:
-            return WIDENING, "const removed"
-        return NARROWING, f"const {old!r} -> {new!r}"
+    # (const never reaches here: the diff loop handles it with a _MISSING
+    # sentinel because its value can legitimately be JSON null)
     if kw == "multipleOf":
         if new is None:
             return WIDENING, "multipleOf removed"
@@ -197,7 +203,35 @@ def _diff(old: Any, new: Any, ptr: str, changes: list[Change]) -> Any | None:
                      - set(_STRUCTURAL) - grouped
                      - {"unevaluatedProperties", "unevaluatedItems"}):
         o, n = old.get(kw), new.get(kw)
+        if kw == "const":
+            # const is the one keyword whose VALUE can be JSON null, so
+            # .get()'s None conflates "absent" with "const: null" —
+            # adding const:null would otherwise be invisible and certify
+            # a hard narrowing as compatible (review r04)
+            o = old["const"] if "const" in old else _MISSING
+            n = new["const"] if "const" in new else _MISSING
+            same = (o is _MISSING and n is _MISSING) or (
+                o is not _MISSING and n is not _MISSING
+                and _hashable(o) == _hashable(n))
+            if same:
+                continue
+            if n is _MISSING:
+                changes.append(Change(f"{ptr}/const", kw, WIDENING,
+                                      "const removed"))
+            else:
+                changes.append(Change(
+                    f"{ptr}/const", kw, NARROWING,
+                    f"const {'<absent>' if o is _MISSING else repr(o)} "
+                    f"-> {n!r}"))
+                delta[kw] = n
+            continue
         if o == n:
+            continue
+        if kw == "$id":
+            changes.append(Change(f"{ptr}/$id", kw, UNKNOWN,
+                                  "$id changed: rebases relative $ref "
+                                  "resolution"))
+            fallback = True
             continue
         if kw == "additionalProperties":
             # assertion depends on sibling property names: full-node copy
@@ -350,6 +384,13 @@ def _diff(old: Any, new: Any, ptr: str, changes: list[Change]) -> Any | None:
                 any_delta = any_delta or sub is not None
         if any_delta:
             delta["prefixItems"] = dpre
+
+    # items in the delta needs its prefix CONTEXT: without prefixItems,
+    # the delta's items governs ALL indices and rejects v2-valid tuple
+    # prefixes (review r04) — carry True placeholders so items keeps
+    # applying only to trailing indices
+    if "items" in delta and npre and "prefixItems" not in delta:
+        delta["prefixItems"] = [True] * len(npre)
 
     if fallback:
         return {k: v for k, v in new.items()}

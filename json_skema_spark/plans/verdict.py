@@ -153,12 +153,23 @@ def violation_digest(violations: DataFrame, *, per_keyword: int = 20,
               .agg(F.count("*").alias("n_violations")))
     w = Window.partitionBy("keyword", "keyword_location", "_salt") \
         .orderBy("k")
-    winners = (salted.withColumn("_rn", F.row_number().over(w))
+    # NULL keys are excluded from the EXAMPLES (counts keep them): Spark
+    # sorts NULLS FIRST so they would occupy the top-K slots and then be
+    # silently dropped by downstream serialization, while engines with
+    # NULLS LAST (DuckDB) would report the smallest non-null keys —
+    # divergent digests for the same violations (review r04)
+    winners = (salted.filter(F.col("k").isNotNull())
+               .withColumn("_rn", F.row_number().over(w))
                .filter(F.col("_rn") <= per_keyword)
                .groupBy("keyword", "keyword_location")
                .agg(F.slice(F.sort_array(F.collect_list("k")),
                             1, per_keyword).alias("example_keys")))
-    return counts.join(winners, ["keyword", "keyword_location"])
+    # left join: a keyword whose violations are ALL null-keyed still gets
+    # its count row, with an empty example list
+    return (counts.join(winners, ["keyword", "keyword_location"], "left")
+            .withColumn("example_keys",
+                        F.coalesce(F.col("example_keys"),
+                                   F.array().cast("array<string>"))))
 
 
 def validate_json_column(df: DataFrame, json_col: str, payload_type: T.DataType | str,

@@ -49,7 +49,22 @@ def _ref_fingerprint(df: DataFrame) -> str:
     the failure modes that matter — a restage after the ref table was
     rewritten, or a ref read from a different path."""
     import hashlib
-    basis = df.schema.simpleString() + "|" + "|".join(sorted(df.inputFiles()))
+    files = sorted(df.inputFiles())
+    basis = df.schema.simpleString() + "|" + "|".join(files)
+    if not files:
+        # non-file reference (createDataFrame, a view): the file list is
+        # empty so schema alone would call ANY same-shaped reference
+        # identical. Hash the CONTENT (order-insensitive sum of row
+        # hashes): one scan of the reference — it is the small side by
+        # design — and stable across sessions, unlike semanticHash, whose
+        # un-normalized expression ids differ even for identical data
+        # (a spurious mismatch would falsely refuse a legitimate resume).
+        from pyspark.sql import functions as F
+        h = df.select(
+            F.sum(F.xxhash64(*[F.col(c) for c in df.columns])
+                  .cast("decimal(38,0)")).alias("h"),  # no ANSI overflow
+            F.count(F.lit(1)).alias("n")).first()
+        basis += f"|content={h['h']}/{h['n']}"
     return hashlib.md5(basis.encode()).hexdigest()
 
 
@@ -83,13 +98,22 @@ def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
     """
     schema_doc = schema_doc or CLIPS_SCHEMA_DOC
     plan = compile_schema(schema_doc, clips.schema)
-    manifest = checkpoint.PartitionManifest(os.path.join(out_dir, "_manifest"))
+    manifest = checkpoint.PartitionManifest(
+        os.path.join(out_dir, "_manifest"), spark)
 
     # a resume must run with the semantics of the run that committed
     # buckets: emit_clean/emit_digest newly ON would silently leave the
     # committed buckets without their clean//digest/ output while
     # reporting success (ADVICE r03)
-    for opt, val in (("emit_clean", emit_clean), ("emit_digest", emit_digest)):
+    # check_audio / audio-ref presence shape the BUCKET outputs too: a
+    # resume that flips them would commit the remaining buckets under
+    # different semantics than the finished ones (review r04). A ref used
+    # only by the global phase (check_audio=False) is NOT guarded here —
+    # the global step is fingerprinted and recomputes safely.
+    for opt, val in (("emit_clean", emit_clean), ("emit_digest", emit_digest),
+                     ("check_audio", check_audio),
+                     ("audio_has_ref",
+                      check_audio and transcripts_ref is not None)):
         prior = manifest.option(opt)
         if prior is not None and prior != bool(val) and manifest.completed:
             raise ValueError(
@@ -199,7 +223,11 @@ def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
             # quarantine split: schema verdict filters in-scan; audio (and
             # any other key-attributed) violations anti-join by key from
             # the violations just written. Null-key rows cannot anti-join,
-            # but any such row already fails `required` -> plan.passed.
+            # so they are excluded outright: under the default schema they
+            # fail `required` anyway, and under a custom schema that does
+            # not require clip_id a null-keyed row's violations cannot be
+            # attributed back to it — "clean" must mean provably
+            # violation-free (review r04).
             # Duplicate clip_ids hash to the SAME bucket (staging is
             # bucketed by key), so the uniqueness check folds in here as a
             # bucket-local count — every copy of a duplicated key is
@@ -213,7 +241,8 @@ def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
                      .filter(F.col("clip_id").isNotNull()).distinct())
             n_copies = F.count(F.lit(1)).over(Window.partitionBy("clip_id"))
             clean = (data_df.withColumn("_n_copies", n_copies)
-                     .filter(plan.passed & (F.col("_n_copies") == 1))
+                     .filter(plan.passed & (F.col("_n_copies") == 1)
+                             & F.col("clip_id").isNotNull())
                      .drop("_n_copies")
                      .join(vkeys, "clip_id", "left_anti")
                      .observe(obs_clean, F.count(F.lit(1)).alias("n")))
@@ -331,7 +360,13 @@ def main() -> None:
     p.add_argument("--transcripts-ref", help="reference transcripts parquet")
     p.add_argument("--baseline-profile", help="baseline profile parquet")
     p.add_argument("--buckets", type=int, default=64)
-    p.add_argument("--no-audio", action="store_true")
+    audio_grp = p.add_mutually_exclusive_group()
+    audio_grp.add_argument("--no-audio", action="store_true")
+    audio_grp.add_argument("--audio", action="store_true",
+                           help="force audio invariant checks ON for the "
+                                "--previous-schema (revalidate) path, which "
+                                "defaults them off (the audio invariant is "
+                                "schema-independent)")
     p.add_argument("--emit-clean", action="store_true",
                    help="also materialize passing rows under clean/bucket=*")
     p.add_argument("--emit-digest", action="store_true",
@@ -357,12 +392,16 @@ def main() -> None:
     if args.previous_schema:
         with open(args.previous_schema) as f:
             old_doc = json.load(f)
+        reval_audio = {}
+        if args.audio:
+            reval_audio["check_audio"] = True  # overrides the off-default
         result = revalidate_table(
             spark, clips, args.out, old_schema_doc=old_doc,
             new_schema_doc=schema_doc or CLIPS_SCHEMA_DOC,
             transcripts_ref=tref, baseline_profile=base,
             num_buckets=args.buckets, emit_clean=args.emit_clean,
-            emit_digest=args.emit_digest, file_lineage=args.file_lineage)
+            emit_digest=args.emit_digest, file_lineage=args.file_lineage,
+            **reval_audio)
         print(json.dumps({k: v for k, v in result.items()
                           if k != "metrics"}))
         return

@@ -52,11 +52,21 @@ def read_table(spark: SparkSession, path_or_name: str, *,
         try:
             return spark.read.format("iceberg").load(path_or_name)
         except Exception as e:
-            raise RuntimeError(
-                "format=iceberg requires the Iceberg runtime jars "
-                "(org.apache.iceberg:iceberg-spark-runtime) and a "
-                "spark.sql.catalog.<name> configuration on the cluster; "
-                f"loading {path_or_name!r} failed") from e
+            # only the missing-runtime case is rewritten; a genuine error
+            # (table not found, bad catalog, permission denied) from a
+            # properly configured cluster propagates as-is — masking it as
+            # "install the jars" would send the operator down the wrong
+            # debugging path (review r04)
+            msg = str(e)
+            if ("ClassNotFound" in msg or "DATA_SOURCE_NOT_FOUND" in msg
+                    or "Failed to find data source" in msg
+                    or "Failed to find the data source" in msg):
+                raise RuntimeError(
+                    "format=iceberg requires the Iceberg runtime jars "
+                    "(org.apache.iceberg:iceberg-spark-runtime) and a "
+                    "spark.sql.catalog.<name> configuration on the "
+                    f"cluster; loading {path_or_name!r} failed") from e
+            raise
     raise ValueError(f"unknown format {format!r} (parquet|iceberg)")
 
 

@@ -402,3 +402,59 @@ def test_defs_ref_with_list_index_not_misjudged_dangling():
            "$defs": {"x": {"allOf": [{"minimum": 0}]}}}
     assert is_backward_compatible(old, new) is True
     assert delta_schema(old, new) is None
+
+
+def test_items_delta_carries_prefix_context():
+    """Review r04 (confirmed by execution): delta carrying items without
+    prefixItems applies items to tuple-prefix slots and rejects v2-valid
+    rows."""
+    from json_skema_spark.plans.compat import delta_schema
+    old = {"prefixItems": [{"type": "string"}]}
+    new = {"prefixItems": [{"type": "string"}], "items": {"type": "integer"}}
+    assert delta_schema(old, new) == {"items": {"type": "integer"},
+                                      "prefixItems": [True]}
+    # narrowed items beside unchanged prefix: same carry
+    old2 = {"prefixItems": [{"type": "string"}], "items": {"type": "number"}}
+    new2 = {"prefixItems": [{"type": "string"}], "items": {"type": "integer"}}
+    d2 = delta_schema(old2, new2)
+    assert d2["prefixItems"] == [True] and "items" in d2
+
+
+def test_const_null_not_invisible():
+    """Review r04 (confirmed): .get() conflated absent with const:null —
+    adding const:null certified a hard narrowing as compatible."""
+    from json_skema_spark.plans.compat import (compat_report, delta_schema,
+                                               is_backward_compatible)
+    old = {"type": ["string", "null"]}
+    new = {"type": ["string", "null"], "const": None}
+    assert is_backward_compatible(old, new) is False
+    assert delta_schema(old, new) == {"const": None}
+    assert is_backward_compatible({"const": 5}, {"const": None}) is False
+    assert delta_schema({"const": 5}, {"const": None}) == {"const": None}
+    assert is_backward_compatible({"const": None}, {}) is True   # removal widens
+    assert compat_report({"const": None}, {"const": None}) == []  # unchanged
+
+
+def test_id_change_refuses_certification():
+    """Review r04 (confirmed): changing $id rebases relative $ref
+    resolution — an $id-only diff must not certify."""
+    from json_skema_spark.plans.compat import (delta_schema,
+                                               is_backward_compatible)
+    old = {"$id": "https://ex/v1/r.json",
+           "properties": {"x": {"$ref": "item.json"}}}
+    new = {"$id": "https://ex/v2/r.json",
+           "properties": {"x": {"$ref": "item.json"}}}
+    assert is_backward_compatible(old, new) is False
+    assert delta_schema(old, new) == new
+
+
+def test_multiple_of_tolerance_is_relative():
+    """Review r04 (confirmed): absolute 1e-12 tolerance called any
+    sub-picoscale divisor pair integer multiples."""
+    from json_skema_spark.plans.compat import is_backward_compatible
+    assert is_backward_compatible({"multipleOf": 1.5e-13},
+                                  {"multipleOf": 1e-13}) is False
+    assert is_backward_compatible({"multipleOf": 4},
+                                  {"multipleOf": 2}) is True
+    assert is_backward_compatible({"multipleOf": 0.3},
+                                  {"multipleOf": 0.1}) is True

@@ -82,3 +82,61 @@ def test_real_png_decoder_roundtrip():
     finally:
         for c in ("jpeg", "png", "webp"):
             media_fn.unregister_image_decoder(c)
+
+
+def test_decoder_snapshot_carries_known_set():
+    """Review r04: the UDF closure snapshot must include the KNOWN-codec
+    set — an executor's re-imported module only has the builtins, so a
+    driver-registered codec would report unknown_codec there while the
+    driver says codec_not_supported."""
+    def fake(buf):
+        return None, 0, "nope"
+
+    audio_fn.register_decoder("mp3", fake)
+    try:
+        # the register/unregister-fake pattern: mp3 is KNOWN (register
+        # adds it permanently) but currently has no decoder
+        audio_fn.unregister_decoder("mp3")
+        snap = audio_fn._decoder_snapshot()
+        # simulate the executor: dispatch with the snapshot only — the
+        # known set must ride the snapshot, not the module global
+        _sig, _sr, err = audio_fn._decode_with(snap, "mp3", b"x")
+        assert err == "codec_not_supported:mp3"
+        # genuinely unknown codec still says so
+        _sig, _sr, err2 = audio_fn._decode_with(snap, "xyz", b"x")
+        assert err2 == "unknown_codec:xyz"
+    finally:
+        audio_fn.unregister_decoder("mp3")
+        audio_fn._KNOWN_CODECS.discard("mp3")
+
+    media_fn.register_image_decoder("tiff", lambda b: (None, "nope"))
+    try:
+        media_fn.unregister_image_decoder("tiff")
+        msnap = media_fn._image_decoder_snapshot()
+        _img, err = media_fn._decode_image(msnap, "tiff", b"x")
+        assert err == "codec_not_supported:tiff"
+    finally:
+        media_fn.unregister_image_decoder("tiff")
+        media_fn._KNOWN_IMAGE_CODECS.discard("tiff")
+
+
+def test_audio_violations_forwards_invariant_kwargs(spark):
+    """Review r04: the production violations path must be able to enable
+    the opt-in duration gate."""
+    import numpy as np
+    sr, dur_ms = 16000, 1000
+    # synthesize a clip whose payload holds only HALF the claimed duration
+    n = sr * dur_ms // 1000 // 2
+    sig = np.sin(2 * np.pi * 440.0 * np.arange(n) / sr) * 0.5
+    from json_skema_spark.functions.audio import encode_wav_pcm16
+    wav = encode_wav_pcm16(sig, sr)
+    df = spark.createDataFrame(
+        [("clip_truncated00", bytearray(wav), sr, dur_ms, "pcm_s16le", "t")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string")
+    # duration gate off: row's SNR is computed against the claimed
+    # duration's reference -> decode_ok False anyway OR True; the point is
+    # the gate FLAG must flow through, so compare both modes' error text
+    viols_gated = audio_fn.audio_violations(df, check_duration=True)
+    msgs = [r.message for r in viols_gated.collect()]
+    assert msgs, "expected a violation for the truncated clip"

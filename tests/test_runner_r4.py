@@ -308,3 +308,141 @@ def test_cli_forwards_digest_and_lineage_to_revalidate(spark, tmp_path,
         "--emit-digest", "--file-lineage", "--no-audio"])
     runner_mod.main()
     assert seen["emit_digest"] is True and seen["file_lineage"] is True
+
+
+# ------------------------------------------- second review-pass regressions
+
+def test_check_audio_flip_on_resume_raises(spark, tmp_path):
+    """Bucket outputs depend on check_audio: a resume flipping it would
+    commit remaining buckets under different semantics."""
+    out = str(tmp_path / "out")
+    clips = clips_src.clips_df(spark, 30, audio=True, inject=False).cache()
+    validate_table(spark, clips, out, num_buckets=2, check_audio=True)
+    with pytest.raises(ValueError, match="check_audio"):
+        validate_table(spark, clips, out, num_buckets=2, check_audio=False)
+    clips.unpersist()
+
+
+def test_audio_ref_presence_flip_on_resume_raises(spark, tmp_path):
+    from json_skema_spark.sources.clips import transcripts_ref_df
+    out = str(tmp_path / "out")
+    clips = clips_src.clips_df(spark, 30, audio=True, inject=False).cache()
+    ref = transcripts_ref_df(spark, 30)
+    validate_table(spark, clips, out, num_buckets=2, check_audio=True,
+                   transcripts_ref=ref)
+    with pytest.raises(ValueError, match="audio_has_ref"):
+        validate_table(spark, clips, out, num_buckets=2, check_audio=True)
+    clips.unpersist()
+
+
+def test_inmemory_ref_change_detected_by_fingerprint(spark, tmp_path):
+    """createDataFrame refs have no inputFiles; the fingerprint must still
+    distinguish two different in-memory references (semanticHash)."""
+    from json_skema_spark.runner import _ref_fingerprint
+    a = spark.createDataFrame([("x", "t1")], "clip_id string, transcript string")
+    b = spark.createDataFrame([("x", "t2")], "clip_id string, transcript string")
+    a2 = spark.createDataFrame([("x", "t1")], "clip_id string, transcript string")
+    assert _ref_fingerprint(a) != _ref_fingerprint(b)
+    assert _ref_fingerprint(a) == _ref_fingerprint(a2)  # stable for same data
+
+
+def test_null_key_row_with_violation_never_lands_in_clean(spark, tmp_path):
+    """Custom schema that does NOT require clip_id: a null-keyed row whose
+    violations cannot be attributed back to it must not be certified
+    clean."""
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame(
+        [("clip_aaaaaaaaaaaa", 5), (None, 5)],
+        "clip_id string, dur_ms int")
+    schema_doc = {"properties": {"dur_ms": {"minimum": 1}}}  # all rows pass
+    validate_table(spark, df, out, num_buckets=1, check_audio=False,
+                   schema_doc=schema_doc, emit_clean=True)
+    clean = spark.read.parquet(os.path.join(out, "clean", "bucket=*"))
+    assert clean.count() == 1
+    assert clean.first().clip_id == "clip_aaaaaaaaaaaa"
+
+
+def test_run_resumable_direct_lineage_mismatch_raises(spark, tmp_path):
+    src = str(tmp_path / "src")
+    clips_src.clips_df(spark, 20, audio=False, inject=False).write.parquet(src)
+    df = spark.read.parquet(src)
+    manifest = checkpoint.PartitionManifest(str(tmp_path / "m"))
+    checkpoint.run_resumable(df, "clip_id", 2, manifest, lambda b, i: {},
+                             staging_dir=str(tmp_path / "s"))
+    # delete one completed bucket to force reprocessing on resume
+    m = json.loads(open(manifest.path).read())
+    del m["completed"]["0"]
+    open(manifest.path, "w").write(json.dumps(m))
+    m2 = checkpoint.PartitionManifest(str(tmp_path / "m"))
+    with pytest.raises(ValueError, match="capture_source_file"):
+        checkpoint.run_resumable(df, "clip_id", 2, m2, lambda b, i: {},
+                                 staging_dir=str(tmp_path / "s"),
+                                 capture_source_file=True)
+
+
+def test_pre_staged_dir_sanity_checked(spark, tmp_path):
+    df = clips_src.clips_df(spark, 10, audio=False, inject=False)
+    with pytest.raises(FileNotFoundError):
+        checkpoint.run_resumable(
+            df, "clip_id", 2, checkpoint.PartitionManifest(str(tmp_path / "m1")),
+            lambda b, i: {}, pre_staged_dir=str(tmp_path / "nope"))
+    # exists but wrong layout (Iceberg-style partition dir name)
+    wrong = tmp_path / "iceberg_style"
+    (wrong / "clip_id_bucket=0").mkdir(parents=True)
+    with pytest.raises(ValueError, match="_bucket"):
+        checkpoint.run_resumable(
+            df, "clip_id", 2, checkpoint.PartitionManifest(str(tmp_path / "m2")),
+            lambda b, i: {}, pre_staged_dir=str(wrong))
+
+
+def test_manifest_on_uri_scheme_filesystem(spark, tmp_path):
+    """A scheme-qualified manifest dir routes through the Hadoop FS API
+    (file:// here standing in for s3a/hdfs) — os.makedirs on a URI would
+    silently create a bogus local relative dir and void every resume
+    guard."""
+    uri_dir = "file://" + str(tmp_path / "m")
+    with pytest.raises(ValueError, match="SparkSession"):
+        checkpoint.PartitionManifest(uri_dir)
+    man = checkpoint.PartitionManifest(uri_dir, spark)
+    man.mark_done(0, {"rows": 7})
+    man.record_option("emit_clean", True)
+    man.mark_global_done("unique", {"fingerprint": "abc"})
+    # no bogus local dir was created
+    assert not os.path.exists("file:")
+    # a fresh instance (new driver) reads the committed state back
+    man2 = checkpoint.PartitionManifest(uri_dir, spark)
+    assert man2.is_done(0) and man2.completed["0"]["rows"] == 7
+    assert man2.option("emit_clean") is True
+    assert man2.global_metrics("unique") == {"fingerprint": "abc"}
+    # the file physically exists at the local path the URI names
+    assert os.path.exists(str(tmp_path / "m" / "manifest.json"))
+
+
+def test_cli_audio_flag_reaches_revalidate(spark, tmp_path, monkeypatch):
+    import json as _json
+    import sys
+
+    from json_skema_spark import runner as runner_mod
+    src = str(tmp_path / "in")
+    clips_src.clips_df(spark, 10, audio=False, inject=False) \
+        .write.parquet(src)
+    old_s = tmp_path / "old.json"
+    new_s = tmp_path / "new.json"
+    old_s.write_text(_json.dumps({"properties": {"dur_ms": {"minimum": 1}}}))
+    new_s.write_text(_json.dumps({"properties": {"dur_ms": {"minimum": 5}}}))
+    seen = {}
+
+    def fake_reval(spark_, clips_, out_, **kw):
+        seen.clear()
+        seen.update(kw)
+        return {"revalidation": "delta"}
+
+    monkeypatch.setattr(runner_mod, "revalidate_table", fake_reval)
+    base_argv = ["runner.py", "--input", src, "--out", str(tmp_path / "o"),
+                 "--schema", str(new_s), "--previous-schema", str(old_s)]
+    monkeypatch.setattr(sys, "argv", base_argv + ["--audio"])
+    runner_mod.main()
+    assert seen["check_audio"] is True
+    monkeypatch.setattr(sys, "argv", base_argv)
+    runner_mod.main()
+    assert "check_audio" not in seen  # revalidate default (off) preserved

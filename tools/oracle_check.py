@@ -19,8 +19,13 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 
 def norm_cell(v):
+    # type-tagged tokens: without the tags, NULL vs the string 'None' and
+    # True vs the string 't' hash identically — a false pass in the exact
+    # tool whose job is cross-engine equality (review r04)
+    if v is None:
+        return "null"
     if isinstance(v, bool):
-        return "t" if v else "f"
+        return "b:t" if v else "b:f"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -59,6 +64,11 @@ def main(only: list[str] | None = None):
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    unknown = set(only or []) - set(qs)
+    if unknown:
+        # a typo'd name must not yield "FAILURES: 0" / exit 0 (review r04)
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -4,8 +4,9 @@ Runs ONLY the two throughput probes (constraint-eval over the shared clips
 parquet; audio decode+SNR over the shared audio parquet) with per-run
 /proc/stat steal accounting: this box is a VM with intermittent
 noisy-neighbor interference (observed: identical probe runs ranging
-2.9s..67s), so each timed run records its CPU-steal percentage and the
-reported figure is the best run with steal below the threshold.
+2.9s..67s), so each timed run records its CPU-steal percentage for the
+report; the reported figure is the floor-stability MINIMUM over all runs
+(rerun until the two best agree within tolerance — see timed_floor).
 
 Prints one JSON line:
   {"cpus": N, "constraint": {"best_s":..., "rows_per_s":..., "runs": [[s, steal_pct]...]},
@@ -57,21 +58,20 @@ def timed_with_steal(fn):
     return secs, round(steal_pct, 2)
 
 
-def best_clean(runs, steal_threshold=1.0):
-    clean = [s for s, st in runs if st <= steal_threshold]
-    return min(clean) if clean else min(s for s, _ in runs)
-
-
 def timed_floor(fn, min_reps=3, max_reps=9, tol=1.3):
-    """Rerun until the two best times agree within ``tol`` — noisy-neighbor
-    interference on this VM is largely INVISIBLE to /proc/stat steal
-    (observed 66s runs at 0.3% steal vs a 5s idle floor; BENCH/BASELINE.md
-    round-2 addendum), so agreement between two independent runs, not a
-    clean steal reading, is the signal that the floor was reached."""
+    """Rerun until the two best times agree within ``tol``, report the
+    MINIMUM over all runs — noisy-neighbor interference on this VM is
+    largely INVISIBLE to /proc/stat steal (observed 66s runs at 0.3% steal
+    vs a 5s idle floor; BENCH/BASELINE.md round-2 addendum), so agreement
+    between two independent runs, not a clean steal reading, is the signal
+    that the floor was reached. Per-run steal is recorded for the report
+    but does not gate selection."""
     runs = []
     for i in range(max_reps):
         runs.append(timed_with_steal(fn))
-        if i + 1 >= min_reps:
+        # need two samples before the agreement test regardless of
+        # min_reps (SPARK_GRAFT_PROBE_REPS=1 used to IndexError here)
+        if i + 1 >= max(min_reps, 2):
             ts = sorted(s for s, _ in runs)
             if ts[1] <= ts[0] * tol:
                 break
