@@ -1417,8 +1417,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_stratified": """
             SELECT doc_id, lang FROM documents
-            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '42'), 1, 8))::UBIGINT
-                  / 4294967296.0
+            WHERE coalesce(
+                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '42'), 1, 8))::UBIGINT
+                    / 4294967296.0,
+                    ('0x' || substr(md5(chr(0) || 'null' || '42'), 1, 8))::UBIGINT
+                    / 4294967296.0)
                   < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
                               WHEN 'fr' THEN 1.0 ELSE 0.1 END
         """,

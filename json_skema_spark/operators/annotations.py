@@ -70,7 +70,13 @@ def _presence(root: DataFrame, path: list[Any]) -> Column | None:
                 return base.isNotNull() & (F.size(base) > 0)
             return base.isNotNull() & F.exists(
                 base, lambda e: descend(e, rest))
-        nxt = F.col(step) if col is None else col.getField(step)
+        # backtick-quote the top-level step: an unquoted F.col("a.b")
+        # parses as struct access a->b, failing analysis for a dotted
+        # column name — or silently counting a DIFFERENT nested field
+        # when both exist (review r04); _path_exists matched it as one
+        # exact fieldName, so resolve it as one
+        nxt = (F.col("`" + step.replace("`", "``") + "`")
+               if col is None else col.getField(step))
         if not rest:
             return nxt.isNotNull()
         return nxt.isNotNull() & descend(nxt, rest)

@@ -53,7 +53,12 @@ def drift_report(current: DataFrame, baseline: DataFrame, *,
         ),
     )
     max_shift = F.array_max(F.filter(rel_shift, lambda x: x.isNotNull()))
-    ratio = F.col("ad_cur") / F.greatest(F.col("ad_base"), F.lit(1))
+    # both-zero distinct counts (an all-null column on both sides) are
+    # IDENTICAL distributions, not drift — without the guard the ratio is
+    # 0/1 = 0 < threshold and the monitor alarms permanently (review r04)
+    ratio = F.when((F.col("ad_cur") == 0) & (F.col("ad_base") == 0),
+                   F.lit(1.0)) \
+        .otherwise(F.col("ad_cur") / F.greatest(F.col("ad_base"), F.lit(1)))
     return j.select(
         "column_name",
         (F.abs(F.col("nf_cur") - F.col("nf_base"))).alias("null_delta"),

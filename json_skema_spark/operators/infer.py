@@ -63,9 +63,24 @@ def _finite(v: Any) -> bool:
 
 def _render(v: Any) -> str:
     """Deterministic JSON rendering for the value column (floats kept
-    compact so DuckDB's json rendering matches)."""
-    if isinstance(v, float) and v == int(v) and abs(v) < 2**53:
-        v = int(v)
+    compact so DuckDB's json rendering matches). Decimal values (DecimalType
+    columns reach here via collect_set/min/max) are not JSON-serializable
+    and must be normalized — integral ones exactly as unbounded ints (a
+    float round-trip could mine a bound past the true data bound), the
+    rest as floats (review r04)."""
+    from decimal import Decimal
+
+    def norm(x):
+        if isinstance(x, Decimal):
+            return int(x) if x == x.to_integral_value() else float(x)
+        if isinstance(x, float) and x == int(x) and abs(x) < 2**53:
+            return int(x)
+        return x
+
+    if isinstance(v, (list, tuple)):
+        v = [norm(x) for x in v]
+    else:
+        v = norm(v)
     return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
 
 
@@ -135,8 +150,13 @@ def suggest_constraints(df: DataFrame, columns: list[str] | None = None, *,
                     out.append((c, "minimum", _render(int(lo))))
                     out.append((c, "maximum", _render(int(hi))))
                 else:
-                    out.append((c, "minimum", _render(float(lo))))
-                    out.append((c, "maximum", _render(float(hi))))
+                    # DecimalType bounds go to _render un-floated: an
+                    # integral Decimal past 2^53 float-rounds below the
+                    # true max, mining a bound the data itself violates
+                    out.append((c, "minimum", _render(
+                        lo if isinstance(dt, T.DecimalType) else float(lo))))
+                    out.append((c, "maximum", _render(
+                        hi if isinstance(dt, T.DecimalType) else float(hi))))
         elif isinstance(dt, T.StringType):
             if row[f"{c}__minlen"] is not None:
                 out.append((c, "minLength", _render(int(row[f"{c}__minlen"]))))

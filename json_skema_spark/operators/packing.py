@@ -60,6 +60,11 @@ def chunk_assignments(df: DataFrame, id_col: str, tokens_col: str, *,
     range boundaries land), so the DuckDB window oracle still matches.
     """
     part = [group_col] if group_col else []
+    # NULL token counts count as 0 (documented semantics, like the null
+    # handling in dedup/contamination): F.sum skips nulls but the per-row
+    # `sum - n` would go NULL, emitting NULL chunk ids for those rows
+    df = df.withColumn(tokens_col,
+                       F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)))
     range_cols = [*(F.col(c) for c in part), F.col(id_col)]
     ranged = df.repartitionByRange(*range_cols).withColumn(
         "_pid", F.spark_partition_id())
@@ -80,8 +85,14 @@ def chunk_assignments(df: DataFrame, id_col: str, tokens_col: str, *,
     joined = ranged.withColumn("_local_start", local_start) \
         .join(offsets, ["_pid", *part])
     start = (F.col("_local_start") + F.col("_off")).cast("long")
+    # chunk_id via DECIMAL division: `start / max_tokens` on longs is a
+    # double division, which loses integer precision past 2^53 — at the
+    # 10^12-doc scale this module targets, cumulative token streams cross
+    # that and chunk_id would disagree with the exact long pmod beside it
+    # (review r04)
     cols = [F.col(id_col), *(F.col(c) for c in part), F.col(tokens_col),
-            F.floor(start / max_tokens).cast("long").alias("chunk_id"),
+            F.floor(start.cast("decimal(38,0)") / max_tokens)
+            .cast("long").alias("chunk_id"),
             F.pmod(start, F.lit(max_tokens)).cast("long").alias("chunk_offset")]
     return joined.select(*cols)
 
@@ -93,7 +104,10 @@ def pack_greedy(df: DataFrame, id_col: str, tokens_col: str, *,
     unique within the bucket. Oversized documents get their own pack."""
     base = df.select(
         F.col(id_col).cast("string").alias("doc_id"),
-        F.col(tokens_col).cast("long").alias("n_tokens"),
+        # NULL -> 0 tokens: Arrow hands the pandas UDF a float64 NaN for a
+        # nullable long, and int(NaN) would kill the task (review r04)
+        F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+        .alias("n_tokens"),
         F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(buckets))
         .cast("int").alias("bucket"),
     )

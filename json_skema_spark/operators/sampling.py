@@ -36,4 +36,10 @@ def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
     for stratum, r in rates.items():
         rate = F.when(F.col(strata_col) == stratum, F.lit(float(r))) \
             .otherwise(rate)
-    return df.filter(hash_fraction(F.col(key_col), seed) < rate)
+    # NULL keys hash to NULL and an un-coalesced NULL predicate would
+    # silently drop them at ANY rate (review r04; same rule as
+    # contamination.decontaminate): give them a fixed deterministic draw
+    # instead, so rate=1.0 really keeps everything
+    draw = F.coalesce(hash_fraction(F.col(key_col), seed),
+                      hash_fraction(F.lit("\x00null"), seed))
+    return df.filter(draw < rate)

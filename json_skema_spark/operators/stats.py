@@ -66,6 +66,14 @@ def profile(df: DataFrame, columns: list[str] | None = None, *,
     columns = columns or [f.name for f in df.schema.fields
                           if not isinstance(f.dataType, (T.BinaryType, T.ArrayType,
                                                          T.MapType, T.StructType))]
+    if per_partition and "partition_id" in df.columns:
+        # withColumn would silently OVERWRITE the user's data column and
+        # the profile row for it would report Spark's physical partition
+        # ids (review r04)
+        raise ValueError(
+            "per_partition=True but the input already has a "
+            "'partition_id' column — rename it, or profile it without "
+            "per_partition")
     base = df.withColumn("partition_id", F.spark_partition_id()) \
         if per_partition else df
     g = base.groupBy("partition_id") if per_partition else base.groupBy()
@@ -90,8 +98,9 @@ def profile(df: DataFrame, columns: list[str] | None = None, *,
                       + [f"p.{f}" for f in _PROFILE_FIELDS])))
 
 
-_MERGE_FIELDS = ("n_rows", "n_nulls", "min_num", "max_num", "min_str",
-                 "max_str", "distinct_sketch")
+_MERGE_FIELDS = ("n_rows", "n_nulls", "min_num", "max_num", "min_int",
+                 "max_int", "min_str", "max_str", "distinct_sketch")
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
 def mergeable_profile(df: DataFrame, columns: list[str] | None = None, *,
@@ -116,14 +125,27 @@ def mergeable_profile(df: DataFrame, columns: list[str] | None = None, *,
     aggs = []
     for name in columns:
         c = F.col(name)
-        numeric = isinstance(df.schema[name].dataType, _NUMERIC)
-        num = c.cast("double") if numeric else F.lit(None).cast("double")
+        dtype = df.schema[name].dataType
+        numeric = isinstance(dtype, _NUMERIC)
+        integral = isinstance(dtype, _INTEGRAL)
+        # integral columns fold in DECIMAL, not double: a long min/max
+        # past 2^53 would round through a double and the merged profile
+        # would contradict profile()'s exact value — breaking the
+        # docstring's exactness claim (review r04). Floats keep the
+        # double path (a double is exact as itself); strings fold as
+        # strings (never numerics: lexicographic "9" > "10").
+        num = (c.cast("double") if numeric and not integral
+               else F.lit(None).cast("double"))
+        iint = (c.cast("decimal(38,0)") if integral
+                else F.lit(None).cast("decimal(38,0)"))
         s = F.lit(None).cast("string") if numeric else c.cast("string")
         aggs += [
             F.count(F.lit(1)).alias(f"{name}__m_n_rows"),
             F.sum(c.isNull().cast("long")).alias(f"{name}__m_n_nulls"),
             F.min(num).alias(f"{name}__m_min_num"),
             F.max(num).alias(f"{name}__m_max_num"),
+            F.min(iint).alias(f"{name}__m_min_int"),
+            F.max(iint).alias(f"{name}__m_max_int"),
             F.min(s).alias(f"{name}__m_min_str"),
             F.max(s).alias(f"{name}__m_max_str"),
             F.hll_sketch_agg(c.cast("string"), F.lit(lg_k))
@@ -158,6 +180,8 @@ def merge_profiles(parts: DataFrame) -> DataFrame:
         F.sum("n_nulls").alias("n_nulls"),
         F.min("min_num").alias("min_num"),
         F.max("max_num").alias("max_num"),
+        F.min("min_int").alias("min_int"),
+        F.max("max_int").alias("max_int"),
         F.min("min_str").alias("min_str"),
         F.max("max_str").alias("max_str"),
         F.hll_sketch_estimate(
@@ -168,9 +192,11 @@ def merge_profiles(parts: DataFrame) -> DataFrame:
         "column_name", "n_rows",
         (F.col("n_nulls") / F.greatest(F.col("n_rows"), F.lit(1)))
         .alias("null_fraction"),
-        F.coalesce(F.col("min_num").cast("string"), F.col("min_str"))
+        F.coalesce(F.col("min_int").cast("string"),
+                   F.col("min_num").cast("string"), F.col("min_str"))
         .alias("min_value"),
-        F.coalesce(F.col("max_num").cast("string"), F.col("max_str"))
+        F.coalesce(F.col("max_int").cast("string"),
+                   F.col("max_num").cast("string"), F.col("max_str"))
         .alias("max_value"),
         "approx_distinct",
         F.lit(None).cast("array<double>").alias("quantiles"))
@@ -194,8 +220,14 @@ def hll_sketches(df: DataFrame, columns: list[str], *,
 
 
 def merge_hll(sketches: DataFrame) -> DataFrame:
-    """Union per-column sketches (e.g. across resumed runs) -> estimates."""
+    """Union per-column sketches (e.g. across resumed runs) -> estimates.
+
+    ``allowDifferentLgConfigK=True`` (matching ``merge_profiles``): the
+    advertised resume path unions sketches from DIFFERENT runs, and a
+    later run that changed ``lg_k`` must degrade to the coarser sketch,
+    not fail the merge job (review r04)."""
     return (
         sketches.groupBy("column_name")
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_distinct"))
+        .agg(F.hll_sketch_estimate(
+            F.hll_union_agg("sketch", F.lit(True))).alias("approx_distinct"))
     )
