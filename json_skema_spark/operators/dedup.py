@@ -137,6 +137,22 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64,
         num_hashes)
 
 
+_PERSISTED_BASES: list = []
+
+
+def release_persisted_signatures() -> int:
+    """Unpersist every signature dataset cached by
+    ``minhash_near_duplicates(persist_signatures=True)`` and return how
+    many were released. Call AFTER the pair/cluster results have been
+    consumed (an action ran) — the cache exists to dedupe the 3-4 subplan
+    re-executions inside one query, so releasing mid-query just recomputes."""
+    n = 0
+    while _PERSISTED_BASES:
+        _PERSISTED_BASES.pop().unpersist()
+        n += 1
+    return n
+
+
 def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
                             shingle_n: int = 3, num_hashes: int = 64,
                             bands: int = 16, seed: int = 42,
@@ -164,7 +180,12 @@ def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
         raise ValueError(
             f"bands ({bands}) must evenly divide num_hashes ({num_hashes})")
     rows_per_band = num_hashes // bands
-    df = ensure_parallelism(df)
+    # null text is NOT a duplicate of other null text (same convention as
+    # exact_duplicates below and the streaming dedup): a null yields a
+    # null signature whose band hashes are xxhash64's seed constant, so
+    # every null-text doc would land in ONE bucket per band and pair with
+    # every other null doc (review r04)
+    df = ensure_parallelism(df).filter(F.col(text_col).isNotNull())
     # max_bucket guards the self-join against degenerate buckets (e.g. empty
     # or boilerplate docs all hashing identically): a bucket of m members
     # contributes m^2/2 candidate pairs, so one hot bucket at 10^12-row scale
@@ -183,8 +204,13 @@ def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
         # 3-4x — self-join branches are distinct subplans, so ReuseExchange
         # alone does not dedupe them. MEMORY_AND_DISK spills; footprint is
         # ids + hashed shingles + signatures (~KB/doc), never the text.
+        # The handle is tracked in _PERSISTED_BASES: a long-running app
+        # processing several corpora calls release_persisted_signatures()
+        # between them, or the cached copies pin block-manager storage for
+        # the application lifetime (review r04).
         from pyspark import StorageLevel
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED_BASES.append(base)
 
     banded = base.select(
         "doc_id",
@@ -294,23 +320,36 @@ def hamming64(a: Column, b: Column) -> Column:
 def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
                             max_hamming: int = 3, seed: int = 42,
                             max_bucket: int = 1000) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 48-bit fingerprint into 4 12-bit
-    chunks (pigeonhole: any pair within hamming distance 3 shares at least
-    one exact chunk), bucket-join on chunks, verify hamming distance.
+    """Near-dup pairs by SimHash: band the 48-bit fingerprint into
+    ``max_hamming + 1`` chunks (pigeonhole: a pair within hamming distance
+    d differs in at most d chunks, so with d+1 chunks at least one matches
+    exactly), bucket-join on chunks, verify hamming distance. The chunk
+    count is DERIVED from ``max_hamming`` — a fixed 4-chunk banding only
+    guarantees recall for d <= 3 and silently loses pairs at d >= 4
+    (review r04).
 
     ``max_bucket`` caps the chunk self-join exactly like the MinHash path: a
     degenerate chunk value (e.g. empty docs all fingerprinting to 0) makes
     one bucket m^2/2 pairs — quadratic at 10^12 rows. Oversized buckets are
-    dropped; their members still pair through their other 3 chunks."""
+    dropped; their members still pair through their other chunks."""
+    n_chunks = max_hamming + 1
+    if not 1 <= n_chunks <= SIMHASH_BITS:
+        raise ValueError(
+            f"max_hamming must be in [0, {SIMHASH_BITS - 1}]")
+    width = SIMHASH_BITS // n_chunks  # last chunk absorbs the remainder
     fp = ensure_parallelism(df).select(F.col(id_col).alias("doc_id"),
                    simhash(F.col(text_col), seed=seed).alias("fp"))
+
+    def _chunk_val(i: int):
+        w = width if i < n_chunks - 1 else SIMHASH_BITS - width * (n_chunks - 1)
+        return F.shiftrightunsigned(F.col("fp"), width * i) \
+            .bitwiseAND(F.lit((1 << w) - 1))
+
     chunks = fp.select(
         "doc_id", "fp",
         F.explode(F.array(*[
-            F.struct(F.lit(i).alias("chunk"),
-                     F.shiftrightunsigned(F.col("fp"), 12 * i)
-                     .bitwiseAND(F.lit(0xFFF)).alias("val"))
-            for i in range(4)
+            F.struct(F.lit(i).alias("chunk"), _chunk_val(i).alias("val"))
+            for i in range(n_chunks)
         ])).alias("c"),
     ).select("doc_id", "fp", F.col("c.chunk").alias("chunk"),
              F.col("c.val").alias("val"))
@@ -388,7 +427,12 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_id_a",
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.label") != F.col("o.label"))
                    .limit(1).count())
-        labels = jumped
+        # release the SUPERSEDED round's checkpoint blocks: without this,
+        # every round's materialized label copy stays in the block manager
+        # for the application lifetime (review r04). `jumped` is eager, so
+        # the old copy is no longer an input to anything.
+        prev, labels = labels, jumped
+        prev.unpersist()
         if changed == 0:
             break
     edges.unpersist()
@@ -411,8 +455,10 @@ def drop_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
     the hint the anti-join would sort-merge and shuffle the full corpus
     INCLUDING text payloads. Losers scale with the duplicate count, not the
     corpus; pass ``broadcast_losers=False`` only for pathological corpora
-    where duplicates themselves exceed executor memory (the join then falls
-    back to a shuffle, which is the honest cost at that point).
+    where duplicates themselves exceed executor memory or Spark's 8 GiB
+    broadcast-table hard cap — the forced broadcast then fails LOUDLY
+    (never silently wrong) and the flag falls back to a shuffle join,
+    which is the honest cost at that point.
     """
     pairs = minhash_near_duplicates(df, text_col, id_col, **minhash_kwargs)
     losers = (duplicate_clusters(pairs)

@@ -42,7 +42,11 @@ def orphans(fact: DataFrame, dim: DataFrame, key: str, *,
     failing the compile.
     """
     d = _maybe_broadcast(dim.select(key).distinct(), broadcast_threshold_rows, dim_rows)
-    return fact.join(d, on=key, how="left_anti")
+    # NULL fact keys are NOT failed lookups: the schema validator's
+    # required/type check owns them (engine-wide convention — "a null is
+    # not a match"); left_anti would otherwise report every null-key row
+    # as a $ref orphan (review r04)
+    return fact.filter(F.col(key).isNotNull()).join(d, on=key, how="left_anti")
 
 
 def members(fact: DataFrame, dim: DataFrame, key: str, *,
@@ -90,12 +94,22 @@ def field_equality_violations(fact: DataFrame, dim: DataFrame, key: str,
     ``dim_rows`` (caller-asserted dim size) gates the broadcast, same as
     ``orphans``/``members``; ``partition_id`` is tagged pre-join (see
     ``referential_violations``)."""
-    d = dim.select(F.col(key), F.col(field).alias("_expected"))
+    # dedupe the dim pairs, then treat a fact value matching ANY of the
+    # key's reference values as conforming: an un-deduplicated dim fans a
+    # fact row out N ways and reports a row that EQUALS a legitimate
+    # reference value as a const violation (review r04). The anti-join on
+    # (key, value) keeps exactly the rows matching none; a preceding semi
+    # on key excludes keys absent from dim (those are orphans, not
+    # equality violations).
+    d = dim.select(F.col(key), F.col(field).alias("_expected")).distinct()
     d = _maybe_broadcast(d, broadcast_threshold_rows, dim_rows)
     tagged = fact.withColumn("partition_id", F.spark_partition_id())
-    joined = tagged.join(d, on=key, how="inner")
+    in_dim = tagged.join(d.select(key).distinct(), on=key, how="left_semi")
+    joined = (in_dim.join(
+        d, on=[in_dim[key].eqNullSafe(d[key]),
+               in_dim[field].eqNullSafe(d["_expected"])], how="left_anti"))
     return (
-        joined.filter(~F.col(field).eqNullSafe(F.col("_expected")))
+        joined
         .select(
             F.col(key).cast("string").alias("row_key"),
             F.lit("const").alias("keyword"),

@@ -36,8 +36,12 @@ def duplicate_keys(df: DataFrame, key: str | Column, *,
     # spark_partition_id is stable across retries of the same plan (a
     # re-run map task keeps its partition), and hashing it with the key
     # spreads any single hot key across salt_buckets sub-groups.
+    # a NULL is NOT a key occurrence (engine-wide convention: streaming
+    # unique_key_stream, contamination, dedup): groupBy would lump every
+    # null-key row into one "duplicated key" that duplicate_rows' equi-join
+    # then can't even find — the two APIs would disagree (review r04)
     partial = (
-        df.select(k.alias("key"))
+        df.select(k.alias("key")).filter(F.col("key").isNotNull())
         .withColumn("_salt", F.pmod(F.xxhash64(F.col("key"),
                                                F.spark_partition_id(),
                                                F.lit(17)),
@@ -63,10 +67,11 @@ def duplicate_rows(df: DataFrame, key: str, *, salt_buckets: int = 64,
     table can have millions of dup keys), so it is only force-broadcast when
     the caller asserts its size via ``dup_keys_hint``; otherwise AQE picks
     broadcast vs shuffled hash join from runtime statistics."""
-    dups = duplicate_keys(df, key, salt_buckets=salt_buckets) \
-        .select(F.col("key").alias(key), "n_rows")
-    if dup_keys_hint is not None and dup_keys_hint <= broadcast_threshold_rows:
-        dups = F.broadcast(dups)
+    from json_skema_spark.operators.referential import _maybe_broadcast
+    dups = _maybe_broadcast(
+        duplicate_keys(df, key, salt_buckets=salt_buckets)
+        .select(F.col("key").alias(key), "n_rows"),
+        broadcast_threshold_rows, dup_keys_hint)
     return (
         df.withColumn("partition_id", F.spark_partition_id())
         .join(dups, on=key, how="inner")

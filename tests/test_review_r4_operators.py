@@ -115,3 +115,115 @@ def test_profile_per_partition_name_collision_raises(spark):
     df = spark.createDataFrame([(1, 2)], "partition_id int, v int")
     with pytest.raises(ValueError, match="partition_id"):
         profile(df, ["v"], per_partition=True)
+
+
+# ---------------------------------------- dedup/join family (review pass 6)
+
+def test_simhash_banding_scales_with_max_hamming(spark):
+    """Fixed 4-chunk banding only guarantees recall for hamming <= 3; the
+    chunk count must derive from max_hamming. Construct a pair at hamming
+    distance 4 whose differing bits hit 4 distinct 12-bit chunks — the old
+    banding misses it, max_hamming=4 (5 chunks) must find it."""
+    from json_skema_spark.operators import dedup
+
+    # find two texts whose fingerprints differ in exactly 4 bits spread
+    # over all four 12-bit chunks: search a small pool deterministically
+    import itertools
+    texts = [f"alpha bravo charlie delta echo w{i}" for i in range(40)]
+    df = spark.createDataFrame([(str(i), t) for i, t in enumerate(texts)],
+                               "doc_id string, text string")
+    fps = {r.doc_id: r.fp for r in df.select(
+        "doc_id", dedup.simhash(F.col("text")).alias("fp")).collect()}
+    target = None
+    for a, b in itertools.combinations(fps, 2):
+        x = fps[a] ^ fps[b]
+        if bin(x).count("1") == 4 and all(
+                (x >> (12 * c)) & 0xFFF for c in range(4)):
+            target = (a, b)
+            break
+    if target is None:
+        pytest.skip("no 4-bit all-chunk pair in the pool (fingerprints "
+                    "are data-dependent)")
+    pair_df = df.filter(F.col("doc_id").isin(list(target)))
+    found = dedup.simhash_near_duplicates(pair_df, "text", "doc_id",
+                                          max_hamming=4).collect()
+    assert len(found) == 1 and found[0].hamming == 4
+
+
+def test_duplicate_keys_ignores_nulls(spark):
+    from json_skema_spark.operators import uniqueness
+    df = spark.createDataFrame(
+        [(None,), (None,), (None,), ("k1",), ("k1",)], "k string")
+    dups = uniqueness.duplicate_keys(df, "k").collect()
+    assert len(dups) == 1 and dups[0].key == "k1" and dups[0].n_rows == 2
+    rows = uniqueness.duplicate_rows(df, "k").collect()
+    assert {r.k for r in rows} == {"k1"}  # both APIs now agree
+
+
+def test_minhash_null_text_not_duplicates(spark):
+    from json_skema_spark.operators import dedup
+    df = spark.createDataFrame(
+        [("a", None), ("b", None), ("c", None),
+         ("d", "the quick brown fox jumps over the lazy dog"),
+         ("e", "the quick brown fox jumps over the lazy dog")],
+        "doc_id string, text string")
+    pairs = dedup.minhash_near_duplicates(df, "text", "doc_id",
+                                          jaccard_threshold=0.9).collect()
+    ids = {(r.doc_id_a, r.doc_id_b) for r in pairs}
+    assert ids == {("d", "e")}  # null-text docs never pair
+
+
+def test_orphans_null_fact_keys_not_reported(spark):
+    from json_skema_spark.operators import referential
+    fact = spark.createDataFrame([("k1",), (None,), (None,)], "k string")
+    dim = spark.createDataFrame([("k1",)], "k string")
+    assert referential.orphans(fact, dim, "k").count() == 0
+    fact2 = spark.createDataFrame([("k2",), (None,)], "k string")
+    o = referential.orphans(fact2, dim, "k").collect()
+    assert [r.k for r in o] == ["k2"]  # real orphan still found
+
+
+def test_field_equality_any_reference_value_conforms(spark):
+    from json_skema_spark.operators import referential
+    dim = spark.createDataFrame(
+        [("k1", "a"), ("k1", "b"), ("k2", "x")], "k string, v string")
+    fact = spark.createDataFrame(
+        [("k1", "a"), ("k1", "b"), ("k1", "z"), ("k2", "x"), ("k3", "q")],
+        "k string, v string")
+    viols = referential.field_equality_violations(fact, dim, "k", "v").collect()
+    # only (k1, z) violates: it matches neither 'a' nor 'b'; k3 is an
+    # orphan (not an equality violation); no duplicates from dim fan-out
+    assert len(viols) == 1 and viols[0].row_key == "k1"
+
+
+def test_release_persisted_signatures(spark):
+    from json_skema_spark.operators import dedup
+    df = spark.createDataFrame(
+        [(str(i), f"some text number {i} with shared words") for i in range(20)],
+        "doc_id string, text string")
+    dedup.minhash_near_duplicates(df, "text", "doc_id").count()
+    assert dedup.release_persisted_signatures() >= 1
+    assert dedup.release_persisted_signatures() == 0  # idempotent
+
+
+def test_cobucketed_join_validates_specs(spark, tmp_path):
+    import shutil
+
+    from json_skema_spark.operators import bucketing
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("cbl", "cbr", "cbm", "cbn"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)  # stale crash debris
+    df = spark.createDataFrame([(str(i), i) for i in range(50)],
+                               "k string, v int")
+    bucketing.write_bucketed(df, "cbl", "k", buckets=4)
+    bucketing.write_bucketed(df, "cbr", "k", buckets=4)
+    out = bucketing.cobucketed_join(spark, "cbl", "cbr", "k")
+    assert out.count() == 50  # matched specs join fine (the shuffle-free
+    # plan shape itself is pinned by the existing bucketing plan test)
+    bucketing.write_bucketed(df, "cbm", "k", buckets=8)  # mismatched count
+    with pytest.raises(ValueError, match="bucket counts differ"):
+        bucketing.cobucketed_join(spark, "cbl", "cbm", "k")
+    df.write.mode("overwrite").saveAsTable("cbn")  # unbucketed
+    with pytest.raises(ValueError, match="not bucketed"):
+        bucketing.cobucketed_join(spark, "cbl", "cbn", "k")
