@@ -79,7 +79,10 @@ def extract_features(df: DataFrame, *, frame_ms: int = 25,
             out = []
             for cid, codec, buf in zip(pdf["clip_id"], pdf["codec"], pdf["bytes"]):
                 sig, sr, err = _decode_with(decoders, codec, buf)
-                if sig is None:
+                # sr<=0 guard (review r04): a third-party decoder
+                # reporting rate 0 must degrade to an empty feature row,
+                # not ZeroDivisionError the whole task
+                if sig is None or sr <= 0:
                     out.append((cid, 0, [], [], []))
                 else:
                     f = clip_features(sig, sr, frame_ms=frame_ms, hop_ms=hop_ms)
@@ -101,7 +104,7 @@ def resample_clips(df: DataFrame, target_sr: int) -> DataFrame:
             out = []
             for cid, codec, buf in zip(pdf["clip_id"], pdf["codec"], pdf["bytes"]):
                 sig, sr, err = _decode_with(decoders, codec, buf)
-                if sig is None:
+                if sig is None or sr <= 0:  # sr guard: see extract_features
                     out.append((cid, 0, 0, b""))
                     continue
                 r = resample_linear(sig, sr, target_sr)
@@ -125,7 +128,11 @@ def sample_frames(df: DataFrame, *, every_ms: int = 500,
             rows = []
             for cid, codec, buf in zip(pdf["clip_id"], pdf["codec"], pdf["bytes"]):
                 sig, sr, err = _decode_with(decoders, codec, buf)
-                if sig is None:
+                # sr<=0: see extract_features. len==0: a VALID zero-sample
+                # clip has no window to sample — emitting one empty-pcm
+                # "frame" would disagree with extract_features' 0-frame
+                # verdict for the same clip (review r04)
+                if sig is None or sr <= 0 or len(sig) == 0:
                     continue
                 hop = max(int(sr * every_ms / 1000), 1)
                 flen = max(int(sr * frame_ms / 1000), 1)

@@ -89,14 +89,22 @@ _URL_RE = r"https?://[^\s]+|www\.[^\s]+"
 _EMAIL_SCRUB_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 
 
+def _lit_replacement(replacement: str) -> str:
+    """Escape Java regex group references: regexp_replace treats ``$`` and
+    ``\\`` in the replacement as group syntax, so an un-escaped literal
+    like ``<$URL>`` throws IllegalArgumentException on the first matching
+    row (review r04). Callers pass literals; escape for them."""
+    return replacement.replace("\\", "\\\\").replace("$", "\\$")
+
+
 def remove_urls(col: Column, replacement: str = "") -> Column:
     """Strip http(s)/www URLs (training-data scrubbing)."""
-    return F.regexp_replace(col, _URL_RE, replacement)
+    return F.regexp_replace(col, _URL_RE, _lit_replacement(replacement))
 
 
 def remove_emails(col: Column, replacement: str = "") -> Column:
     """Strip email addresses (PII scrubbing)."""
-    return F.regexp_replace(col, _EMAIL_SCRUB_RE, replacement)
+    return F.regexp_replace(col, _EMAIL_SCRUB_RE, _lit_replacement(replacement))
 
 
 _PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
@@ -104,7 +112,7 @@ _PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
 
 def remove_phones(col: Column, replacement: str = "") -> Column:
     """Strip NANP-style phone numbers (PII scrubbing)."""
-    return F.regexp_replace(col, _PHONE_RE, replacement)
+    return F.regexp_replace(col, _PHONE_RE, _lit_replacement(replacement))
 
 
 def normalize_whitespace(col: Column) -> Column:

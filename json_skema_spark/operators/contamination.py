@@ -16,21 +16,41 @@ broadcast ``left_semi`` join on exploded shingles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from json_skema_spark.operators.dedup import shingles
+
+
+def _hits(text: Column, probes: list[str], n: int) -> Column:
+    """Shared contamination predicate: the document's distinct ``n``-gram
+    shingles intersected with the literal probe array. ONE definition so
+    the flag view and the filter twin cannot drift (review r04).
+
+    A probe whose word count differs from ``n`` can NEVER match a fixed-n
+    shingle — it would silently make the decontamination gate inert for
+    that probe (contaminated rows pass as clean), so it raises instead.
+    """
+    for p in probes:
+        w = len(p.split(" "))
+        if w != n:
+            raise ValueError(
+                f"probe {p!r} has {w} words but shingles are exact "
+                f"{n}-grams — it could never match and the gate would be "
+                f"silently inert; re-shingle the probe source into "
+                f"{n}-grams (or call with n={w})")
+    return F.array_intersect(shingles(text, n),
+                             F.array(*[F.lit(p) for p in probes]))
 
 
 def contamination_flags(df: DataFrame, text_col: str, id_col: str,
                         probes: list[str], *, n: int = 3) -> DataFrame:
     """Per-document contamination verdict against probe word ``n``-grams
     (probes must be lowercase, single-space-normalized — the shingle
-    normal form). Output: ``(id, contaminated, matched)`` where ``matched``
-    is the sorted '|'-joined hit list (hash-comparable scalar)."""
-    sh = shingles(F.col(text_col), n)
-    probe_arr = F.array(*[F.lit(p) for p in probes])
-    hits = F.array_intersect(sh, probe_arr)
+    normal form — and exactly ``n`` words each). Output:
+    ``(id, contaminated, matched)`` where ``matched`` is the sorted
+    '|'-joined hit list (hash-comparable scalar)."""
+    hits = _hits(F.col(text_col), probes, n)
     # null text -> null shingles -> null hits: the verdict must be a real
     # boolean (False — no content, no contamination), not a NULL that
     # downstream `filter(~contaminated)` silently drops
@@ -48,7 +68,5 @@ def decontaminate(df: DataFrame, text_col: str, id_col: str,
     ``contamination_flags``). Null-text rows are KEPT — no content means
     no contamination (same convention as dedup: a null is not a match),
     and an un-coalesced NULL predicate would silently drop them."""
-    sh = shingles(F.col(text_col), n)
-    probe_arr = F.array(*[F.lit(p) for p in probes])
-    return df.filter(
-        F.coalesce(F.size(F.array_intersect(sh, probe_arr)) == 0, F.lit(True)))
+    hits = _hits(F.col(text_col), probes, n)
+    return df.filter(F.coalesce(F.size(hits) == 0, F.lit(True)))

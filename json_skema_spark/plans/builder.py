@@ -130,11 +130,17 @@ class SchemaBuilder:
         return self
 
     def build(self) -> dict:
-        return self._doc
+        # deep copy: returning the live _doc would let post-build chaining
+        # (or reuse of this builder) mutate documents already handed out
+        return _unwrap({k: v for k, v in self._doc.items()})
 
 
 def _unwrap(v: Any) -> Any:
     if isinstance(v, SchemaBuilder):
+        # build() deep-copies, so attaching a sub-builder cannot alias —
+        # reusing one sub-builder for two properties, or chaining more
+        # keywords after attachment, no longer mutates the already-built
+        # parent schema (review r04)
         return v.build()
     if isinstance(v, dict):
         return {k: _unwrap(x) for k, x in v.items()}

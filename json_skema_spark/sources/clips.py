@@ -177,10 +177,17 @@ def ensure_clips_parquet(spark: SparkSession, n: int, *, audio: bool = False,
 
 
 def transcripts_ref_df(spark: SparkSession, n: int, *, seed: int = SEED,
+                       inject: bool = True,
                        partitions: int | None = None) -> DataFrame:
     """Referential side table (FIXTURES.md §2): clips ids minus a 0.3%
     sample (orphan clips) plus 0.1% ids never in clips (dangling refs);
-    0.2% transcripts mutated by one word."""
+    0.2% transcripts mutated by one word.
+
+    ``inject`` must MATCH the ``clips_df(inject=...)`` table this ref will
+    be joined against: the injection overrides in ``_make_row`` consume
+    extra rng draws, so an inject=True ref against an inject=False clips
+    table diverges on ~1% of ids/transcripts — spurious orphan and
+    mismatch violations beyond the documented rates (review r04)."""
     rng_range = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -193,7 +200,8 @@ def transcripts_ref_df(spark: SparkSession, n: int, *, seed: int = SEED,
                 if u[0] < 0.003:
                     continue  # omitted -> orphan clip
                 cid, _, _, _, _, transcript = _make_row(i, audio=False,
-                                                        inject=True, seed=seed)
+                                                        inject=inject,
+                                                        seed=seed)
                 if u[1] < 0.002 and transcript:
                     parts = transcript.split(" ")
                     parts[int(u[2] * len(parts))] = "MUTATED"
@@ -202,7 +210,11 @@ def transcripts_ref_df(spark: SparkSession, n: int, *, seed: int = SEED,
                 out["transcript"].append(transcript)
                 out["lang"].append(["en", "de", "hu"][int(u[3] * 3)])
                 if u[0] > 0.999:  # ~0.1% dangling refs
-                    out["clip_id"].append(f"clip_{(10**9 + i):012x}")
+                    # offset 2^47 keeps the dangling id space disjoint
+                    # from real ids (i < n) for any n < 1.4e14 — a 10**9
+                    # offset collides with real ids once n > 10**9
+                    # (review r04); still 12 hex chars (48-bit max)
+                    out["clip_id"].append(f"clip_{((1 << 47) + i):012x}")
                     out["transcript"].append("dangling")
                     out["lang"].append("en")
             yield pd.DataFrame(out)

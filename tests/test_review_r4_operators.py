@@ -227,3 +227,87 @@ def test_cobucketed_join_validates_specs(spark, tmp_path):
     df.write.mode("overwrite").saveAsTable("cbn")  # unbucketed
     with pytest.raises(ValueError, match="not bucketed"):
         bucketing.cobucketed_join(spark, "cbl", "cbn", "k")
+
+
+# ------------------------------- fixtures/functions family (review pass 7)
+
+def test_builder_subschema_not_aliased():
+    from json_skema_spark.plans.builder import SchemaBuilder
+    name = SchemaBuilder.string().minLength(2)
+    parent = (SchemaBuilder.object()
+              .prop("a", name).prop("b", name).build())
+    name.maxLength(5)  # post-attachment chaining must NOT leak into parent
+    assert parent["properties"]["a"] == {"type": "string", "minLength": 2}
+    assert parent["properties"]["b"] == {"type": "string", "minLength": 2}
+    built = SchemaBuilder.integer().minimum(1)
+    doc1 = built.build()
+    built.maximum(9)
+    assert doc1 == {"type": "integer", "minimum": 1}  # build() snapshot
+
+
+def test_contamination_probe_word_count_validated(spark):
+    from json_skema_spark.operators.contamination import (
+        contamination_flags, decontaminate)
+    df = spark.createDataFrame([("d1", "the answer is forty two")],
+                               "doc_id string, text string")
+    with pytest.raises(ValueError, match="never match"):
+        contamination_flags(df, "text", "doc_id",
+                            ["the answer is forty"], n=3)
+    with pytest.raises(ValueError, match="never match"):
+        decontaminate(df, "text", "doc_id", ["answer is"], n=3)
+    # exact-n probes still work through both twins
+    flags = contamination_flags(df, "text", "doc_id",
+                                ["the answer is"], n=3).collect()
+    assert flags[0].contaminated is True
+    assert decontaminate(df, "text", "doc_id",
+                         ["the answer is"], n=3).count() == 0
+
+
+def test_scrubber_replacement_with_dollar_sign(spark):
+    from json_skema_spark.functions.text import remove_emails, remove_urls
+    df = spark.createDataFrame(
+        [("see https://x.test/a and mail me@x.test",)], "text string")
+    out = df.select(
+        remove_urls(F.col("text"), "<$URL>").alias("a")).collect()[0].a
+    assert "<$URL>" in out and "https" not in out
+    out2 = df.select(
+        remove_emails(F.col("text"), r"<\MAIL>").alias("b")).collect()[0].b
+    assert r"<\MAIL>" in out2 and "me@x.test" not in out2
+
+
+def test_audio_features_sr_zero_decoder_contained(spark):
+    """A third-party decoder reporting sample rate 0 must degrade to empty
+    rows, never ZeroDivisionError the task (the registry contract)."""
+    import numpy as np
+
+    from json_skema_spark.functions import audio as audio_fn
+    from json_skema_spark.functions.audio_features import (extract_features,
+                                                           resample_clips,
+                                                           sample_frames)
+    audio_fn.register_decoder("srzero", lambda buf: (np.ones(100), 0, ""))
+    try:
+        df = spark.createDataFrame(
+            [("c1", bytearray(b"xx"), "srzero")],
+            "clip_id string, bytes binary, codec string")
+        feats = extract_features(df).collect()
+        assert feats[0].n_frames == 0
+        res = resample_clips(df, target_sr=8000).collect()
+        assert res[0].n_samples == 0
+        assert sample_frames(df).count() == 0
+    finally:
+        audio_fn.unregister_decoder("srzero")
+        audio_fn._KNOWN_CODECS.discard("srzero")
+
+
+def test_transcripts_ref_inject_matches_clips(spark):
+    """inject=False ref against inject=False clips: ids align (no spurious
+    orphans from injection-consumed rng draws), transcripts agree except
+    the documented ~0.2% mutations."""
+    from json_skema_spark.sources.clips import clips_df, transcripts_ref_df
+    clips = clips_df(spark, 300, audio=False, inject=False)
+    ref = transcripts_ref_df(spark, 300, inject=False)
+    j = clips.join(ref, "clip_id")
+    n = j.count()
+    assert n >= 290  # only the ~0.3% omitted-orphan draw removes ids
+    diff = j.filter(clips["transcript"] != ref["transcript"]).count()
+    assert diff <= 3  # only the documented ~0.2% MUTATED rows differ
