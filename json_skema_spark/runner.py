@@ -20,7 +20,13 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 from typing import Any
+
+if __package__ in (None, ""):  # direct `python json_skema_spark/runner.py`
+    # spark-submit --py-files puts the package zip on the path; a bare
+    # local invocation gets the script's PARENT dir instead — bootstrap it
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
