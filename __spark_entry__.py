@@ -193,6 +193,95 @@ def _q_exact_dup_prefix(spark, sf_dir):
         .select("digest", "n_docs", F.array_join("doc_ids", ",").alias("doc_ids"))
 
 
+def _q_exact_dup_hotkey(spark, sf_dir):
+    """Exact dedup under ADVERSARIAL multiplicity (VERDICT r04 #3): every
+    doc_id % 10 == 0 document's text replaced by ONE constant, so 10% of
+    the corpus lands in a single digest group. Exercises the salted
+    per-(digest, salt) K-smallest id cap (dedup.exact_duplicates max_ids)
+    for real: the hot group has 50 members, the output cell keeps the 20
+    lexicographically-smallest — the distributive top-K the docstring
+    promises. Oracle: plain GROUP BY + list_sort slice on the identically
+    injected corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),  # lexicographic sort
+        F.when(F.col("doc_id") % 10 == 0, F.lit("hot boilerplate text"))
+        .otherwise(F.col("text")).alias("text"))
+    return dedup.exact_duplicates(injected, "text", "doc_id", max_ids=20) \
+        .select("digest", "n_docs", F.array_join("doc_ids", ",").alias("doc_ids"))
+
+
+def _q_duplicate_orderkeys_skewed(spark, sf_dir):
+    """Salted two-phase uniqueness under ADVERSARIAL key skew (VERDICT r04
+    #3): the lineitem key column plus 5,000 injected rows all sharing key 1
+    (~8% of the sf0.01 table on one key). The deterministic salt
+    (uniqueness.salt_column) shards the hot key across reducers; the
+    bounded-spread property itself is pinned by
+    tests/test_skew_queries.py. Oracle: plain GROUP BY over the identical
+    union."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    hot = spark.range(5000).select(
+        F.lit(1).cast("bigint").alias("l_orderkey"))
+    return uniqueness.duplicate_keys(li.unionAll(hot), "l_orderkey") \
+        .select(F.col("key").alias("l_orderkey"), "n_rows")
+
+
+def _q_drop_kept_set(spark, sf_dir):
+    """END-TO-END one-call dedup (operators/dedup.drop_near_duplicates):
+    MinHash-LSH pairs -> connected-components clusters -> anti-join the
+    non-canonical members; returns the KEPT doc ids. The per-stage oracles
+    (dedup_minhash_pairs/clusters) can't see composition bugs between the
+    stages (loser-set construction, anti-join null keys) — this row can
+    (VERDICT r04 #4). Oracle: the recursive-CTE closure's min-reachable-id
+    keep rule, anti-selected from documents."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup.drop_near_duplicates(docs, "text", "doc_id",
+                                      jaccard_threshold=0.5)
+    return kept.select("doc_id")
+
+
+def _q_media_rgb_stats(spark, sf_dir):
+    """rgb8raw per-channel stats (functions/media.image_stats) over a
+    deterministic synthetic image per document — media was the only
+    LLM-pipeline family with zero oracle coverage (VERDICT r04 #5).
+
+    Fixture: one 8x8x3 image per doc, flattened sample j carrying
+    ``(doc_id*37 + j*11) % 256``; every doc_id % 97 == 0 payload is
+    truncated by one byte to pin the error path. Encode, decode, and stats
+    all run the REAL media path (Arrow-batched mapInPandas); the oracle
+    reproduces the sample formula analytically — per-channel means are
+    exact (sums of uint8 over 64 pixels divide by a power of two) and the
+    gray stddev agrees to well inside round(6)."""
+    from json_skema_spark.functions import media
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+        from json_skema_spark.functions.media import encode_rgb8raw
+        for pdf in batches:
+            rows = []
+            for k in pdf["doc_id"]:
+                k = int(k)
+                pix = ((k * 37 + np.arange(192) * 11) % 256) \
+                    .astype(np.uint8).reshape(8, 8, 3)
+                buf = encode_rgb8raw(pix)
+                if k % 97 == 0:
+                    buf = buf[:-1]
+                rows.append((str(k), "rgb8raw", buf))
+            yield pd.DataFrame(rows, columns=["image_id", "codec", "bytes"])
+
+    imgs = ids.mapInPandas(synth,
+                           "image_id string, codec string, bytes binary")
+    s = media.image_stats(imgs)
+    return s.select("image_id", "decode_ok", "error",
+                    F.round("mean_r", 6).alias("mean_r"),
+                    F.round("mean_g", 6).alias("mean_g"),
+                    F.round("mean_b", 6).alias("mean_b"),
+                    F.round("std_gray", 6).alias("std_gray"))
+
+
 def _q_token_stats_documents(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -790,6 +879,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_stratified_sample,
         "pack_chunk_assignments": _q_chunk_packing,
         "text_pii_scrub": _q_pii_scrub,
+        "dedup_exact_hotkey": _q_exact_dup_hotkey,
+        "unique_duplicate_orderkeys_skewed": _q_duplicate_orderkeys_skewed,
+        "dedup_drop_kept_set": _q_drop_kept_set,
+        "media_rgb_stats": _q_media_rgb_stats,
     }
 
 
@@ -1476,6 +1569,87 @@ def oracle_sql() -> dict[str, str]:
                   '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '', 'g'),
                   '\\s+', ' ', 'g'))) AS scrubbed_len
             FROM t
+        """,
+        "dedup_exact_hotkey": """
+            WITH injected AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       CASE WHEN doc_id % 10 = 0 THEN 'hot boilerplate text'
+                            ELSE text END AS text
+                FROM documents
+            )
+            SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS digest,
+                   count(*) AS n_docs,
+                   array_to_string(list_sort(list(doc_id))[1:20], ',') AS doc_ids
+            FROM injected GROUP BY 1 HAVING count(*) > 1
+        """,
+        "unique_duplicate_orderkeys_skewed": """
+            WITH all_keys AS (
+                SELECT l_orderkey FROM lineitem
+                UNION ALL
+                SELECT CAST(1 AS BIGINT) AS l_orderkey FROM range(5000)
+            )
+            SELECT l_orderkey, count(*) AS n_rows FROM all_keys
+            GROUP BY l_orderkey HAVING count(*) > 1
+        """,
+        "dedup_drop_kept_set": """
+            -- same pair CTE as dedup_minhash_pairs/clusters (exact
+            -- all-pairs jaccard == LSH output on this corpus), closure as
+            -- in dedup_minhash_clusters; keep rule = each cluster's min id
+            WITH RECURSIVE d AS (SELECT doc_id,
+                list_distinct([array_to_string(toks[i:i+2], ' ')
+                               for i in range(1, greatest(len(toks)-2, 1)+1)]) AS g
+              FROM (SELECT doc_id,
+                    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                                 ' ') AS toks
+                    FROM documents)),
+            p AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM d a JOIN d b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                      / len(list_distinct(a.g || b.g)) >= 0.5
+            ),
+            e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+            reach(node, r) AS (
+                SELECT a, a FROM e
+                UNION
+                SELECT e.a, t.r FROM e JOIN reach t ON t.node = e.b
+            ),
+            losers AS (
+                SELECT node FROM reach GROUP BY node HAVING node <> min(r)
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM losers)
+        """,
+        "media_rgb_stats": """
+            -- analytic replica of the rgb8raw fixture: sample j of doc k
+            -- carries (k*37 + j*11) % 256; channel = j % 3, pixel = j // 3
+            WITH px AS (
+                SELECT d.doc_id, t.j,
+                       CAST((d.doc_id * 37 + t.j * 11) % 256 AS DOUBLE) AS v
+                FROM documents d CROSS JOIN generate_series(0, 191) AS t(j)
+                WHERE d.doc_id % 97 <> 0
+            ),
+            chan AS (SELECT doc_id, j % 3 AS c, j // 3 AS pix, v FROM px),
+            gray AS (SELECT doc_id, pix, avg(v) AS g
+                     FROM chan GROUP BY doc_id, pix),
+            m AS (SELECT doc_id,
+                         avg(CASE WHEN c = 0 THEN v END) AS mean_r,
+                         avg(CASE WHEN c = 1 THEN v END) AS mean_g,
+                         avg(CASE WHEN c = 2 THEN v END) AS mean_b
+                  FROM chan GROUP BY doc_id),
+            s AS (SELECT doc_id, stddev_pop(g) AS std_gray
+                  FROM gray GROUP BY doc_id)
+            SELECT CAST(m.doc_id AS VARCHAR) AS image_id,
+                   TRUE AS decode_ok, '' AS error,
+                   round(mean_r, 6) AS mean_r, round(mean_g, 6) AS mean_g,
+                   round(mean_b, 6) AS mean_b,
+                   round(s.std_gray, 6) AS std_gray
+            FROM m JOIN s USING (doc_id)
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), FALSE, 'truncated_rgb8raw',
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            FROM documents WHERE doc_id % 97 = 0
         """,
         # every queries() entry above has an oracle: md5-based hashes (not
         # xxhash64) and literal centroids (not in-query KMeans) were chosen

@@ -158,13 +158,19 @@ class PartitionManifest:
             # so a reader never sees a torn manifest
             fs, jvm = self._hfs()
             hp = jvm.org.apache.hadoop.fs.Path
-            fs.mkdirs(hp(self.dir))
+            # Hadoop FS reports failure by RETURNING FALSE, not throwing
+            # (ADVICE r04): an unchecked rename can silently leave the
+            # manifest stale — committed buckets re-run and recorded
+            # option guards stop firing. Check every boolean.
+            if not fs.mkdirs(hp(self.dir)):
+                raise IOError(f"manifest mkdirs failed: {self.dir}")
             tmp, dst = hp(self.path + ".tmp"), hp(self.path)
             out = fs.create(tmp, True)
             out.write(bytearray(body.encode("utf-8")))
             out.close()
             fs.delete(dst, False)
-            fs.rename(tmp, dst)
+            if not fs.rename(tmp, dst):
+                raise IOError(f"manifest rename failed: {self.path}")
             return
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:

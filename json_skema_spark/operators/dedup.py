@@ -371,6 +371,21 @@ def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
     )
 
 
+def _release_local_checkpoint(df: DataFrame, *, blocking: bool = False) -> None:
+    """Release the block-manager storage behind a ``localCheckpoint``-ed
+    DataFrame. ``Dataset.unpersist()`` only clears CacheManager entries and
+    localCheckpoint blocks are not registered there (ADVICE r04) — the
+    persisted RDD lives inside the plan's ``LogicalRDD`` node, so unpersist
+    THAT. Best-effort: if the plan shape ever changes, the blocks are still
+    reclaimed by the ContextCleaner on GC, just later."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(blocking)
+    except Exception:
+        pass
+
+
 def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_id_a",
                        id_b: str = "doc_id_b", *,
                        max_iter: int = 20) -> DataFrame:
@@ -430,9 +445,11 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_id_a",
         # release the SUPERSEDED round's checkpoint blocks: without this,
         # every round's materialized label copy stays in the block manager
         # for the application lifetime (review r04). `jumped` is eager, so
-        # the old copy is no longer an input to anything.
+        # the old copy is no longer an input to anything. Released via the
+        # LogicalRDD's rdd — Dataset.unpersist is a no-op for
+        # localCheckpoint blocks (ADVICE r04).
         prev, labels = labels, jumped
-        prev.unpersist()
+        _release_local_checkpoint(prev)
         if changed == 0:
             break
     edges.unpersist()

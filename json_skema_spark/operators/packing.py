@@ -83,17 +83,19 @@ def chunk_assignments(df: DataFrame, id_col: str, tokens_col: str, *,
     w_loc = Window.partitionBy("_pid", *part).orderBy(F.col(id_col))
     local_start = (F.sum(tokens_col).over(w_loc) - F.col(tokens_col)).cast("long")
     joined = ranged.withColumn("_local_start", local_start) \
-        .join(offsets, ["_pid", *part])
-    start = (F.col("_local_start") + F.col("_off")).cast("long")
-    # chunk_id via DECIMAL division: `start / max_tokens` on longs is a
-    # double division, which loses integer precision past 2^53 — at the
-    # 10^12-doc scale this module targets, cumulative token streams cross
-    # that and chunk_id would disagree with the exact long pmod beside it
-    # (review r04)
+        .join(offsets, ["_pid", *part]) \
+        .withColumn("_start", (F.col("_local_start") + F.col("_off"))
+                    .cast("long"))
+    # chunk_id via `div` — EXACT integral division on longs. `/` on longs
+    # is a double division (loses integer precision past 2^53); the
+    # previous decimal(38,0)/int route yielded decimal(38,6), whose HALF_UP
+    # rounding at 6 decimals flips floor() near chunk boundaries once
+    # max_tokens >= ~2e6 (ADVICE r04). `div` has neither failure mode.
     cols = [F.col(id_col), *(F.col(c) for c in part), F.col(tokens_col),
-            F.floor(start.cast("decimal(38,0)") / max_tokens)
+            F.expr(f"_start div {int(max_tokens)}")
             .cast("long").alias("chunk_id"),
-            F.pmod(start, F.lit(max_tokens)).cast("long").alias("chunk_offset")]
+            F.pmod(F.col("_start"), F.lit(max_tokens)).cast("long")
+            .alias("chunk_offset")]
     return joined.select(*cols)
 
 

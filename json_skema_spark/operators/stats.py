@@ -175,6 +175,17 @@ def merge_profiles(parts: DataFrame) -> DataFrame:
     thresholds (0.5 / 2.0), but don't set thresholds near 1.0 across the
     two estimators.
     """
+    # schema-version tolerance (ADVICE r04): min_int/max_int were added in
+    # a later code version — profile parts written by the earlier version
+    # lack them, and a resume spanning the upgrade would otherwise fail (or
+    # silently drop columns depending on which file Spark samples for the
+    # schema; the runner reads parts with mergeSchema=true for the same
+    # reason). Missing columns fold as NULL — the string min/max from the
+    # old parts still carries those columns' values.
+    for missing in ("min_int", "max_int"):
+        if missing not in parts.columns:
+            parts = parts.withColumn(missing,
+                                     F.lit(None).cast("decimal(38,0)"))
     g = parts.groupBy("column_name").agg(
         F.sum("n_rows").alias("n_rows"),
         F.sum("n_nulls").alias("n_nulls"),

@@ -22,6 +22,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def salt_column(key: Column, salt_buckets: int) -> Column:
+    """The two-phase agg's DETERMINISTIC salt (shared with the skew tests
+    so they exercise the exact production expression).
+
+    ``monotonically_increasing_id`` is nondeterministic, and using it as a
+    grouping key means a stage retry re-salts rows — reducers that fetched
+    the old attempt keep them under the old salt while re-fetching reducers
+    see the new one -> corrupted counts. ``spark_partition_id`` is stable
+    across retries of the same plan (a re-run map task keeps its
+    partition), and hashing it with the key spreads any single hot key
+    across ``salt_buckets`` sub-groups."""
+    return F.pmod(F.xxhash64(key, F.spark_partition_id(), F.lit(17)),
+                  F.lit(salt_buckets))
+
+
 def duplicate_keys(df: DataFrame, key: str | Column, *,
                    salt_buckets: int = 64) -> DataFrame:
     """Keys occurring more than once, with their multiplicity.
@@ -29,23 +44,13 @@ def duplicate_keys(df: DataFrame, key: str | Column, *,
     Output: ``(key, n_rows)`` with ``n_rows >= 2``.
     """
     k = F.col(key) if isinstance(key, str) else key
-    # DETERMINISTIC salt: monotonically_increasing_id is nondeterministic,
-    # and using it as a grouping key means a stage retry re-salts rows —
-    # reducers that fetched the old attempt keep them under the old salt
-    # while re-fetching reducers see the new one -> corrupted counts.
-    # spark_partition_id is stable across retries of the same plan (a
-    # re-run map task keeps its partition), and hashing it with the key
-    # spreads any single hot key across salt_buckets sub-groups.
     # a NULL is NOT a key occurrence (engine-wide convention: streaming
     # unique_key_stream, contamination, dedup): groupBy would lump every
     # null-key row into one "duplicated key" that duplicate_rows' equi-join
     # then can't even find — the two APIs would disagree (review r04)
     partial = (
         df.select(k.alias("key")).filter(F.col("key").isNotNull())
-        .withColumn("_salt", F.pmod(F.xxhash64(F.col("key"),
-                                               F.spark_partition_id(),
-                                               F.lit(17)),
-                                    F.lit(salt_buckets)))
+        .withColumn("_salt", salt_column(F.col("key"), salt_buckets))
         .groupBy("key", "_salt")
         .agg(F.count("*").alias("_partial"))
     )

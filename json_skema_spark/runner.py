@@ -310,7 +310,12 @@ def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
         if not _global_fresh("drift", fp):
             # merge the per-bucket parts written above: zero additional
             # input scans (round-2 design re-profiled the whole table here)
-            parts = spark.read.parquet(os.path.join(out_dir, "profile"))
+            # mergeSchema: parts written by an older code version may lack
+            # newer profile columns (min_int/max_int) — without this Spark
+            # samples ONE file for the schema and may silently drop them
+            # (ADVICE r04); merge_profiles nulls whatever is still missing
+            parts = (spark.read.option("mergeSchema", "true")
+                     .parquet(os.path.join(out_dir, "profile")))
             cur = stats.merge_profiles(parts.drop("bucket"))
             drift_report(cur, baseline_profile).write.mode("overwrite") \
                 .parquet(os.path.join(out_dir, "drift"))
