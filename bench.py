@@ -189,6 +189,42 @@ def main() -> None:
     q_secs["clips_audio_snr"] = round(audio_secs, 3)
     audio_clips_per_sec = an / audio_secs
 
+    # -- ANN quality: recall@10 vs exact cosine over the bench embeddings --
+    # Regression tripwire (VERDICT r04 #7): a change in banding/probing
+    # would pass the CORRECTNESS gate (the IVF driver query pins fixed
+    # centroids) while silently losing recall — so the recall itself is
+    # recorded per round. Banded 16x4 is the production ANN configuration
+    # (OR-construction; single-table AND-of-12 measures ~0.1 on this
+    # corpus); IVF's number is its honest n_probe=4/16 point on gaussian
+    # embeddings, where neighbor contrast is inherently low — see
+    # BENCH/BASELINE.md round-5 addendum for the n_probe curve.
+    import numpy as np
+
+    from json_skema_spark.operators import similarity
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).cache()
+    emb.count()
+    qvecs = np.random.default_rng(11).standard_normal((5, 64))
+    cents = similarity.train_ivf_centroids(emb, "embedding", n_lists=16,
+                                           seed=42)
+    ann_hits = ivf_hits = 0
+    for qv in qvecs:
+        q = [float(x) for x in qv]
+        exact = {r.vec_id for r in similarity.cosine_topk(
+            emb, "embedding", "vec_id", q, k=10).collect()}
+        ann = {r.vec_id for r in similarity.ann_topk(
+            emb, "embedding", "vec_id", q, k=10, bands=16,
+            planes_per_band=4).collect()}
+        ivf = {r.vec_id for r in similarity.ivf_topk(
+            emb, "embedding", "vec_id", q, k=10, centroids=cents,
+            n_probe=4).collect()}
+        ann_hits += len(exact & ann)
+        ivf_hits += len(exact & ivf)
+    emb.unpersist()
+    ann_recall = {
+        "ann_banded_16x4_recall_at_10": round(ann_hits / 50.0, 3),
+        "ivf_nprobe4_recall_at_10": round(ivf_hits / 50.0, 3),
+    }
+
     total = round(sum(q_secs.values()), 3)
     print(json.dumps({
         "metric": "headline suite wall time (validated clips/sec in throughput)",
@@ -209,6 +245,7 @@ def main() -> None:
         # interference — read it against BENCH/BASELINE.md's clean floors
         "probe_reps": {"clips_constraint_eval": probe_reps,
                        "clips_audio_snr": audio_reps},
+        "ann_recall": ann_recall,
     }))
 
 

@@ -36,6 +36,12 @@ DECODE_SCHEMA = ("clip_id string, decode_ok boolean, error string, "
 SNR_SCHEMA = ("clip_id string, decode_ok boolean, snr_db double, "
               "transcript_ok boolean, error string")
 
+# largest header-claimed sample rate for which the SNR checker caches a
+# full one-second reference period (2x DSD-rate headroom over any real
+# PCM16 stream); a forged header above this synthesizes only the compared
+# prefix so one hostile row can't allocate an absurd cached array
+_SR_CACHE_MAX = 768_000
+
 
 def synth_reference_signal(i: int, sr_hz: int, dur_ms: int,
                            max_samples: int | None = None,
@@ -110,7 +116,10 @@ def decode_wav_pcm16(buf: bytes) -> tuple[np.ndarray | None, int, str]:
             pos += 8 + clen + (clen & 1)
         if sr == 0 or data is None:
             return None, sr, "missing_chunks"
-        sig = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32767.0
+        # astype then in-place divide: one n*8 allocation, not two — the
+        # decode is the audio path's biggest allocator (VERDICT r04 #2)
+        sig = np.frombuffer(data, dtype="<i2").astype(np.float64)
+        sig /= 32767.0
         return sig, sr, ""
     except Exception as exc:  # malformed container must not kill the task
         return None, 0, f"decode_error:{type(exc).__name__}"
@@ -264,6 +273,40 @@ def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
     return 10.0 * np.log10(p_sig / p_noise) if p_sig > 0 else float("-inf")
 
 
+def snr_db_periodic(one: np.ndarray, decoded: np.ndarray) -> float:
+    """SNR of ``decoded`` against the PERIODIC EXTENSION of ``one`` —
+    tile-free: signal/noise power accumulate chunk-wise against the single
+    synthesized period, so the only full-length array ever touched is the
+    decoded signal itself. The old path materialized a full tiled
+    reference plus a full noise array (~3x the bytes); at high core counts
+    the audio check is Python-worker memory-bandwidth-bound, so bytes
+    touched per clip IS the throughput (VERDICT r04 #2).
+
+    Numerically: noise values are IDENTICAL to ``snr_db`` against the
+    tiled reference (same float64 upcast of the same float32 period
+    samples); the power sums use per-chunk ``np.dot`` instead of one
+    global pairwise sum — different rounding in the last ulp, orders of
+    magnitude below any verdict threshold. ``len(decoded)`` may be any
+    length >= 0; a final partial chunk is handled exactly."""
+    n = len(decoded)
+    if n == 0:
+        return float("-inf")
+    one64 = np.asarray(one, dtype=np.float64)  # no-op for cached float64
+    p = len(one64)
+    one_sq = float(np.dot(one64, one64))
+    p_sig = 0.0
+    p_noise = 0.0
+    for start in range(0, n, p):
+        chunk = decoded[start:start + p]
+        ref = one64 if len(chunk) == p else one64[:len(chunk)]
+        p_sig += one_sq if len(chunk) == p else float(np.dot(ref, ref))
+        noise = ref - chunk
+        p_noise += float(np.dot(noise, noise))
+    if p_noise == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(p_sig / p_noise) if p_sig > 0 else float("-inf")
+
+
 def pcm_invariant_check(df: DataFrame, ref_transcripts: DataFrame | None = None,
                         *, min_snr_db: float = 30.0,
                         check_duration: bool = False,
@@ -299,6 +342,18 @@ def pcm_invariant_check(df: DataFrame, ref_transcripts: DataFrame | None = None,
     decoders = _decoder_snapshot()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # reference-period cache: only 16 distinct signals exist per sample
+        # rate (i % 16 picks the second tone), and every shorter reference
+        # is a PREFIX of the one-second period (same t = arange(n)/sr
+        # slice, so prefix-of-period is bit-identical to a shorter synth).
+        # Synthesizing two np.sin's per CLIP was the hot loop's dominant
+        # compute — 75% of per-clip time under cProfile (VERDICT r04 #2);
+        # with the cache the synth count is <= 16 x distinct-sample-rates
+        # per worker, ~zero amortized. Keyed (i % 16, sr); float64 upcast
+        # once here (bit-identical to upcasting per row). _SR_CACHE_MAX
+        # caps a forged-header sr from synthesizing an absurd period; the
+        # 256-entry bound caps adversarial sr diversity.
+        ref_cache: dict[tuple, np.ndarray] = {}
         for pdf in batches:
             n = len(pdf)
             ok = np.zeros(n, dtype=bool)
@@ -322,10 +377,32 @@ def pcm_invariant_check(df: DataFrame, ref_transcripts: DataFrame | None = None,
                             i = int(str(cid)[5:], 16)
                         except (ValueError, TypeError):
                             i = 0
-                        ref = synth_reference_signal(i, int(eff_sr), int(dur),
-                                                     max_samples=len(sig),
-                                                     dtype=np.float32)
-                        s = snr_db(ref, sig)
+                        # compare length = min(claimed samples, decoded
+                        # samples) — same contract as the old full-tile
+                        # path (ref was synthesized to the claimed length
+                        # capped at len(sig); snr_db then took the common
+                        # prefix, which is exactly this min)
+                        sr_i, dur_i = int(eff_sr), int(dur)
+                        n_cmp = min(max(int(round(sr_i * dur_i / 1000.0)), 1),
+                                    len(sig))
+                        base_n = min(n_cmp, sr_i)  # one period caps the ref
+                        if sr_i <= _SR_CACHE_MAX:
+                            key = (i % 16, sr_i)
+                            period = ref_cache.get(key)
+                            if period is None:
+                                if len(ref_cache) >= 256:
+                                    ref_cache.clear()
+                                period = synth_reference_signal(
+                                    i, sr_i, 1000, max_samples=sr_i,
+                                    dtype=np.float32).astype(np.float64)
+                                ref_cache[key] = period
+                            one = period if base_n == sr_i \
+                                else period[:base_n]
+                        else:  # forged-header sr: synth only what's compared
+                            one = synth_reference_signal(
+                                i, sr_i, dur_i, max_samples=base_n,
+                                dtype=np.float32).astype(np.float64)
+                        s = snr_db_periodic(one, sig[:n_cmp])
                         snr[idx] = s
                         ok[idx] = s >= min_snr_db
                         if check_duration:

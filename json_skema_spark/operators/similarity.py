@@ -82,25 +82,59 @@ def lsh_bucket(embedding: Column, hyperplanes: np.ndarray) -> Column:
 
 def ann_topk(df: DataFrame, embedding_col: str, id_col: str, query,
              k: int = 10, *, num_planes: int = 12, seed: int = 42,
-             probe_hamming: int = 1) -> DataFrame:
-    """Approximate top-k: score only rows whose LSH bucket is within
-    ``probe_hamming`` bits of the query's bucket.
+             probe_hamming: int = 1, bands: int | None = None,
+             planes_per_band: int = 4) -> DataFrame:
+    """Approximate top-k. Two probe strategies:
 
-    At 100 TB the table would be written bucketed/partitioned by
-    ``lsh_bucket`` so this probe prunes partitions at the source; here the
-    bucket filter still cuts the scored set by ~2^num_planes /
-    sum_{i<=h} C(num_planes, i).
-    """
+    - single-table (``bands=None``): score rows whose ``num_planes``-bit
+      LSH bucket is within ``probe_hamming`` bits of the query's bucket.
+      Cuts the scored set by ~2^num_planes / sum_{i<=h} C(num_planes, i),
+      but an AND-of-12-planes bucket misses moderate-similarity neighbors
+      badly (measured recall@10 ~0.1 at cosine ~0.5 — BENCH ann_recall).
+    - banded OR-construction (``bands`` set): a row is a candidate when
+      its sign-vector matches the query's on ALL ``planes_per_band``
+      planes of ANY band — the same 1-(1-p^r)^b recall amplification the
+      near-duplicate ops use. At 16x4 a cosine-0.5 neighbor is a candidate
+      with p ~ 0.97 vs ~0.11 for single-table probing; the price is a
+      larger candidate set (the OR of b buckets), honest at scale because
+      real embedding corpora have high-similarity neighbors where each
+      band still prunes hard.
+
+    At 100 TB the table is written bucketed/partitioned by the band
+    buckets so the probe prunes partitions at the source; candidates
+    stream through one TakeOrderedAndProject (per-partition heap + driver
+    merge — no sort, no shuffle of the table)."""
     dim = len(query)
-    planes = make_hyperplanes(dim, num_planes, seed)
     emb = F.col(embedding_col).cast("array<double>")
-    bucketed = df.select(F.col(id_col), emb.alias("_e"),
-                         lsh_bucket(emb, planes).alias("_bucket"))
     qvec = np.asarray(query, dtype=float)
-    qbucket = int(sum((2 ** i) for i, h in enumerate(planes) if float(np.dot(h, qvec)) > 0))
-    probe = bucketed.filter(
-        F.bit_count(F.col("_bucket").bitwiseXOR(F.lit(qbucket))) <= probe_hamming)
-    scored = probe.select(F.col(id_col), cosine(F.col("_e"), _lit_vec(query)).alias("score"))
+    if bands is None:
+        planes = make_hyperplanes(dim, num_planes, seed)
+        bucketed = df.select(F.col(id_col), emb.alias("_e"),
+                             lsh_bucket(emb, planes).alias("_bucket"))
+        qbucket = int(sum((2 ** i) for i, h in enumerate(planes)
+                          if float(np.dot(h, qvec)) > 0))
+        probe = bucketed.filter(
+            F.bit_count(F.col("_bucket").bitwiseXOR(F.lit(qbucket)))
+            <= probe_hamming)
+    else:
+        planes = make_hyperplanes(dim, bands * planes_per_band, seed)
+        band_cols, q_buckets = [], []
+        for b in range(bands):
+            sub = planes[b * planes_per_band:(b + 1) * planes_per_band]
+            band_cols.append(lsh_bucket(emb, sub))
+            q_buckets.append(int(sum(
+                (2 ** i) for i, h in enumerate(sub)
+                if float(np.dot(h, qvec)) > 0)))
+        # OR over bands, evaluated in one pass — no self-join, no explode:
+        # the query's b bucket ids are literals folded into the predicate
+        match = None
+        for c, qb in zip(band_cols, q_buckets):
+            m = (c == qb)
+            match = m if match is None else (match | m)
+        probe = df.select(F.col(id_col), emb.alias("_e"), match.alias("_m")) \
+            .filter(F.col("_m"))
+    scored = probe.select(F.col(id_col),
+                          cosine(F.col("_e"), _lit_vec(query)).alias("score"))
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 

@@ -67,3 +67,27 @@ def test_ivf_sample_cap_not_head_biased(spark):
                                 sample_rows=100, seed=7)
     signs = sorted(np.sign(cents[:, 0]))
     assert signs == [-1.0, 1.0], f"head-biased centroids: {cents}"
+
+
+def test_ann_banded_recall_beats_single_table(spark):
+    """Banded OR-construction ann_topk must reach high recall on
+    moderate-similarity gaussian data where the single-table AND bucket
+    misses badly (VERDICT r04 #7 / BENCH ann_recall tripwire)."""
+    from json_skema_spark.operators.similarity import ann_topk
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((500, 32))
+    df = spark.createDataFrame(
+        [(f"v{i}", [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id string, embedding array<double>").cache()
+    df.count()
+    hits = 0
+    for s in range(3):
+        q = [float(x) for x in rng.standard_normal(32)]
+        exact = {r.vec_id for r in
+                 cosine_topk(df, "embedding", "vec_id", q, k=10).collect()}
+        banded = {r.vec_id for r in
+                  ann_topk(df, "embedding", "vec_id", q, k=10, bands=16,
+                           planes_per_band=4).collect()}
+        hits += len(exact & banded)
+    df.unpersist()
+    assert hits / 30 >= 0.8, hits
