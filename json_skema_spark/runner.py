@@ -236,20 +236,26 @@ def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
             # violation-free (review r04).
             # Duplicate clip_ids hash to the SAME bucket (staging is
             # bucketed by key), so the uniqueness check folds in here as a
-            # bucket-local count — every copy of a duplicated key is
-            # quarantined, consistent with violations_unique. Referential
-            # orphans are NOT excluded (transcripts_ref is not co-bucketed;
-            # see the post-loop violations_ref report).
-            from pyspark.sql import Window
+            # bucket-local exclusion — every copy of a duplicated key is
+            # quarantined, consistent with violations_unique. Implemented
+            # as the salted two-phase duplicate-key agg + anti-join, NOT a
+            # Window.partitionBy(clip_id) count: the window shuffled the
+            # bucket's FULL rows (audio payload included) on the key and
+            # serialized a hyper-duplicated key onto one task; the agg
+            # shuffles only (key, count) partials and the anti-join's dup
+            # side is broadcast-sized (VERDICT r04 residual nit #2).
+            # Referential orphans are NOT excluded (transcripts_ref is not
+            # co-bucketed; see the post-loop violations_ref report).
+            from json_skema_spark.operators.uniqueness import duplicate_keys
             obs_clean = Observation(f"clean_{bucket}")
             vkeys = (spark.read.parquet(vpath)
                      .select(F.col("row_key").alias("clip_id"))
                      .filter(F.col("clip_id").isNotNull()).distinct())
-            n_copies = F.count(F.lit(1)).over(Window.partitionBy("clip_id"))
-            clean = (data_df.withColumn("_n_copies", n_copies)
-                     .filter(plan.passed & (F.col("_n_copies") == 1)
-                             & F.col("clip_id").isNotNull())
-                     .drop("_n_copies")
+            dup_ids = duplicate_keys(data_df, "clip_id") \
+                .select(F.col("key").alias("clip_id"))
+            clean = (data_df.filter(plan.passed
+                                    & F.col("clip_id").isNotNull())
+                     .join(dup_ids, "clip_id", "left_anti")
                      .join(vkeys, "clip_id", "left_anti")
                      .observe(obs_clean, F.count(F.lit(1)).alias("n")))
             clean.write.mode("overwrite").parquet(

@@ -1,0 +1,141 @@
+"""Deterministic N-times expansion of the driver testdata (VERDICT r04 #1:
+sf1.0 evidence — every scale claim was extrapolated from sf0.1).
+
+The driver's generators aren't in this repo, so sf1.0 is a seed-free,
+purely-arithmetic expansion of the sf0.1 tables: each base row yields one
+row per replica r in [0, R) with keys shifted by r * (a power-of-ten
+stride above the base key range), preserving referential structure
+(orders.custkey -> customer, lineitem.orderkey -> orders) and every value
+distribution, while AVOIDING artificial cross-replica duplicate pathologies
+that would change workload shape instead of size:
+
+- documents: every token gets a ``~r`` suffix in replica r>0 — near-dup
+  relations (3-gram shingles) are preserved exactly WITHIN a replica (the
+  same rewrite applies to both docs of a pair) and destroyed ACROSS
+  replicas (every shingle differs), so the minhash pair count scales ~R,
+  not R^2 (10 identical copies of every doc would make every doc a
+  10-member exact cluster — a different workload, not a bigger one).
+- embeddings: replica r rotates the vector by r positions — norm-preserving
+  and decorrelating (rotated gaussian ~ independent gaussian), so ANN and
+  near-dup structure scales organically instead of planting cosine-1.0
+  duplicates everywhere.
+- orders/lineitem/customer: key shifts only; values (prices, dates, flags,
+  injected violations) replicate as-is, so per-replica violation rates and
+  duplicate-key multiplicities match the base table exactly.
+
+Usage: python tools/sf_scale.py [--replicas 10] [--out /tmp/spark_graft_sf1.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+
+# key strides: a power of ten comfortably above each base table's key range
+# (base sf0.1: orderkey < 600k, custkey < 150k, doc_id < 5k, vec_id < 2k,
+# event_id < 100k) so replica key spaces never collide
+O_STRIDE = 10_000_000
+C_STRIDE = 1_000_000
+D_STRIDE = 100_000
+V_STRIDE = 100_000
+E_STRIDE = 1_000_000
+
+
+def _replicate(df: DataFrame, replicas: int) -> DataFrame:
+    """Cross-join with the replica index (tiny broadcast side)."""
+    r = F.broadcast(
+        df.sparkSession.range(replicas).select(F.col("id").alias("_r")))
+    return df.crossJoin(r)
+
+
+def scale_tables(spark: SparkSession, out_dir: str, *, replicas: int = 10,
+                 base_dir: str = BASE) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+
+    def t(name: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(base_dir, f"{name}.parquet"))
+
+    def w(df: DataFrame, name: str) -> None:
+        df.drop("_r").write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet"))
+
+    cust = _replicate(t("customer"), replicas)
+    w(cust.withColumn("c_custkey",
+                      F.col("c_custkey") + F.col("_r") * C_STRIDE),
+      "customer")
+
+    orders = _replicate(t("orders"), replicas)
+    w(orders
+      .withColumn("o_orderkey", F.col("o_orderkey") + F.col("_r") * O_STRIDE)
+      .withColumn("o_custkey", F.col("o_custkey") + F.col("_r") * C_STRIDE),
+      "orders")
+
+    li = _replicate(t("lineitem"), replicas)
+    w(li.withColumn("l_orderkey",
+                    F.col("l_orderkey") + F.col("_r") * O_STRIDE),
+      "lineitem")
+
+    docs = _replicate(t("documents"), replicas)
+    w(docs
+      .withColumn("doc_id", F.col("doc_id") + F.col("_r") * D_STRIDE)
+      .withColumn(
+          "text",
+          F.when(F.col("_r") == 0, F.col("text")).otherwise(
+              F.regexp_replace(F.col("text"), r"(\S+)",
+                               F.concat(F.lit("$1~"),
+                                        F.col("_r").cast("string"))))),
+      "documents")
+
+    emb = _replicate(t("embeddings"), replicas)
+    dim = 64
+    rotated = F.when(F.col("_r") == 0, F.col("embedding")).otherwise(
+        F.concat(
+            F.expr(f"slice(embedding, _r + 1, {dim} - _r)"),
+            F.expr("slice(embedding, 1, _r)")))
+    w(emb
+      .withColumn("vec_id", F.col("vec_id") + F.col("_r") * V_STRIDE)
+      .withColumn("embedding", rotated),
+      "embeddings")
+
+    ev = _replicate(t("events"), replicas)
+    w(ev.withColumn("event_id", F.col("event_id") + F.col("_r") * E_STRIDE),
+      "events")
+
+    # dimension tables replicate as-is (TPC-H keeps nations/regions fixed)
+    for name in ("region", "nation", "supplier", "part"):
+        w(t(name), name)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--replicas", type=int, default=10)
+    p.add_argument("--out", default="/tmp/spark_graft_sf1.0")
+    p.add_argument("--base", default=BASE)
+    args = p.parse_args()
+    spark = (SparkSession.builder.master(
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .appName("sf_scale")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    scale_tables(spark, args.out, replicas=args.replicas, base_dir=args.base)
+    for name in ("lineitem", "orders", "customer", "documents",
+                 "embeddings", "events"):
+        n = spark.read.parquet(
+            os.path.join(args.out, f"{name}.parquet")).count()
+        print(f"{name}: {n}")
+
+
+if __name__ == "__main__":
+    main()
