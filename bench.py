@@ -27,6 +27,26 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CLIPS_N = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "20000000"))
 AUDIO_N = int(os.environ.get("SPARK_GRAFT_AUDIO_N", "40000"))
 
+# the headline suite — single source of truth, imported by
+# tools/sf1_evidence.py so the scale-evidence run can never
+# desynchronize from the benchmark (review r05)
+BENCH_QUERIES = [
+    "validate_orders_verdict",
+    "validate_orders_violations",
+    "validate_lineitem_verdict",
+    "lineitem_violation_summary",
+    "unique_duplicate_orderkeys",
+    "referential_customers_without_orders",
+    "profile_lineitem",
+    "dedup_exact_documents",
+    "dedup_minhash_pairs",
+    "text_token_stats",
+    "text_lang_id",
+    "similarity_topk_embeddings",
+    "window_canonical_order",
+    "agg_pricing_summary",
+]
+
 
 def build_spark() -> SparkSession:
     return (
@@ -126,24 +146,8 @@ def main() -> None:
                        partitions=CPUS * 4).count()
 
     queries = entry.queries()
-    bench_queries = [
-        "validate_orders_verdict",
-        "validate_orders_violations",
-        "validate_lineitem_verdict",
-        "lineitem_violation_summary",
-        "unique_duplicate_orderkeys",
-        "referential_customers_without_orders",
-        "profile_lineitem",
-        "dedup_exact_documents",
-        "dedup_minhash_pairs",
-        "text_token_stats",
-        "text_lang_id",
-        "similarity_topk_embeddings",
-        "window_canonical_order",
-        "agg_pricing_summary",
-    ]
     q_secs: dict[str, float] = {}
-    for name in bench_queries:
+    for name in BENCH_QUERIES:
         secs = timed_floor(lambda: queries[name](spark, SF_DIR).count(),
                            min_reps=2, max_reps=5)
         q_secs[name] = round(secs, 3)

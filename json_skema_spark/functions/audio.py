@@ -41,6 +41,11 @@ SNR_SCHEMA = ("clip_id string, decode_ok boolean, snr_db double, "
 # PCM16 stream); a forged header above this synthesizes only the compared
 # prefix so one hostile row can't allocate an absurd cached array
 _SR_CACHE_MAX = 768_000
+# total cached reference SAMPLES per worker before the cache resets —
+# bounds cache BYTES (~32 MB at float64), not entry count: 256 entries of
+# near-_SR_CACHE_MAX periods would otherwise pin ~1.5 GB per Python
+# worker under adversarial sr diversity (review r05)
+_REF_CACHE_MAX_SAMPLES = 4_000_000
 
 
 def synth_reference_signal(i: int, sr_hz: int, dur_ms: int,
@@ -351,9 +356,12 @@ def pcm_invariant_check(df: DataFrame, ref_transcripts: DataFrame | None = None,
         # with the cache the synth count is <= 16 x distinct-sample-rates
         # per worker, ~zero amortized. Keyed (i % 16, sr); float64 upcast
         # once here (bit-identical to upcasting per row). _SR_CACHE_MAX
-        # caps a forged-header sr from synthesizing an absurd period; the
-        # 256-entry bound caps adversarial sr diversity.
+        # caps a forged-header sr from synthesizing an absurd period;
+        # _REF_CACHE_MAX_SAMPLES bounds total cache BYTES — an entry-count
+        # bound would let ~256 near-cap periods pin ~1.5 GB per worker
+        # under adversarial sr diversity (review r05).
         ref_cache: dict[tuple, np.ndarray] = {}
+        cache_samples = 0
         for pdf in batches:
             n = len(pdf)
             ok = np.zeros(n, dtype=bool)
@@ -390,12 +398,14 @@ def pcm_invariant_check(df: DataFrame, ref_transcripts: DataFrame | None = None,
                             key = (i % 16, sr_i)
                             period = ref_cache.get(key)
                             if period is None:
-                                if len(ref_cache) >= 256:
+                                if cache_samples + sr_i > _REF_CACHE_MAX_SAMPLES:
                                     ref_cache.clear()
+                                    cache_samples = 0
                                 period = synth_reference_signal(
                                     i, sr_i, 1000, max_samples=sr_i,
                                     dtype=np.float32).astype(np.float64)
                                 ref_cache[key] = period
+                                cache_samples += sr_i
                             one = period if base_n == sr_i \
                                 else period[:base_n]
                         else:  # forged-header sr: synth only what's compared

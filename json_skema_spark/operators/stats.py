@@ -199,16 +199,28 @@ def merge_profiles(parts: DataFrame) -> DataFrame:
             F.hll_union_agg("distinct_sketch", F.lit(True)))
         .alias("approx_distinct"),
     )
+    # integral min/max: COMBINE the decimal (new-version parts) and double
+    # (pre-min_int parts folded integrals in min_num) representations, not
+    # coalesce-prefer — a resume across the code upgrade has BOTH kinds of
+    # part for the same column, and preferring min_int would report the
+    # new parts' min even when an old part saw a smaller value (review
+    # r05). Rendering comes from whichever representation wins, keeping
+    # decimal exactness whenever the decimal side is the extremum.
+    def _fold(int_c, num_c, cmp):
+        d = F.col(int_c).cast("double")
+        return (F.when(F.col(int_c).isNull(), F.col(num_c).cast("string"))
+                .when(F.col(num_c).isNull() | cmp(d, F.col(num_c)),
+                      F.col(int_c).cast("string"))
+                .otherwise(F.col(num_c).cast("string")))
+
+    min_both = _fold("min_int", "min_num", lambda a, b: a <= b)
+    max_both = _fold("max_int", "max_num", lambda a, b: a >= b)
     return g.select(
         "column_name", "n_rows",
         (F.col("n_nulls") / F.greatest(F.col("n_rows"), F.lit(1)))
         .alias("null_fraction"),
-        F.coalesce(F.col("min_int").cast("string"),
-                   F.col("min_num").cast("string"), F.col("min_str"))
-        .alias("min_value"),
-        F.coalesce(F.col("max_int").cast("string"),
-                   F.col("max_num").cast("string"), F.col("max_str"))
-        .alias("max_value"),
+        F.coalesce(min_both, F.col("min_str")).alias("min_value"),
+        F.coalesce(max_both, F.col("max_str")).alias("max_value"),
         "approx_distinct",
         F.lit(None).cast("array<double>").alias("quantiles"))
 

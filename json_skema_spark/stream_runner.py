@@ -64,6 +64,20 @@ def start_streaming(spark: SparkSession, input_dir: str, out_dir: str, *,
     query (the batch-parity mode the tests and backfills use); the default
     runs continuously."""
     schema_doc = schema_doc if schema_doc is not None else CLIPS_SCHEMA_DOC
+    # validate EVERYTHING before the first .start(): raising after a query
+    # is already running would leak an orphaned StreamingQuery the caller
+    # can't stop (no handle), and a retry against the same checkpoint dir
+    # then fails with "query with same id is already active" (review r05)
+    queries = tuple(q.strip() for q in queries)
+    unknown = [q for q in queries if q not in STREAM_QUERIES]
+    if unknown:
+        raise ValueError(f"unknown streaming queries {unknown}; "
+                         f"choose from {STREAM_QUERIES}")
+    if "drift" in queries and baseline_profile is None:
+        raise ValueError(
+            "the drift query needs --baseline-profile (a batch "
+            "operators/stats.profile output) — drop 'drift' from "
+            "queries to run without it")
     if input_schema is None:
         input_schema = spark.read.parquet(input_dir).schema
     reader = spark.readStream.schema(input_schema)
@@ -95,11 +109,6 @@ def start_streaming(spark: SparkSession, input_dir: str, out_dir: str, *,
                               watermark=dedup_watermark),
             "deduped").start()
     if "drift" in queries:
-        if baseline_profile is None:
-            raise ValueError(
-                "the drift query needs --baseline-profile (a batch "
-                "operators/stats.profile output) — drop 'drift' from "
-                "queries to run without it")
         running["drift"] = _writer(
             windowed_drift(stream, baseline_map(baseline_profile), ts_col,
                            window=drift_window, watermark=drift_watermark),

@@ -123,14 +123,28 @@ def test_chunk_id_unchanged_at_default_max_tokens(spark):
 
 
 # ---------------------------------------------------------------- advice 4
+def _old_style_part(df):
+    """A profile part as the PRE-min_int code wrote it: integral min/max
+    folded as doubles in min_num/max_num, no min_int/max_int columns."""
+    from pyspark.sql import functions as F
+    p = stats.mergeable_profile(df)
+    return (p.withColumn("min_num", F.coalesce("min_num",
+                                               F.col("min_int").cast("double")))
+            .withColumn("max_num", F.coalesce("max_num",
+                                              F.col("max_int").cast("double")))
+            .drop("min_int", "max_int"))
+
+
 def test_merge_profiles_tolerates_pre_min_int_parts(spark, tmp_path):
-    # bucket=0 written by the OLD code version (no min_int/max_int),
-    # bucket=1 by the new one — the exact resume-across-upgrade layout.
+    # bucket=0 written by the OLD code version (integrals in min_num, no
+    # min_int/max_int), bucket=1 by the new one — the exact
+    # resume-across-upgrade layout. The old part holds the true table
+    # min (1) and the new part the true max (10): the merge must COMBINE
+    # the two representations, not prefer one (review r05).
     d1 = spark.createDataFrame([(1,), (2,)], "v long")
     d2 = spark.createDataFrame([(10,), (None,)], "v long")
     root = str(tmp_path / "profile")
-    stats.mergeable_profile(d1).drop("min_int", "max_int") \
-        .write.parquet(root + "/bucket=0")
+    _old_style_part(d1).write.parquet(root + "/bucket=0")
     stats.mergeable_profile(d2).write.parquet(root + "/bucket=1")
 
     parts = spark.read.option("mergeSchema", "true").parquet(root)
@@ -138,9 +152,9 @@ def test_merge_profiles_tolerates_pre_min_int_parts(spark, tmp_path):
     assert row["column_name"] == "v"
     assert row["n_rows"] == 4
     assert row["null_fraction"] == pytest.approx(0.25)
-    # integral min/max degrade to the surviving new-version part's values
-    # (old parts carried integrals only in min_int/max_int, now absent)
-    assert row["min_value"] == "10" and row["max_value"] == "10"
+    # min from the OLD part (double rendering — old parts lost decimal
+    # exactness at write time), max from the NEW part (decimal rendering)
+    assert row["min_value"] == "1.0" and row["max_value"] == "10"
 
 
 def test_merge_profiles_missing_columns_direct(spark):

@@ -28,23 +28,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1.0")
 
-HEADLINE = [
-    "validate_orders_verdict",
-    "validate_orders_violations",
-    "validate_lineitem_verdict",
-    "lineitem_violation_summary",
-    "unique_duplicate_orderkeys",
-    "referential_customers_without_orders",
-    "profile_lineitem",
-    "dedup_exact_documents",
-    "dedup_minhash_pairs",
-    "text_token_stats",
-    "text_lang_id",
-    "similarity_topk_embeddings",
-    "window_canonical_order",
-    "agg_pricing_summary",
-]
+from bench import BENCH_QUERIES as HEADLINE  # single source of truth
+
 SHUFFLE_HEAVY = ["dedup_minhash_clusters", "pack_chunk_assignments"]
+
+# queries that MATERIALIZE during DataFrame construction (iterative
+# localCheckpoint loops): building them just to read the explain would
+# execute a full run, and the residual post-checkpoint plan's Exchange
+# count is trivially 0 at any scale — record their plan shape as
+# not-capturable instead of vacuously "stable" (review r05); their scale
+# evidence is the measured wall + shuffle bytes
+EAGER = {"dedup_minhash_clusters"}
 
 
 def _rest(spark, path: str):
@@ -110,8 +104,11 @@ def main() -> None:
     for name in names:
         fn = queries[name]
         # plan shape at both scales, BEFORE execution (pure compile)
-        x01 = _exchange_count(fn(spark, SF01))
-        x1 = _exchange_count(fn(spark, SF1))
+        if name in EAGER:
+            x01 = x1 = None
+        else:
+            x01 = _exchange_count(fn(spark, SF01))
+            x1 = _exchange_count(fn(spark, SF1))
 
         walls = []
         rows = None
@@ -129,7 +126,7 @@ def main() -> None:
             "shuffle_read_mb": round(sh_read / 1e6 / args.reps, 2),
             "shuffle_write_mb": round(sh_write / 1e6 / args.reps, 2),
             "exchanges_sf01": x01, "exchanges_sf1": x1,
-            "plan_shape_stable": x01 == x1,
+            "plan_shape_stable": None if x01 is None else (x01 == x1),
         }
         print(f"  {name}: {min(walls)}s rows={rows} "
               f"shW={results[name]['shuffle_write_mb']}MB "
@@ -138,8 +135,9 @@ def main() -> None:
     print(json.dumps({
         "sf": 1.0, "base_sf": 0.1, "cpus": args.cpus, "reps": args.reps,
         "queries": results,
-        "all_plans_stable": all(r["plan_shape_stable"]
+        "all_plans_stable": all(r["plan_shape_stable"] is not False
                                 for r in results.values()),
+        "plan_capture_skipped": sorted(EAGER),
     }))
 
 
