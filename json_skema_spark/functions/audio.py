@@ -298,6 +298,8 @@ def snr_db_periodic(one: np.ndarray, decoded: np.ndarray) -> float:
         return float("-inf")
     one64 = np.asarray(one, dtype=np.float64)  # no-op for cached float64
     p = len(one64)
+    if p == 0:  # empty reference: zero signal power (range step 0 guard)
+        return float("-inf")
     one_sq = float(np.dot(one64, one64))
     p_sig = 0.0
     p_noise = 0.0

@@ -92,3 +92,8 @@ def test_mismatched_signal_still_fails(spark):
     assert out["clip_000000000000"].snr_db >= 30
     assert not out["clip_000000000001"].decode_ok
     assert out["clip_000000000001"].snr_db < 30
+
+
+def test_periodic_snr_empty_reference():
+    import numpy as np
+    assert audio.snr_db_periodic(np.array([]), np.ones(8)) == float("-inf")

@@ -115,6 +115,30 @@ def main() -> None:
     aprobe()  # warm-up (spins up Python workers)
     a_best, a_runs = timed_floor(aprobe, min_reps=2, max_reps=REPS + 2)
 
+    # transfer-only floor: the identical scan + Arrow ship of the bytes
+    # column into a NO-OP mapInPandas — the cost any Python-side decode
+    # check pays before one instruction of engine code runs. Recording it
+    # per level lets the artifact separate ENGINE scaling
+    # (audio - transfer) from the single-box memory-bus scaling the
+    # transfer term measures (BENCH/BASELINE.md round-5 addendum: after
+    # the 5.8x check speedup, transfer is 68-79% of the audio wall).
+    import pandas as _pd
+
+    def _noop(batches):
+        for pdf in batches:
+            yield _pd.DataFrame({"n": [int(sum(
+                len(b) if b is not None else 0 for b in pdf["bytes"]))]})
+
+    sel = aclips.select("clip_id", "codec", "bytes", "sr_hz", "dur_ms",
+                        "transcript")
+
+    def tprobe():
+        sel.mapInPandas(_noop, "n long").groupBy().sum("n").collect()
+
+    tprobe()
+    t_best, t_runs = timed_floor(tprobe, min_reps=2, max_reps=REPS + 2)
+    check_s = max(a_best - t_best, 1e-3)
+
     print(json.dumps({
         "cpus": CPUS,
         "constraint": {"best_s": round(c_best, 3),
@@ -123,6 +147,10 @@ def main() -> None:
         "audio": {"best_s": round(a_best, 3),
                   "rows_per_s": round(AUDIO_N / a_best, 1),
                   "runs": [[round(s, 3), st] for s, st in a_runs]},
+        "transfer": {"best_s": round(t_best, 3),
+                     "runs": [[round(s, 3), st] for s, st in t_runs]},
+        "audio_check_only": {"best_s": round(check_s, 3),
+                             "rows_per_s": round(AUDIO_N / check_s, 1)},
     }))
 
 

@@ -74,6 +74,8 @@ def main() -> None:
     p.add_argument("--reps", type=int, default=2)
     p.add_argument("--cpus", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    p.add_argument("--only", help="comma list restricting the query set "
+                   "(e.g. the shuffle-heavy family for a 100x spot run)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -95,6 +97,12 @@ def main() -> None:
     app = _app_id(spark)
     queries = entry.queries()
     names = HEADLINE + SHUFFLE_HEAVY
+    if args.only:
+        only = [q.strip() for q in args.only.split(",")]
+        unknown = set(only) - set(names)
+        if unknown:
+            raise SystemExit(f"unknown query name(s): {sorted(unknown)}")
+        names = only
 
     # warm-up: page cache + python workers
     spark.range(0, args.cpus * 8, 1, args.cpus * 2).selectExpr(

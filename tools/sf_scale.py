@@ -96,13 +96,30 @@ def scale_tables(spark: SparkSession, out_dir: str, *, replicas: int = 10,
 
     emb = _replicate(t("embeddings"), replicas)
     dim = 64
-    rotated = F.when(F.col("_r") == 0, F.col("embedding")).otherwise(
-        F.concat(
-            F.expr(f"slice(embedding, _r + 1, {dim} - _r)"),
-            F.expr("slice(embedding, 1, _r)")))
+    # rotation amount pmod(r, dim-1) + 1 is never 0 for r > 0, but repeats
+    # every dim-1 replicas — negating the second cycle keeps every replica
+    # pair decorrelated (cosine(v_rot, -v_rot') ~ 0 for gaussian vectors).
+    # Beyond 2*(dim-1) replicas the (rotation, sign) pairs would repeat and
+    # plant exact cosine-±1 duplicates across replicas: refuse loudly.
+    if replicas > 2 * (dim - 1):
+        raise ValueError(
+            f"replicas={replicas} exceeds {2 * (dim - 1)} distinct "
+            f"(rotation, sign) transforms at dim={dim} — cross-replica "
+            "embedding duplicates would change the workload shape")
+    rot = f"(pmod(_r, {dim - 1}) + 1)"
+    rotated = F.concat(
+        F.expr(f"slice(embedding, {rot} + 1, {dim} - {rot})"),
+        F.expr(f"slice(embedding, 1, {rot})"))
+    signed = F.when(F.col("_r") < dim,
+                    rotated).otherwise(
+        F.expr("transform(" + (
+            f"concat(slice(embedding, {rot} + 1, {dim} - {rot}),"
+            f" slice(embedding, 1, {rot}))") + ", x -> -x)"))
     w(emb
       .withColumn("vec_id", F.col("vec_id") + F.col("_r") * V_STRIDE)
-      .withColumn("embedding", rotated),
+      .withColumn("embedding",
+                  F.when(F.col("_r") == 0, F.col("embedding"))
+                  .otherwise(signed.cast("array<float>"))),
       "embeddings")
 
     ev = _replicate(t("events"), replicas)
