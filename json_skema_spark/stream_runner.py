@@ -37,10 +37,11 @@ from pyspark.sql import DataFrame, SparkSession
 from json_skema_spark.runner import CLIPS_SCHEMA_DOC
 from json_skema_spark.streaming.dedup_stream import unique_key_stream
 from json_skema_spark.streaming.drift_stream import baseline_map, windowed_drift
+from json_skema_spark.streaming.stateful import running_violation_tally
 from json_skema_spark.streaming.validate_stream import (validate_stream,
                                                         violations_stream)
 
-STREAM_QUERIES = ("verdicts", "violations", "dedup", "drift")
+STREAM_QUERIES = ("verdicts", "violations", "dedup", "drift", "tally")
 
 
 def start_streaming(spark: SparkSession, input_dir: str, out_dir: str, *,
@@ -50,6 +51,7 @@ def start_streaming(spark: SparkSession, input_dir: str, out_dir: str, *,
                     drift_window: str = "1 minute",
                     drift_watermark: str = "2 minutes",
                     baseline_profile: DataFrame | None = None,
+                    tally_key: str | None = None,
                     max_files_per_trigger: int | None = 8,
                     available_now: bool = False,
                     queries=STREAM_QUERIES) -> dict:
@@ -78,6 +80,11 @@ def start_streaming(spark: SparkSession, input_dir: str, out_dir: str, *,
             "the drift query needs --baseline-profile (a batch "
             "operators/stats.profile output) — drop 'drift' from "
             "queries to run without it")
+    if "tally" in queries and tally_key is None:
+        raise ValueError(
+            "the tally query needs --tally-key (a BOUNDED-cardinality "
+            "column: source shard, tenant, codec — state is one tuple "
+            "per key) — drop 'tally' to run without it")
     if input_schema is None:
         input_schema = spark.read.parquet(input_dir).schema
     reader = spark.readStream.schema(input_schema)
@@ -113,6 +120,28 @@ def start_streaming(spark: SparkSession, input_dir: str, out_dir: str, *,
             windowed_drift(stream, baseline_map(baseline_profile), ts_col,
                            window=drift_window, watermark=drift_watermark),
             "drift").start()
+    if "tally" in queries:
+        # update-mode output (running totals re-emit changed keys) can't
+        # feed a parquet file sink directly; foreachBatch appends each
+        # batch's updated snapshot rows stamped with the batch id — the
+        # latest row per key is the current tally, and the state store
+        # behind the checkpoint carries the totals across kill/resume
+        from pyspark.sql import functions as F
+        tally = running_violation_tally(stream, schema_doc, tally_key)
+        tally_path = os.path.join(out_dir, "tally")
+
+        def _write_tally(bdf: DataFrame, batch_id: int) -> None:
+            bdf.withColumn("_batch_id", F.lit(batch_id)) \
+                .write.mode("append").parquet(tally_path)
+
+        w = (tally.writeStream.outputMode("update")
+             .foreachBatch(_write_tally)
+             .option("checkpointLocation",
+                     os.path.join(out_dir, "_checkpoints", "tally"))
+             .queryName("json_skema_tally"))
+        if available_now:
+            w = w.trigger(availableNow=True)
+        running["tally"] = w.start()
     return running
 
 
@@ -131,6 +160,9 @@ def main() -> None:
                    help="baseline profile parquet (enables the drift query)")
     p.add_argument("--key", default="clip_id")
     p.add_argument("--ts", default="ts")
+    p.add_argument("--tally-key",
+                   help="bounded-cardinality column for the running "
+                        "per-key violation tally (enables the tally query)")
     p.add_argument("--dedup-watermark", default="10 minutes")
     p.add_argument("--drift-window", default="1 minute")
     p.add_argument("--drift-watermark", default="2 minutes")
@@ -150,13 +182,14 @@ def main() -> None:
             if args.baseline_profile else None)
     names = (tuple(args.queries.split(",")) if args.queries
              else tuple(q for q in STREAM_QUERIES
-                        if q != "drift" or base is not None))
+                        if (q != "drift" or base is not None)
+                        and (q != "tally" or args.tally_key is not None)))
     running = start_streaming(
         spark, args.input, args.out, schema_doc=schema_doc,
         row_key=args.key, ts_col=args.ts,
         dedup_watermark=args.dedup_watermark,
         drift_window=args.drift_window, drift_watermark=args.drift_watermark,
-        baseline_profile=base,
+        baseline_profile=base, tally_key=args.tally_key,
         max_files_per_trigger=args.max_files_per_trigger,
         available_now=args.available_now, queries=names)
     print(json.dumps({"queries": sorted(running)}))

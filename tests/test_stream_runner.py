@@ -109,3 +109,42 @@ def test_stream_runner_drift_query_emits(spark, tmp_path):
     drift = spark.read.parquet(os.path.join(out, "drift"))
     got = {r["column_name"] for r in drift.collect()}
     assert got == {"clip_id", "sr_hz"}
+
+
+def test_stream_runner_tally_state_survives_resume(spark, tmp_path):
+    """The stateful per-key tally must CONTINUE its running totals across a
+    kill/resume — the state store rides the checkpoint."""
+    src = str(tmp_path / "tin")
+    out = str(tmp_path / "tout")
+    _batch(spark, [("clip_a", 8000, 1), ("BAD", 99, 1)]) \
+        .write.mode("append").parquet(src)
+
+    running = start_streaming(
+        spark, src, out, schema_doc=DOC, ts_col="ts", tally_key="sr_hz",
+        available_now=True, max_files_per_trigger=None, queries=("tally",))
+    await_streaming(running)
+
+    # second batch after the "kill": one more failing row under key 99
+    _batch(spark, [("WORSE", 99, 2)]).write.mode("append").parquet(src)
+    running = start_streaming(
+        spark, src, out, schema_doc=DOC, ts_col="ts", tally_key="sr_hz",
+        available_now=True, max_files_per_trigger=None, queries=("tally",))
+    await_streaming(running)
+
+    rows = spark.read.parquet(out + "/tally").collect()
+    latest = {}
+    for r in rows:  # last emission per key = current running totals
+        if r["key"] not in latest or r["_batch_id"] > latest[r["key"]]["_batch_id"]:
+            latest[r["key"]] = r
+    assert latest["99"]["rows_seen"] == 2          # 1 before + 1 after resume
+    assert latest["99"]["rows_failed"] == 2        # enum fails both
+    assert latest["8000"]["rows_seen"] == 1
+    assert latest["8000"]["rows_failed"] == 0
+
+
+def test_stream_runner_tally_requires_key(spark, tmp_path):
+    src = str(tmp_path / "tin2")
+    _batch(spark, [("clip_a", 8000, 1)]).write.parquet(src)
+    with pytest.raises(ValueError, match="tally-key"):
+        start_streaming(spark, src, str(tmp_path / "o"), schema_doc=DOC,
+                        queries=("tally",))
