@@ -54,7 +54,7 @@ def start_streaming(spark: SparkSession, input_dir: str, out_dir: str, *,
                     tally_key: str | None = None,
                     max_files_per_trigger: int | None = 8,
                     available_now: bool = False,
-                    queries=STREAM_QUERIES) -> dict:
+                    queries=None) -> dict:
     """Start the selected streaming queries; returns
     ``{name: StreamingQuery}``. Stop/kill at any point; calling again with
     the same ``out_dir`` resumes every query from its checkpoint.
@@ -66,10 +66,33 @@ def start_streaming(spark: SparkSession, input_dir: str, out_dir: str, *,
     query (the batch-parity mode the tests and backfills use); the default
     runs continuously."""
     schema_doc = schema_doc if schema_doc is not None else CLIPS_SCHEMA_DOC
+    if input_schema is None:
+        input_schema = spark.read.parquet(input_dir).schema
+    cols = set(input_schema.fieldNames())
+    needs = {"violations": [row_key], "dedup": [row_key, ts_col],
+             "drift": [ts_col],
+             "tally": [tally_key] if tally_key else []}
+
+    def _satisfied(q: str) -> bool:
+        if q == "drift" and baseline_profile is None:
+            return False
+        if q == "tally" and tally_key is None:
+            return False
+        return all(c in cols for c in needs.get(q, []))
+
+    # default query set = everything whose prerequisites (inputs AND
+    # columns) are satisfied — an EXPLICIT queries tuple is validated
+    # strictly instead, so a caller who asked for drift/tally/dedup
+    # without its input gets a loud error while the default never breaks
+    # existing callers (review r05)
+    if queries is None:
+        queries = tuple(q for q in STREAM_QUERIES if _satisfied(q))
     # validate EVERYTHING before the first .start(): raising after a query
     # is already running would leak an orphaned StreamingQuery the caller
     # can't stop (no handle), and a retry against the same checkpoint dir
-    # then fails with "query with same id is already active" (review r05)
+    # then fails with "query with same id is already active" (review r05
+    # twice: prerequisite inputs, then missing watermark/key COLUMNS —
+    # the latter caught driving the CLI against a ts-less input)
     queries = tuple(q.strip() for q in queries)
     unknown = [q for q in queries if q not in STREAM_QUERIES]
     if unknown:
@@ -85,8 +108,13 @@ def start_streaming(spark: SparkSession, input_dir: str, out_dir: str, *,
             "the tally query needs --tally-key (a BOUNDED-cardinality "
             "column: source shard, tenant, codec — state is one tuple "
             "per key) — drop 'tally' to run without it")
-    if input_schema is None:
-        input_schema = spark.read.parquet(input_dir).schema
+    for q in queries:
+        missing = [c for c in needs.get(q, []) if c not in cols]
+        if missing:
+            raise ValueError(
+                f"streaming query {q!r} needs column(s) {missing} that the "
+                f"input lacks (have: {sorted(cols)}) — drop {q!r} from "
+                "--queries or fix --key/--ts/--tally-key")
     reader = spark.readStream.schema(input_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -122,17 +150,20 @@ def start_streaming(spark: SparkSession, input_dir: str, out_dir: str, *,
             "drift").start()
     if "tally" in queries:
         # update-mode output (running totals re-emit changed keys) can't
-        # feed a parquet file sink directly; foreachBatch appends each
-        # batch's updated snapshot rows stamped with the batch id — the
-        # latest row per key is the current tally, and the state store
-        # behind the checkpoint carries the totals across kill/resume
-        from pyspark.sql import functions as F
+        # feed a parquet file sink directly; foreachBatch writes each
+        # batch's updated snapshot rows into a _batch_id=<id> partition
+        # dir with OVERWRITE — a crash between the parquet commit and the
+        # streaming-checkpoint commit replays the batch into the same dir
+        # idempotently (a blind append would double-write those rows —
+        # review r05). The latest partition per key is the current tally;
+        # the state store behind the checkpoint carries the running totals
+        # across kill/resume.
         tally = running_violation_tally(stream, schema_doc, tally_key)
         tally_path = os.path.join(out_dir, "tally")
 
         def _write_tally(bdf: DataFrame, batch_id: int) -> None:
-            bdf.withColumn("_batch_id", F.lit(batch_id)) \
-                .write.mode("append").parquet(tally_path)
+            bdf.write.mode("overwrite").parquet(
+                os.path.join(tally_path, f"_batch_id={batch_id}"))
 
         w = (tally.writeStream.outputMode("update")
              .foreachBatch(_write_tally)
@@ -180,10 +211,8 @@ def main() -> None:
             schema_doc = json.load(f)
     base = (spark.read.parquet(args.baseline_profile)
             if args.baseline_profile else None)
-    names = (tuple(args.queries.split(",")) if args.queries
-             else tuple(q for q in STREAM_QUERIES
-                        if (q != "drift" or base is not None)
-                        and (q != "tally" or args.tally_key is not None)))
+    # None -> the library default (every query whose prerequisites are met)
+    names = tuple(args.queries.split(",")) if args.queries else None
     running = start_streaming(
         spark, args.input, args.out, schema_doc=schema_doc,
         row_key=args.key, ts_col=args.ts,

@@ -137,7 +137,12 @@ def main() -> None:
 
     tprobe()
     t_best, t_runs = timed_floor(tprobe, min_reps=2, max_reps=REPS + 2)
-    check_s = max(a_best - t_best, 1e-3)
+    # the decomposition is a SUBTRACTION of two independently-measured
+    # floors: when interference stomps the transfer leg past the full
+    # check's wall, the difference is meaningless — mark it invalid
+    # instead of clamping to a fabricated near-zero (review r05)
+    valid = a_best > t_best
+    check_s = a_best - t_best if valid else None
 
     print(json.dumps({
         "cpus": CPUS,
@@ -149,8 +154,13 @@ def main() -> None:
                   "runs": [[round(s, 3), st] for s, st in a_runs]},
         "transfer": {"best_s": round(t_best, 3),
                      "runs": [[round(s, 3), st] for s, st in t_runs]},
-        "audio_check_only": {"best_s": round(check_s, 3),
-                             "rows_per_s": round(AUDIO_N / check_s, 1)},
+        "audio_check_only": (
+            {"best_s": round(check_s, 3),
+             "rows_per_s": round(AUDIO_N / check_s, 1), "valid": True}
+            if valid else
+            {"best_s": None, "rows_per_s": None, "valid": False,
+             "reason": "transfer floor exceeds audio floor — "
+                       "interference-stomped leg, decomposition invalid"}),
     }))
 
 

@@ -140,12 +140,21 @@ def main() -> None:
               f"shW={results[name]['shuffle_write_mb']}MB "
               f"x={x01}->{x1}", file=sys.stderr)
 
+    # scale labels from the actual dirs — the tool also runs 100x (or any
+    # replica count) via SPARK_GRAFT_SF1_DIR; a hardcoded "sf": 1.0 would
+    # misstate the artifact's own scale (review r05)
+    def _sf_label(d: str):
+        m = re.search(r"sf([\d.]+)/?$", d)
+        return float(m.group(1)) if m else None
+
     print(json.dumps({
-        "sf": 1.0, "base_sf": 0.1, "cpus": args.cpus, "reps": args.reps,
+        "sf": _sf_label(SF1), "sf_dir": SF1,
+        "base_sf": _sf_label(SF01), "base_dir": SF01,
+        "cpus": args.cpus, "reps": args.reps,
         "queries": results,
         "all_plans_stable": all(r["plan_shape_stable"] is not False
                                 for r in results.values()),
-        "plan_capture_skipped": sorted(EAGER),
+        "plan_capture_skipped": sorted(EAGER & set(names)),
     }))
 
 

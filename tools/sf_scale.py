@@ -95,26 +95,20 @@ def scale_tables(spark: SparkSession, out_dir: str, *, replicas: int = 10,
       "documents")
 
     emb = _replicate(t("embeddings"), replicas)
-    dim = 64
-    # rotation amount pmod(r, dim-1) + 1 is never 0 for r > 0, but repeats
-    # every dim-1 replicas — negating the second cycle keeps every replica
-    # pair decorrelated (cosine(v_rot, -v_rot') ~ 0 for gaussian vectors).
-    # Beyond 2*(dim-1) replicas the (rotation, sign) pairs would repeat and
-    # plant exact cosine-±1 duplicates across replicas: refuse loudly.
-    if replicas > 2 * (dim - 1):
-        raise ValueError(
-            f"replicas={replicas} exceeds {2 * (dim - 1)} distinct "
-            f"(rotation, sign) transforms at dim={dim} — cross-replica "
-            "embedding duplicates would change the workload shape")
-    rot = f"(pmod(_r, {dim - 1}) + 1)"
-    rotated = F.concat(
-        F.expr(f"slice(embedding, {rot} + 1, {dim} - {rot})"),
-        F.expr(f"slice(embedding, 1, {rot})"))
-    signed = F.when(F.col("_r") < dim,
-                    rotated).otherwise(
-        F.expr("transform(" + (
-            f"concat(slice(embedding, {rot} + 1, {dim} - {rot}),"
-            f" slice(embedding, 1, {rot}))") + ", x -> -x)"))
+    # per-(replica, coordinate) deterministic SIGN FLIPS: replica r applies
+    # the diagonal ±1 matrix D_r with D_r[i] = sign(xxhash64(r, i)). An
+    # orthogonal transform, so all norms and WITHIN-replica inner products
+    # are preserved exactly (near-dup structure scales organically), while
+    # cross-replica cosines of the same base vector are sums of ±v_i^2
+    # with random signs ~ 0 for gaussian vectors. Unlike the earlier
+    # rotation(+negation) scheme — where replica r >= dim reused replica
+    # r-(dim-1)'s rotation negated, planting exact cosine = -1 antipodal
+    # pairs (review r05) — sign patterns never repeat for distinct r
+    # (a repeat needs a 64-way xxhash64 collision), so ANY replica count
+    # is safe.
+    signed = F.expr(
+        "transform(embedding, (x, i) -> CASE WHEN "
+        "pmod(xxhash64(_r, i), 2) = 0 THEN x ELSE -x END)")
     w(emb
       .withColumn("vec_id", F.col("vec_id") + F.col("_r") * V_STRIDE)
       .withColumn("embedding",
