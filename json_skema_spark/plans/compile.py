@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import math as _math
 import re as _re
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -121,6 +122,27 @@ def empty_failures() -> Column:
     return F.array().cast(f"array<{FAILURE_DDL}>")
 
 
+# When True (via the light_messages() context), failure structs carry an
+# EMPTY message literal instead of the real formatted message expression.
+# Counting paths (ValidationPlan.summary) don't read messages, but the
+# per-violation format_string/cast work still executed at runtime — at
+# sf10 the summary ran 36x slower than the verdict scan over the same
+# rows almost entirely on message construction (round-5 measurement).
+# Compilation is driver-side and single-threaded, so a module flag
+# scoped by the context manager is safe.
+_LIGHT_MESSAGES = False
+
+
+@contextmanager
+def light_messages():
+    global _LIGHT_MESSAGES
+    prev, _LIGHT_MESSAGES = _LIGHT_MESSAGES, True
+    try:
+        yield
+    finally:
+        _LIGHT_MESSAGES = prev
+
+
 def _fail_struct(keyword: str, kw_loc: str, inst_loc: Column, dyn_path: str,
                  message: Column) -> Column:
     return F.struct(
@@ -128,7 +150,7 @@ def _fail_struct(keyword: str, kw_loc: str, inst_loc: Column, dyn_path: str,
         F.lit(kw_loc).alias("keyword_location"),
         inst_loc.alias("instance_location"),
         F.lit(dyn_path).alias("dynamic_path"),
-        message.alias("message"),
+        (F.lit("") if _LIGHT_MESSAGES else message).alias("message"),
     )
 
 

@@ -107,9 +107,23 @@ class ValidationPlan:
         Map-side partial aggregation applies (hash agg); output cardinality is
         bounded by the number of schema keywords, so the final shuffle is tiny
         regardless of input scale.
+
+        Uses a LIGHT-MESSAGE recompile of the same schema: counting never
+        reads ``message``, but the full plan still evaluated each violating
+        row's format_string/cast chain before the explode — at sf10 that made
+        the summary 36x slower than the verdict scan over identical rows
+        (round-5 measurement: 38.6 s -> see BENCH/BASELINE.md). Keyword /
+        location / count outputs are identical by construction (only the
+        message literal differs).
         """
+        light = self._light()
         return (
-            df.select(self._compiled.failures.alias("failures"))
+            # filter on the BOOLEAN verdict before building any failure
+            # array (same shape as violations()): passing rows never pay
+            # for array construction, and the boolean filter stays inside
+            # whole-stage codegen at the scan
+            df.filter(~light.passed)
+            .select(light.failures.alias("failures"))
             .select(F.explode("failures").alias("f"))
             .groupBy(
                 F.col("f.keyword").alias("keyword"),
@@ -117,6 +131,15 @@ class ValidationPlan:
             )
             .agg(F.count("*").alias("n_violations"))
         )
+
+    def _light(self) -> Compiled:
+        """The same compiled plan with empty failure messages (lazy)."""
+        if getattr(self, "_light_compiled", None) is None:
+            from json_skema_spark.plans.compile import light_messages
+            with light_messages():
+                self._light_compiled = self.compiler.compile_root(
+                    self.struct_type)
+        return self._light_compiled
 
     def verdict_counts(self, df: DataFrame) -> DataFrame:
         return (
