@@ -817,11 +817,24 @@ def _q_profile_merge(spark, sf_dir):
 
 
 def _q_canonical_order_per_customer(spark, sf_dir):
-    from pyspark.sql import Window as W
+    """Canonical (earliest) order per customer — the top-1-per-key shape.
+
+    Implemented as a HASH AGGREGATE on a lexicographic struct min, not a
+    ``row_number() OVER (PARTITION BY ...)`` window: the window formulation
+    shuffles and SORTS every row of the table per key, while the struct-min
+    agg combines map-side and shuffles one partial row per (task, key) —
+    at 100x data the window ran 14.9 s vs 3.8 s for the agg (round-5
+    measurement), and a hyper-active key degrades the window to one
+    sorting task where the agg stays balanced. ``min(struct(date, key))``
+    selects exactly the ``row_number() = 1`` row of ``ORDER BY date, key``
+    (field-by-field comparison, nulls-first on both paths, key breaks
+    ties deterministically) — the oracle keeps the window formulation to
+    pin the equivalence. Salted-window coverage itself lives in
+    ``violation_digest`` (plans/verdict.py)."""
     o = _t(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
-    return (o.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1).select("o_custkey", "o_orderkey"))
+    return (o.groupBy("o_custkey")
+            .agg(F.min(F.struct("o_orderdate", "o_orderkey")).alias("m"))
+            .select("o_custkey", F.col("m.o_orderkey").alias("o_orderkey")))
 
 
 def _q_pricing_summary(spark, sf_dir):
