@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import math as _math
 import re as _re
+import threading
 from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -122,25 +123,32 @@ def empty_failures() -> Column:
     return F.array().cast(f"array<{FAILURE_DDL}>")
 
 
-# When True (via the light_messages() context), failure structs carry an
+# When set (via the light_messages() context), failure structs carry an
 # EMPTY message literal instead of the real formatted message expression.
 # Counting paths (ValidationPlan.summary) don't read messages, but the
 # per-violation format_string/cast work still executed at runtime — at
 # sf10 the summary ran 36x slower than the verdict scan over the same
 # rows almost entirely on message construction (round-5 measurement).
-# Compilation is driver-side and single-threaded, so a module flag
-# scoped by the context manager is safe.
-_LIGHT_MESSAGES = False
+# THREAD-LOCAL, not a module global: a multi-threaded driver submitting
+# parallel jobs may compile on several threads at once, and a process-wide
+# flag would bake empty messages into an unrelated thread's plan — or,
+# with interleaved context exits, stick True for the process lifetime
+# (review r05). Within one thread the save/restore is reentrant.
+_LIGHT = threading.local()
+
+
+def _light_active() -> bool:
+    return getattr(_LIGHT, "on", False)
 
 
 @contextmanager
 def light_messages():
-    global _LIGHT_MESSAGES
-    prev, _LIGHT_MESSAGES = _LIGHT_MESSAGES, True
+    prev = _light_active()
+    _LIGHT.on = True
     try:
         yield
     finally:
-        _LIGHT_MESSAGES = prev
+        _LIGHT.on = prev
 
 
 def _fail_struct(keyword: str, kw_loc: str, inst_loc: Column, dyn_path: str,
@@ -150,7 +158,7 @@ def _fail_struct(keyword: str, kw_loc: str, inst_loc: Column, dyn_path: str,
         F.lit(kw_loc).alias("keyword_location"),
         inst_loc.alias("instance_location"),
         F.lit(dyn_path).alias("dynamic_path"),
-        (F.lit("") if _LIGHT_MESSAGES else message).alias("message"),
+        (F.lit("") if _light_active() else message).alias("message"),
     )
 
 

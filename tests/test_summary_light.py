@@ -51,3 +51,25 @@ def test_light_plan_empties_messages_only(spark):
                  .select(F.explode("failures").alias("f"))
                  .select("f.message").limit(5).collect())
     assert any(r["message"] for r in full_rows)
+
+
+def test_light_flag_is_thread_local(spark):
+    """A concurrent compile on another thread must NOT inherit the light
+    flag — a process-wide flag would bake empty messages into unrelated
+    plans (review r05)."""
+    import threading
+
+    from json_skema_spark.plans.compile import (_light_active,
+                                                light_messages)
+    seen = {}
+
+    def other_thread():
+        seen["active"] = _light_active()
+
+    with light_messages():
+        assert _light_active()
+        t = threading.Thread(target=other_thread)
+        t.start()
+        t.join()
+    assert seen["active"] is False
+    assert _light_active() is False
