@@ -63,8 +63,15 @@ def scale_tables(spark: SparkSession, out_dir: str, *, replicas: int = 10,
     def t(name: str) -> DataFrame:
         return spark.read.parquet(os.path.join(base_dir, f"{name}.parquet"))
 
-    def w(df: DataFrame, name: str) -> None:
-        df.drop("_r").write.mode("overwrite").parquet(
+    def w(df: DataFrame, name: str, parts: int = 64) -> None:
+        # repartition before write: the replicate crossJoin inherits the
+        # BASE table's split count (sf0.1 files are single-split), so
+        # without this every scaled table lands as ONE file with ONE row
+        # group — and a parquet row group is the unit of scan parallelism,
+        # so every downstream scan would run single-task regardless of
+        # cluster size (review r05: the sf10 minhash probe spent minutes
+        # in a 1-of-19-tasks straggler for exactly this reason)
+        df.drop("_r").repartition(parts).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{name}.parquet"))
 
     cust = _replicate(t("customer"), replicas)
@@ -122,7 +129,7 @@ def scale_tables(spark: SparkSession, out_dir: str, *, replicas: int = 10,
 
     # dimension tables replicate as-is (TPC-H keeps nations/regions fixed)
     for name in ("region", "nation", "supplier", "part"):
-        w(t(name), name)
+        w(t(name), name, parts=1)
 
 
 def main() -> None:
