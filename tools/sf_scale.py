@@ -15,10 +15,10 @@ that would change workload shape instead of size:
   replicas (every shingle differs), so the minhash pair count scales ~R,
   not R^2 (10 identical copies of every doc would make every doc a
   10-member exact cluster — a different workload, not a bigger one).
-- embeddings: replica r rotates the vector by r positions — norm-preserving
-  and decorrelating (rotated gaussian ~ independent gaussian), so ANN and
-  near-dup structure scales organically instead of planting cosine-1.0
-  duplicates everywhere.
+- embeddings: replica r applies a deterministic per-coordinate sign-flip
+  matrix (orthogonal: norms and within-replica inner products preserved
+  exactly; cross-replica cosines ~ 0), so ANN and near-dup structure
+  scales organically instead of planting cosine-±1.0 duplicates.
 - orders/lineitem/customer: key shifts only; values (prices, dates, flags,
   injected violations) replicate as-is, so per-replica violation rates and
   duplicate-key multiplicities match the base table exactly.
