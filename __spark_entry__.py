@@ -226,6 +226,43 @@ def _q_duplicate_orderkeys_skewed(spark, sf_dir):
         .select(F.col("key").alias("l_orderkey"), "n_rows")
 
 
+def _q_duplicate_rows(spark, sf_dir):
+    """Row-level duplicate tagging (uniqueness.duplicate_rows): every ROW
+    whose key occurs more than once, with the key's multiplicity — the
+    violation-row twin of unique_duplicate_orderkeys (which returns one
+    row per KEY). partition_id is dropped from the gate output (physical
+    provenance, nondeterministic across runs by design)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    return uniqueness.duplicate_rows(li, "l_orderkey") \
+        .select("l_orderkey", "l_linenumber", "n_rows")
+
+
+def _q_uniqueness_violations(spark, sf_dir):
+    """Duplicate keys rendered in the engine's standard violations shape
+    (uniqueness.uniqueness_violations — FIXTURES.md §5 row contract)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return uniqueness.uniqueness_violations(li, "l_orderkey")
+
+
+def _q_field_equality(spark, sf_dir):
+    """Transcript-equality-style reference check
+    (referential.field_equality_violations — the input_hint's per-row
+    'transcript equality vs the reference' invariant over driver tables):
+    a reference table carrying a deterministically perturbed value for
+    every o_orderkey % 31 == 0 row; exactly those rows must be reported
+    as const violations, everything else conforms via the null-safe
+    (key, value) anti-join. partition_id dropped (nondeterministic)."""
+    o = _t(spark, sf_dir, "orders")
+    ref = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 31 == 0, F.lit("X-REF"))
+        .otherwise(F.col("o_orderpriority")).alias("o_orderpriority"))
+    v = referential.field_equality_violations(
+        o.select("o_orderkey", "o_orderpriority"), ref,
+        "o_orderkey", "o_orderpriority")
+    return v.drop("partition_id")
+
+
 def _q_drop_kept_set(spark, sf_dir):
     """END-TO-END one-call dedup (operators/dedup.drop_near_duplicates):
     MinHash-LSH pairs -> connected-components clusters -> anti-join the
@@ -896,6 +933,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_duplicate_orderkeys_skewed": _q_duplicate_orderkeys_skewed,
         "dedup_drop_kept_set": _q_drop_kept_set,
         "media_rgb_stats": _q_media_rgb_stats,
+        "unique_duplicate_rows": _q_duplicate_rows,
+        "unique_violations_rows": _q_uniqueness_violations,
+        "referential_field_equality": _q_field_equality,
     }
 
 
@@ -1663,6 +1703,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
             FROM documents WHERE doc_id % 97 = 0
+        """,
+        "unique_duplicate_rows": """
+            SELECT l_orderkey, l_linenumber, n_rows FROM (
+                SELECT l_orderkey, l_linenumber,
+                       count(*) OVER (PARTITION BY l_orderkey) AS n_rows
+                FROM lineitem
+            ) WHERE n_rows > 1
+        """,
+        "unique_violations_rows": """
+            SELECT CAST(l_orderkey AS VARCHAR) AS row_key,
+                   'uniqueItems' AS keyword,
+                   '#/uniqueItems' AS keyword_location,
+                   '#/l_orderkey' AS instance_location,
+                   '#/uniqueItems' AS dynamic_path,
+                   'key ' || CAST(l_orderkey AS VARCHAR) || ' occurs in '
+                       || CAST(n AS VARCHAR) || ' rows, expected 1' AS message
+            FROM (SELECT l_orderkey, count(*) AS n FROM lineitem
+                  WHERE l_orderkey IS NOT NULL
+                  GROUP BY 1 HAVING count(*) > 1)
+        """,
+        "referential_field_equality": """
+            -- the reference value for o_orderkey % 31 = 0 rows is the
+            -- sentinel 'X-REF'; those rows (and only those) mismatch via
+            -- the null-safe comparison
+            SELECT CAST(o_orderkey AS VARCHAR) AS row_key,
+                   'const' AS keyword,
+                   '#/const' AS keyword_location,
+                   '#/o_orderpriority' AS instance_location,
+                   '#/const' AS dynamic_path,
+                   'o_orderpriority does not equal the reference value'
+                       AS message
+            FROM orders
+            WHERE o_orderkey % 31 = 0
+              AND o_orderpriority IS DISTINCT FROM 'X-REF'
         """,
         # every queries() entry above has an oracle: md5-based hashes (not
         # xxhash64) and literal centroids (not in-query KMeans) were chosen
