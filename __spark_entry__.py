@@ -472,6 +472,23 @@ def _q_chunk_packing(spark, sf_dir):
                                      max_tokens=512, group_col="lang")
 
 
+def _q_pack_greedy(spark, sf_dir):
+    """First-fit-decreasing bin packing (operators/packing.pack_greedy, the
+    applyInPandas strategy) with buckets=1 so the oracle can replay the
+    exact sequential FFD: DuckDB recursive CTE threading the open-bin
+    capacity list through the (n_tokens desc, doc_id asc) order — the
+    bucketed production path's per-bucket algorithm is this same sequence
+    (bucket ids come from xxhash64, not expressible in DuckDB, hence the
+    single-bucket gate fixture; bucketing itself is oracled structurally
+    via dedup/uniqueness salt conventions)."""
+    from json_skema_spark.operators import packing
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id",
+                    jtext.token_count(F.col("text")).alias("n_tokens"))
+    return packing.pack_greedy(d, "doc_id", "n_tokens",
+                               max_tokens=512, buckets=1)
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     """Banded hyperplane-LSH near-dup pairs over the embeddings table plus a
     deterministically perturbed copy of every 10th vector (the raw table has
@@ -936,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_duplicate_rows": _q_duplicate_rows,
         "unique_violations_rows": _q_uniqueness_violations,
         "referential_field_equality": _q_field_equality,
+        "pack_greedy_ffd": _q_pack_greedy,
     }
 
 
@@ -1737,6 +1755,48 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderkey % 31 = 0
               AND o_orderpriority IS DISTINCT FROM 'X-REF'
+        """,
+        "pack_greedy_ffd": f"""
+            -- sequential first-fit-decreasing replay: a recursive CTE
+            -- threads the open-bin capacity list through the
+            -- (n_tokens desc, doc_id asc) order; fit.j = first bin with
+            -- capacity >= n (1-based), else open a new bin
+            WITH RECURSIVE toks AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       len({_TOKENS}) AS n_tokens
+                FROM documents
+            ),
+            d AS (
+                SELECT doc_id, n_tokens,
+                       row_number() OVER (ORDER BY n_tokens DESC, doc_id)
+                           AS i
+                FROM toks
+            ),
+            ffd(i, doc_id, n_tokens, pack_id, caps) AS (
+                SELECT 0, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                       CAST(NULL AS BIGINT), CAST([] AS BIGINT[])
+                UNION ALL
+                SELECT d.i, d.doc_id, d.n_tokens,
+                       CASE WHEN fit.j IS NOT NULL THEN fit.j - 1
+                            ELSE len(ffd.caps) END,
+                       CASE WHEN fit.j IS NOT NULL
+                            THEN ffd.caps[1:fit.j-1]
+                                 || [ffd.caps[fit.j] - d.n_tokens]
+                                 || ffd.caps[fit.j+1:]
+                            ELSE list_append(ffd.caps,
+                                             greatest(512 - d.n_tokens, 0))
+                       END
+                FROM ffd
+                JOIN d ON d.i = ffd.i + 1
+                LEFT JOIN LATERAL (
+                    SELECT min(k) AS j FROM (
+                        SELECT unnest(ffd.caps) AS c,
+                               generate_subscripts(ffd.caps, 1) AS k) u
+                    WHERE u.c >= d.n_tokens) fit ON true
+            )
+            SELECT CAST(0 AS INT) AS bucket, pack_id, doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM ffd WHERE i > 0
         """,
         # every queries() entry above has an oracle: md5-based hashes (not
         # xxhash64) and literal centroids (not in-query KMeans) were chosen
