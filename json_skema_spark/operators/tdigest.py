@@ -49,13 +49,26 @@ def _compress(values: np.ndarray, weights: np.ndarray, delta: int
 
 
 def partial_digests(df: DataFrame, col: str, *, delta: int = 200) -> DataFrame:
-    """Per-partition centroid rows for ``col`` (nulls excluded)."""
+    """Per-partition centroid rows for ``col`` (nulls excluded).
+
+    Non-null values that are not numeric raise (deterministically, on every
+    task that sees one) rather than silently coercing to NaN and vanishing:
+    quantiles computed over an unannounced subset of a mistyped column are
+    plausible-looking wrong statistics — the docstring contract excludes
+    only NULLs (review r05)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc_v = np.empty(0)
         acc_w = np.empty(0, dtype=np.int64)
         for pdf in batches:
-            vals = pd.to_numeric(pdf[col], errors="coerce").dropna().to_numpy(float)
+            coerced = pd.to_numeric(pdf[col], errors="coerce")
+            bad = int((pdf[col].notna() & coerced.isna()).sum())
+            if bad:
+                raise ValueError(
+                    f"tdigest over non-numeric column {col!r}: {bad} "
+                    f"non-null unparseable value(s) in one batch — clean or "
+                    f"cast the column first")
+            vals = coerced.dropna().to_numpy(float)
             if len(vals) == 0:
                 continue
             v, w = _compress(np.concatenate([acc_v, vals]),

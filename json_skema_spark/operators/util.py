@@ -8,14 +8,22 @@ import re
 from pyspark.sql import DataFrame
 
 _SIZE_SUFFIX = {"": 1, "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
-                "kb": 1 << 10, "mb": 1 << 20, "gb": 1 << 30}
+                "t": 1 << 40, "p": 1 << 50,
+                "kb": 1 << 10, "mb": 1 << 20, "gb": 1 << 30,
+                "tb": 1 << 40, "pb": 1 << 50}
 
 
 def _parse_bytes(v: str) -> int:
     m = re.fullmatch(r"(\d+)\s*([a-zA-Z]*)", v.strip())
     if not m:
         return 128 << 20
-    return int(m.group(1)) * _SIZE_SUFFIX.get(m.group(2).lower(), 1)
+    mult = _SIZE_SUFFIX.get(m.group(2).lower())
+    if mult is None:
+        # unknown suffix = unparseable, NOT bytes: treating "1t" as 1 byte
+        # made ensure_parallelism believe any file already yields enough
+        # splits and silently skip the repartition (review r05)
+        return 128 << 20
+    return int(m.group(1)) * mult
 
 
 def _hadoop_total_size(spark, uris: list[str]) -> int | None:

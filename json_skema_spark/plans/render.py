@@ -57,7 +57,11 @@ def to_json_document(df: DataFrame, row_key: str, *,
     reference omits them.
     """
     fails = F.col(failures_col)
-    n = F.size(fails)
+    # NULL failures (e.g. this table left-outer-joined against another, or
+    # a writer that nulls empty arrays) must render as pass, not fall
+    # through both when() branches into the "multiple validation failures"
+    # aggregate — size(NULL) is NULL, never 0 (review r05)
+    n = F.coalesce(F.size(fails), F.lit(0))
     leaf = F.to_json(_leaf_struct(F.element_at(fails, 1)))
     agg = F.to_json(F.struct(
         F.lit("#").alias("instanceRef"),

@@ -100,8 +100,13 @@ def load_suite_groups(root: str, *,
         if "remotes" in rel_dir.split("/"):
             continue
         is_optional = "optional" in rel_dir.split("/")
-        is_format_dir = rel_dir.endswith("optional/format") or \
-            "/optional/format" in rel_dir or rel_dir == "optional/format"
+        # path-segment match, not substring: a dir merely ENDING in
+        # "optional/format" (e.g. "not-optional/format") must not run with
+        # format assertion ALWAYS, and files under optional/format/sub/
+        # must stay in the format family rather than being silently
+        # skipped by the optional filter (review r05)
+        is_format_dir = rel_dir == "optional/format" or \
+            rel_dir.startswith("optional/format/")
         for fn in sorted(files):
             if not fn.endswith(".json"):
                 continue

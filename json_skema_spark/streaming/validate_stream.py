@@ -44,13 +44,20 @@ def violation_rate(stream_df: DataFrame, schema_doc: Any, ts_col: str,
                    window: str = "1 minute", watermark: str = "2 minutes",
                    **compiler_kwargs) -> DataFrame:
     """Watermarked per-window violation counts by keyword — the streaming
-    analogue of ``ValidationPlan.summary``."""
+    analogue of ``ValidationPlan.summary``.
+
+    Mirrors ``summary()``'s two cost rules (review r05): filter on the
+    boolean verdict BEFORE building any failure array (passing rows never
+    pay for array construction), and compile under light messages — the
+    count only reads ``f.keyword``, and the full-message format_string
+    chain made the identical batch aggregation 36x slower at sf10."""
     plan = ValidationPlan(Compiler(schema_doc, **compiler_kwargs),
                           stream_df.schema)
-    flagged = stream_df.withColumn("_failures", plan.failures)
+    light = plan._light()
     return (
-        flagged.withWatermark(ts_col, watermark)
-        .select(F.col(ts_col), F.explode("_failures").alias("f"))
+        stream_df.withWatermark(ts_col, watermark)
+        .filter(~light.passed)
+        .select(F.col(ts_col), F.explode(light.failures).alias("f"))
         .groupBy(F.window(F.col(ts_col), window).alias("w"),
                  F.col("f.keyword").alias("keyword"))
         .agg(F.count("*").alias("n_violations"))
