@@ -16,10 +16,14 @@ broadcast ``left_semi`` join on exploded shingles.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from json_skema_spark.operators.dedup import shingles
+
+_WS = re.compile(r"\s+")
 
 
 def _hits(text: Column, probes: list[str], n: int) -> Column:
@@ -27,12 +31,19 @@ def _hits(text: Column, probes: list[str], n: int) -> Column:
     shingles intersected with the literal probe array. ONE definition so
     the flag view and the filter twin cannot drift (review r04).
 
-    A probe whose word count differs from ``n`` can NEVER match a fixed-n
-    shingle — it would silently make the decontamination gate inert for
-    that probe (contaminated rows pass as clean), so it raises instead.
+    Probes are normalized HERE into the shingle normal form (lowercase,
+    whitespace collapsed to single spaces, trimmed — exactly what
+    ``shingles`` does to the document) rather than trusting a documented
+    precondition: a case-mismatched or double-spaced probe would pass the
+    word-count guard yet never match any shingle, making the gate silently
+    inert — the exact failure the guard exists to prevent (review r05).
+
+    A probe whose NORMALIZED word count differs from ``n`` can still never
+    match a fixed-n shingle, so that raises.
     """
-    for p in probes:
-        w = len(p.split(" "))
+    norm = [_WS.sub(" ", p.strip()).lower() for p in probes]
+    for p, p_norm in zip(probes, norm):
+        w = len(p_norm.split(" "))
         if w != n:
             raise ValueError(
                 f"probe {p!r} has {w} words but shingles are exact "
@@ -40,14 +51,14 @@ def _hits(text: Column, probes: list[str], n: int) -> Column:
                 f"silently inert; re-shingle the probe source into "
                 f"{n}-grams (or call with n={w})")
     return F.array_intersect(shingles(text, n),
-                             F.array(*[F.lit(p) for p in probes]))
+                             F.array(*[F.lit(p) for p in norm]))
 
 
 def contamination_flags(df: DataFrame, text_col: str, id_col: str,
                         probes: list[str], *, n: int = 3) -> DataFrame:
     """Per-document contamination verdict against probe word ``n``-grams
-    (probes must be lowercase, single-space-normalized — the shingle
-    normal form — and exactly ``n`` words each). Output:
+    (probes are normalized into the shingle normal form here; each must be
+    exactly ``n`` words after normalization). Output:
     ``(id, contaminated, matched)`` where ``matched`` is the sorted
     '|'-joined hit list (hash-comparable scalar)."""
     hits = _hits(F.col(text_col), probes, n)

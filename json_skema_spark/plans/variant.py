@@ -82,9 +82,24 @@ def as_array(col: Column) -> Column:
 
 
 def get_field(col: Column, name: str) -> Column:
-    # $.name with quoting for exotic keys
-    safe = name.replace("\\", "\\\\").replace("'", "\\'")
-    path = f"$['{safe}']" if not name.isidentifier() else f"$.{name}"
+    # Spark's variant path parser takes bracket-quoted keys LITERALLY — no
+    # escape sequences exist (empirically pinned, review r05): escaping a
+    # quote raises INVALID_VARIANT_GET_PATH at runtime (killing the job for
+    # a legal schema) and escaping a backslash looks up the wrong literal
+    # key (property silently validates as absent). Pick the quote style the
+    # key doesn't use; a dot path accepts anything except '.'/'[' as the
+    # both-quotes fallback.
+    if "'" not in name:
+        path = f"$['{name}']"
+    elif '"' not in name:
+        path = f'$["{name}"]'
+    elif "." not in name and "[" not in name:
+        path = f"$.{name}"
+    else:
+        raise ValueError(
+            f"property name {name!r} cannot be expressed as a Spark variant "
+            f"extraction path (contains both quote characters plus '.' or "
+            f"'[' — no quoting style can represent it)")
     return F.try_variant_get(col, path, "variant")
 
 

@@ -82,6 +82,13 @@ def windowed_drift(stream_df: DataFrame, baseline: dict[str, dict],
             F.least(F.lit(float(baseline[c]["approx_distinct"])),
                     F.col("_rows").cast("double")), F.lit(1.0))
         ratio = F.col(f"{c}__ad") / anchor
+        if float(baseline[c]["approx_distinct"]) == 0.0:
+            # both-zero distinct counts (all-null column in baseline AND
+            # window) are IDENTICAL distributions, not drift — same guard
+            # as batch drift_report (review r04); without it every healthy
+            # window of an all-null-baselined column alarms forever
+            ratio = F.when(F.col(f"{c}__ad") == 0,
+                           F.lit(1.0)).otherwise(ratio)
         per_col.append(F.struct(
             F.lit(c).alias("column_name"),
             nf.alias("null_fraction"),

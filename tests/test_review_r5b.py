@@ -119,3 +119,75 @@ def test_violation_rate_counts_match_full_plan_and_prefilters(spark):
     opt = (violation_rate(df, DOC, "ts", window="1 hour")
            ._jdf.queryExecution().optimizedPlan().toString())
     assert "Filter" in opt
+
+
+def test_get_field_exotic_property_names(spark):
+    """Spark variant bracket paths have NO escape sequences: an escaped
+    quote raised INVALID_VARIANT_GET_PATH (job death for a legal schema)
+    and an escaped backslash looked up the wrong key (property silently
+    absent). Pin the quote-style selection end-to-end through a compiled
+    open-JSON schema."""
+    import json
+
+    from pyspark.sql import types as T
+    from json_skema_spark.plans.compile import Compiler
+    from json_skema_spark.plans import variant as V
+
+    keys = ["a'b", 'a"b', "a\\b", "a'\"b"]
+    doc = json.dumps({k: 5 for k in keys})
+    df = spark.createDataFrame([(doc,)], "j string")
+    schema = {"type": "object",
+              "properties": {k: {"minimum": 3} for k in keys},
+              "required": keys}
+    comp = Compiler(schema)
+    c = comp.compile_value(F.parse_json(F.col("j")), T.VariantType())
+    rows = df.select(c.passed.alias("p")).collect()
+    assert rows[0]["p"] is True
+    # a failing value is SEEN (not silently absent) for the backslash key
+    bad = spark.createDataFrame([(json.dumps({k: 1 for k in keys}),)],
+                                "j string")
+    c2 = Compiler({"type": "object",
+                   "properties": {"a\\b": {"minimum": 3}}}).compile_value(
+        F.parse_json(F.col("j")), T.VariantType())
+    assert bad.select(c2.passed.alias("p")).collect()[0]["p"] is False
+    # both quotes + a dot is unrepresentable: loud compile-time error
+    with pytest.raises(Exception, match="variant extraction path"):
+        df.select(V.get_field(F.parse_json(F.col("j")), "a'\".b")).collect()
+
+
+def test_windowed_drift_all_null_baseline_no_false_alarm(spark):
+    """approx_distinct==0 on both sides (all-null column in baseline AND
+    window) is an identical distribution — the batch drift_report guard
+    (review r04) must be mirrored in the streaming twin."""
+    from json_skema_spark.streaming.drift_stream import windowed_drift
+
+    rows = [(None, f"2024-01-01 00:00:{i:02d}") for i in range(10)]
+    df = (spark.createDataFrame(rows, "x string, ts string")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    baseline = {"x": {"null_fraction": 1.0, "approx_distinct": 0}}
+    out = windowed_drift(df, baseline, "ts", window="1 hour").collect()
+    assert len(out) == 1
+    assert out[0]["distinct_drift"] is False
+    assert out[0]["null_drift"] is False
+    assert out[0]["distinct_ratio"] == 1.0
+
+
+def test_contamination_probes_normalized_to_shingle_form(spark):
+    """Case-mismatched probes must match (shingles lowercase the text) and
+    a double-spaced probe must word-count AFTER collapsing — both used to
+    make the gate silently inert."""
+    from json_skema_spark.operators.contamination import (
+        contamination_flags, decontaminate)
+
+    df = spark.createDataFrame(
+        [("d1", "contains the quick fox indeed"), ("d2", "clean text here")],
+        "id string, text string")
+    out = {r["id"]: r["contaminated"] for r in contamination_flags(
+        df, "text", "id", ["The  Quick   Fox"], n=3).collect()}
+    assert out == {"d1": True, "d2": False}
+    kept = [r["id"] for r in decontaminate(
+        df, "text", "id", ["The Quick Fox"], n=3).collect()]
+    assert kept == ["d2"]
+    # 2 real words hiding behind a double space: still raises for n=3
+    with pytest.raises(ValueError, match="2 words"):
+        contamination_flags(df, "text", "id", ["the  fox"], n=3)
