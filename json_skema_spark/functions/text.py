@@ -24,6 +24,22 @@ _STOPWORDS = {
 _BPE_ISH = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
 
 
+def md5_hex_slice(col: Column, start: int, length: int, *,
+                  seed: int | None = None) -> Column:
+    """The repo's ONE cross-engine hash primitive: the decimal value of hex
+    chars ``[start, start+length)`` of ``md5(col [|| str(seed)])`` — md5
+    because it is bit-identical across Spark and DuckDB, so every consumer
+    stays oracle-checkable (DuckDB twin:
+    ``conv(substr(md5(x), start, length), 16, 10)``). Consumers:
+    ``sampling.hash_fraction`` (1..8 seeded), ``dedup.simhash`` token votes
+    (17..15 seeded), ``doc_fingerprint``'s rolling hash (17..15 unseeded).
+    A change to the seed-concatenation or slicing convention here changes
+    all three — update their oracle SQL twins together (review r05: the
+    trick used to live open-coded in three files)."""
+    x = col if seed is None else F.concat(col, F.lit(str(seed)))
+    return F.conv(F.substring(F.md5(x.cast("binary")), start, length), 16, 10)
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokens (lowercased)."""
     return F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != "")
@@ -161,8 +177,6 @@ def fingerprint(col: Column, *, modulus: int = (1 << 31) - 1, base: int = 257) -
         F.lit(0).cast("long"),
         lambda acc, t: F.pmod(
             acc * F.lit(base)
-            + F.pmod(F.conv(F.substring(F.md5(t.cast("binary")), 17, 15),
-                            16, 10).cast("long"),
-                     F.lit(modulus)),
+            + F.pmod(md5_hex_slice(t, 17, 15).cast("long"), F.lit(modulus)),
             F.lit(modulus)),
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from json_skema_spark.functions.text import md5_hex_slice
 from json_skema_spark.operators.util import ensure_parallelism
 
 
@@ -292,9 +293,7 @@ def simhash(col: Column, *, bits: int = SIMHASH_BITS, seed: int = 42) -> Column:
         F.split(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " "))
     hashes = F.transform(
         tokens,
-        lambda t: F.conv(F.substring(
-            F.md5(F.concat(t, F.lit(str(seed))).cast("binary")), 17, 15),
-            16, 10).cast("long"))
+        lambda t: md5_hex_slice(t, 17, 15, seed=seed).cast("long"))
     masks = F.transform(F.sequence(F.lit(0), F.lit(bits - 1)),
                         lambda i: F.pow(F.lit(2.0), i).cast("long"))
     votes = F.aggregate(

@@ -19,12 +19,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from json_skema_spark.functions.text import md5_hex_slice
+
 
 def hash_fraction(key: Column, seed: int = 42) -> Column:
     """Deterministic uniform [0,1) value per key: first 32 bits of
     md5(key || seed). Cross-engine reproducible (md5, not xxhash64)."""
-    h = F.md5(F.concat(key.cast("string"), F.lit(str(seed))).cast("binary"))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / float(1 << 32)
+    return (md5_hex_slice(key.cast("string"), 1, 8, seed=seed)
+            .cast("double") / float(1 << 32))
 
 
 def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
