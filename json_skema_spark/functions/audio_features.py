@@ -171,7 +171,10 @@ def audio_quality_stats(df: DataFrame, *, silence_db: float = -50.0,
             rows = []
             for cid, codec, buf in zip(pdf["clip_id"], pdf["codec"], pdf["bytes"]):
                 sig, sr, err = _decode_with(decoders, codec, buf)
-                if sig is None or len(sig) == 0 or not sr:
+                # sr <= 0 matches the sibling UDFs' r04 containment guard:
+                # a third-party decoder reporting a NEGATIVE rate must
+                # degrade the row, not compute 1-sample frames (review r05)
+                if sig is None or len(sig) == 0 or not sr or sr <= 0:
                     rows.append((cid, False, None, None, None, None))
                     continue
                 a = np.abs(sig)

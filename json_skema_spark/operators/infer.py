@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from json_skema_spark.operators.util import quoted_col
+
 _INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 _FLOAT_TYPES = (T.FloatType, T.DoubleType, T.DecimalType)
 
@@ -105,7 +107,7 @@ def suggest_constraints(df: DataFrame, columns: list[str] | None = None, *,
     aggs: list = [F.count(F.lit(1)).alias("_rows")]
     for c in columns:
         dt = fields[c]
-        col = F.col(c)
+        col = quoted_col(c)
         aggs.append(F.count(col).alias(f"{c}__nonnull"))
         aggs.append(F.approx_count_distinct(col).alias(f"{c}__adist"))
         if isinstance(dt, (*_INT_TYPES, *_FLOAT_TYPES)):
@@ -123,7 +125,7 @@ def suggest_constraints(df: DataFrame, columns: list[str] | None = None, *,
     enums: dict[str, list] = {}
     if enum_candidates:
         erow = df.agg(*[
-            F.sort_array(F.collect_set(F.col(c))).alias(c)
+            F.sort_array(F.collect_set(quoted_col(c))).alias(c)
             for c in enum_candidates]).collect()[0]
         for c in enum_candidates:
             vals = list(erow[c])

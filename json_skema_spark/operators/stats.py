@@ -17,6 +17,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from json_skema_spark.operators.util import quoted_col
+
 DEFAULT_QUANTILES = [0.01, 0.25, 0.5, 0.75, 0.99]
 
 _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
@@ -25,7 +27,7 @@ _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
 
 def _col_aggs(name: str, dtype: T.DataType, quantiles: list[float],
               rsd: float, exact_distinct: bool = False) -> list[Column]:
-    c = F.col(name)
+    c = quoted_col(name)
     distinct = (F.count_distinct(c) if exact_distinct
                 else F.approx_count_distinct(c, rsd))
     aggs = [
@@ -124,16 +126,20 @@ def mergeable_profile(df: DataFrame, columns: list[str] | None = None, *,
                                                          T.MapType, T.StructType))]
     aggs = []
     for name in columns:
-        c = F.col(name)
+        c = quoted_col(name)
         dtype = df.schema[name].dataType
         numeric = isinstance(dtype, _NUMERIC)
-        integral = isinstance(dtype, _INTEGRAL)
-        # integral columns fold in DECIMAL, not double: a long min/max
-        # past 2^53 would round through a double and the merged profile
-        # would contradict profile()'s exact value — breaking the
-        # docstring's exactness claim (review r04). Floats keep the
-        # double path (a double is exact as itself); strings fold as
-        # strings (never numerics: lexicographic "9" > "10").
+        integral = isinstance(dtype, _INTEGRAL) or (
+            isinstance(dtype, T.DecimalType) and dtype.scale == 0)
+        # integral columns — including scale-0 decimals, whose values past
+        # 2^53 have the same rounding exposure (review r05) — fold in
+        # DECIMAL, not double: a min/max past 2^53 would round through a
+        # double and the merged profile would contradict profile()'s exact
+        # value — breaking the docstring's exactness claim (review r04).
+        # Floats and scale>0 decimals keep the double path (a double is
+        # exact as itself; fractional decimals outside double precision
+        # fold approximately — documented); strings fold as strings
+        # (never numerics: lexicographic "9" > "10").
         num = (c.cast("double") if numeric and not integral
                else F.lit(None).cast("double"))
         iint = (c.cast("decimal(38,0)") if integral
@@ -232,7 +238,7 @@ def hll_sketches(df: DataFrame, columns: list[str], *,
     profile path for checkpointed resume). Single scan: all sketches in one
     aggregate, unpivoted to rows."""
     wide = df.groupBy().agg(*[
-        F.hll_sketch_agg(F.col(name).cast("string"), F.lit(lg_k))
+        F.hll_sketch_agg(quoted_col(name).cast("string"), F.lit(lg_k))
         .alias(f"{name}__sketch") for name in columns])
     structs = F.array(*[
         F.struct(F.lit(name).alias("column_name"),

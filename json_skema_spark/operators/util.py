@@ -5,7 +5,18 @@ from __future__ import annotations
 import os
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def quoted_col(name: str) -> Column:
+    """``F.col`` with the name taken LITERALLY: backtick-quoted so a column
+    named ``a.b`` resolves as one top-level column instead of parsing as
+    struct access — which fails analysis, or silently reads a DIFFERENT
+    nested field when a struct ``a`` with field ``b`` also exists.
+    ``annotations.py`` carried this fix since r04; profiling/inference now
+    share it (review r05)."""
+    return F.col("`" + name.replace("`", "``") + "`")
 
 _SIZE_SUFFIX = {"": 1, "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
                 "t": 1 << 40, "p": 1 << 50,

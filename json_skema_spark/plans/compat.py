@@ -43,11 +43,19 @@ _MAX_STYLE = ("maximum", "exclusiveMaximum", "maxLength", "maxItems",
               "maxProperties", "maxContains")
 # annotation-only keywords: never affect validation (2020-12 §9)
 _ANNOTATIONS = {"title", "description", "default", "examples", "deprecated",
-                "$comment", "readOnly", "writeOnly", "$schema",
-                "$anchor"}
+                "$comment", "readOnly", "writeOnly"}
 # NOTE: "$id" is deliberately NOT an annotation here: changing it rebases
 # every relative $ref resolved against it (2020-12 §8.2), which this
 # structural diff cannot track — an $id change refuses certification.
+# "$schema" is NOT one either: in this engine the dialect's $vocabulary
+# gates WHICH keywords are enforced and whether format asserts
+# (compile.py vocabulary gating), so a byte-identical body under a new
+# dialect can enforce previously-stripped keywords — certifying that as
+# compatible would skip re-validation of rows the deployed v2 rejects
+# (review r05). "$anchor"/"$dynamicAnchor" likewise: renaming or moving
+# one silently re-targets every '#name' ref, and an annotation-only diff
+# would take the `if not changes` early-out PAST the unlocalizable-ref
+# refusal (review r05).
 
 _MISSING = object()  # distinguishes an ABSENT keyword from a JSON null value
 # self-contained applicators: v2's assertion for the keyword does not
@@ -233,6 +241,18 @@ def _diff(old: Any, new: Any, ptr: str, changes: list[Change]) -> Any | None:
                                   "resolution"))
             fallback = True
             continue
+        if kw == "$schema":
+            changes.append(Change(f"{ptr}/$schema", kw, UNKNOWN,
+                                  "dialect changed: $vocabulary keyword "
+                                  "gating and format assertion may differ"))
+            fallback = True
+            continue
+        if kw in ("$anchor", "$dynamicAnchor"):
+            changes.append(Change(f"{ptr}/{kw}", kw, UNKNOWN,
+                                  f"{kw} changed: '#name' refs may "
+                                  f"re-target or stop resolving"))
+            fallback = True
+            continue
         if kw == "additionalProperties":
             # assertion depends on sibling property names: full-node copy
             changes.append(Change(f"{ptr}/{kw}", kw, UNKNOWN,
@@ -354,9 +374,18 @@ def _diff(old: Any, new: Any, ptr: str, changes: list[Change]) -> Any | None:
             changes.append(Change(f"{ptr}/items", "items", WIDENING,
                                   "items schema removed"))
         elif oi is None:
-            changes.append(Change(f"{ptr}/items", "items", NARROWING,
-                                  "items schema added"))
-            delta["items"] = ni
+            if _norm(ni) == {}:
+                # items: true where there was none asserts nothing (and
+                # can only EVALUATE more items for enclosing unevaluated*
+                # scopes — monotone widening); without this check the
+                # semantic no-op forced a full-table re-validation
+                # (review r05; same convention as the prefixItems slots)
+                changes.append(Change(f"{ptr}/items", "items", WIDENING,
+                                      "items schema added (unconstrained)"))
+            else:
+                changes.append(Change(f"{ptr}/items", "items", NARROWING,
+                                      "items schema added"))
+                delta["items"] = ni
         else:
             sub = _diff(oi, ni, f"{ptr}/items", changes)
             if sub is not None:

@@ -191,3 +191,127 @@ def test_contamination_probes_normalized_to_shingle_form(spark):
     # 2 real words hiding behind a double space: still raises for n=3
     with pytest.raises(ValueError, match="2 words"):
         contamination_flags(df, "text", "id", ["the  fox"], n=3)
+
+
+def test_compat_schema_dialect_change_refuses_certification():
+    """$schema is NOT an annotation in this engine: the dialect's
+    $vocabulary gates which keywords compile, so a byte-identical body
+    under a new dialect can enforce previously-stripped keywords — it
+    must never certify as compatible with no re-validation."""
+    from json_skema_spark.plans.compat import (delta_schema,
+                                               is_backward_compatible)
+
+    old = {"$schema": "https://example.test/meta/no-validation",
+           "type": "integer", "minimum": 3}
+    new = dict(old, **{
+        "$schema": "https://json-schema.org/draft/2020-12/schema"})
+    assert is_backward_compatible(old, new) is False
+    assert delta_schema(old, new) is not None
+
+
+def test_compat_anchor_rename_refuses_certification():
+    """An anchor rename used to be an annotation-only diff, taking the
+    `if not changes` early-out PAST the unlocalizable-ref refusal and
+    certifying a v2 whose '#name' refs silently re-target."""
+    from json_skema_spark.plans.compat import is_backward_compatible
+
+    old = {"$defs": {"a": {"$anchor": "x", "type": "string"},
+                     "b": {"type": "integer"}},
+           "properties": {"p": {"$ref": "#x"}}}
+    new = {"$defs": {"a": {"$anchor": "y", "type": "string"},
+                     "b": {"$anchor": "x", "type": "integer"}},
+           "properties": {"p": {"$ref": "#x"}}}
+    assert is_backward_compatible(old, new) is False
+    # $dynamicAnchor too
+    old2 = {"$defs": {"a": {"$dynamicAnchor": "m", "type": "string"}}}
+    new2 = {"$defs": {"a": {"$dynamicAnchor": "n", "type": "string"}}}
+    assert is_backward_compatible(old2, new2) is False
+
+
+def test_compat_items_true_added_is_widening():
+    """Adding items:true (or items:{}) asserts nothing — it must not be
+    classified narrowing and force a 10^12-row re-validation."""
+    from json_skema_spark.plans.compat import (delta_schema,
+                                               is_backward_compatible)
+
+    old = {"type": "array"}
+    for noop in (True, {}):
+        new = {"type": "array", "items": noop}
+        assert is_backward_compatible(old, new) is True
+        assert delta_schema(old, new) is None
+    # a REAL items constraint still narrows
+    new = {"type": "array", "items": {"type": "integer"}}
+    assert is_backward_compatible(old, new) is False
+
+
+def test_profiling_handles_dotted_column_names(spark):
+    """A top-level column literally named 'a.b' must profile as itself —
+    unquoted F.col parsed it as struct access (AnalysisException, or
+    silently another field's stats when a struct 'a' also exists)."""
+    from json_skema_spark.operators.infer import suggest_constraints
+    from json_skema_spark.operators.stats import (hll_sketches,
+                                                  merge_profiles,
+                                                  mergeable_profile, profile)
+
+    df = (spark.createDataFrame([(1, "s1"), (2, "s2"), (9, None)],
+                                "x int, y string")
+          .withColumnRenamed("x", "a.b")
+          .withColumn("a", F.struct(F.lit(999).alias("b"))))
+    prof = {r["column_name"]: r for r in
+            profile(df, ["a.b", "y"]).collect()}
+    assert prof["a.b"]["min_value"] == "1"
+    assert prof["a.b"]["max_value"] == "9"
+    merged = {r["column_name"]: r for r in merge_profiles(
+        mergeable_profile(df, ["a.b"])).collect()}
+    assert merged["a.b"]["min_value"] == "1"
+    assert hll_sketches(df, ["a.b"]).count() == 1
+    # 3 distinct values -> the enum path supersedes min/max; the exact
+    # value set proves resolution (a silent struct read would mine [999])
+    sugg = {(r["column_name"], r["keyword"]): r["value"]
+            for r in suggest_constraints(df, ["a.b"]).collect()}
+    assert sugg[("a.b", "enum")] == "[1,2,9]"
+    # force the min/max branch too: threshold below the distinct count
+    sugg2 = {(r["column_name"], r["keyword"]): r["value"]
+             for r in suggest_constraints(
+                 df, ["a.b"], enum_max_distinct=1).collect()}
+    assert sugg2[("a.b", "minimum")] == "1"
+    assert sugg2[("a.b", "maximum")] == "9"
+
+
+def test_merge_profiles_scale0_decimal_exact_past_2_53(spark):
+    """decimal(20,0) ids past 2^53 used to fold through double in
+    mergeable_profile, contradicting profile()'s exact rendering."""
+    from json_skema_spark.operators.stats import (merge_profiles,
+                                                  mergeable_profile, profile)
+
+    big = 2 ** 60
+    df = spark.sql(
+        f"select cast(v as decimal(20,0)) as d from "
+        f"values ({big}), ({big + 1}) t(v)")
+    exact = {r["column_name"]: r for r in profile(df, ["d"]).collect()}
+    merged = {r["column_name"]: r for r in
+              merge_profiles(mergeable_profile(df, ["d"])).collect()}
+    assert merged["d"]["min_value"] == exact["d"]["min_value"] == str(big)
+    assert merged["d"]["max_value"] == exact["d"]["max_value"] == str(big + 1)
+
+
+def test_audio_quality_stats_negative_sr_degrades(spark):
+    """A registered decoder reporting sr=-1 must degrade the row like the
+    sibling UDFs (r04 containment guard), not compute 1-sample frames."""
+    import numpy as np
+
+    from json_skema_spark.functions import audio
+    from json_skema_spark.functions.audio_features import audio_quality_stats
+
+    def bad_decoder(buf):
+        return np.zeros(100), -1, ""
+
+    audio.register_decoder("negsr", bad_decoder)
+    try:
+        df = spark.createDataFrame([("c1", "negsr", bytearray(b"x"))],
+                                   "clip_id string, codec string, bytes binary")
+        rows = audio_quality_stats(df).collect()
+        assert rows[0]["decode_ok"] is False
+        assert rows[0]["silence_ratio"] is None
+    finally:
+        audio.unregister_decoder("negsr")
