@@ -903,6 +903,73 @@ def _q_pricing_summary(spark, sf_dir):
     )
 
 
+STREAM_EVENTS_SCHEMA = {
+    "type": "object",
+    "properties": {
+        # 'error' excluded on purpose: ~20% of rows violate the enum, so
+        # the parity check exercises real violation volume, not a handful
+        "event_type": {"enum": ["click", "view", "signup", "purchase"]},
+        "value": {"exclusiveMinimum": 0, "maximum": 300},
+    },
+}
+
+
+def _q_stream_violation_windows(spark, sf_dir):
+    """STREAM/BATCH PARITY through the driver's oracle gate — the one
+    component family whose correctness signal was pytest-only (VERDICT
+    r04). This runs the REAL Structured Streaming path end-to-end
+    (streaming/validate_stream.violation_rate: file source -> watermark ->
+    compiled-plan verdicts -> windowed keyword counts -> memory sink),
+    drains the events table with an availableNow trigger, and returns the
+    final windowed counts as a batch DataFrame. The DuckDB oracle
+    recomputes the same per-day keyword counts relationally, so a green
+    row certifies that micro-batch execution emits byte-identical verdict
+    aggregates to a batch pass (Validator.kt semantics carried through
+    the streaming substrate), not merely that "a stream ran".
+
+    Determinism/compat notes: complete output mode (the final in-memory
+    table is the full aggregate regardless of micro-batch count);
+    window starts surface as epoch seconds via a timestamp->long CAST
+    (session-timezone-independent in Spark; DuckDB epoch() on the naive
+    parquet timestamp matches) — a rendered timestamp string would be
+    engine-formatting-sensitive where an int64 is hash-stable."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from json_skema_spark.streaming.validate_stream import violation_rate
+    src = _os.path.join(sf_dir, "events.parquet")
+    # the streaming file source requires a DIRECTORY to list (a bare file
+    # path is rejected: "Option 'basePath' must be a directory"), but the
+    # driver's tables are single parquet files. Stage a one-symlink
+    # directory in /tmp keyed on the source path — deterministic across
+    # reruns, no data copied, and the listing sees exactly events.parquet.
+    tag = _hashlib.md5(src.encode()).hexdigest()[:12]
+    stage = f"/tmp/spark_graft_stream_src_{tag}"
+    _os.makedirs(stage, exist_ok=True)
+    link = _os.path.join(stage, "events.parquet")
+    if not _os.path.exists(link):
+        _os.symlink(src, link)
+    # the parquet ts is TIMESTAMP_NTZ; watermarks require an LTZ event
+    # time. The NTZ->LTZ cast interprets the wall clock in the session
+    # timezone (UTC here, matching DuckDB's naive-as-UTC epoch())
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema)
+              .parquet(stage)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    rate = violation_rate(stream, STREAM_EVENTS_SCHEMA, "ts",
+                          window="1 day", watermark="2 days")
+    name = "stream_parity_violation_windows"
+    q = (rate.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("window_start").cast("long").alias("w_start"),
+        "keyword", "n_violations")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders_verdict": _q_orders_verdict,
@@ -954,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_violations_rows": _q_uniqueness_violations,
         "referential_field_equality": _q_field_equality,
         "pack_greedy_ffd": _q_pack_greedy,
+        "stream_violation_windows": _q_stream_violation_windows,
     }
 
 
@@ -1797,6 +1865,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(0 AS INT) AS bucket, pack_id, doc_id,
                    CAST(n_tokens AS BIGINT) AS n_tokens
             FROM ffd WHERE i > 0
+        """,
+        # batch replica of the Structured Streaming violation-rate query:
+        # per-row failures derived with the engine's null convention (a
+        # NULL column is an absent property — no keyword fires), bucketed
+        # into the same epoch-aligned 1-day tumbling windows. Rows with a
+        # NULL event time are excluded on both sides (the watermark
+        # operator drops them from the stream's windowed aggregation).
+        "stream_violation_windows": """
+            WITH f AS (
+                SELECT ts, 'enum' AS keyword FROM events
+                WHERE event_type IS NOT NULL
+                  AND event_type NOT IN ('click','view','signup','purchase')
+                UNION ALL
+                SELECT ts, 'exclusiveMinimum' AS keyword FROM events
+                WHERE value IS NOT NULL AND value <= 0
+                UNION ALL
+                SELECT ts, 'maximum' AS keyword FROM events
+                WHERE value IS NOT NULL AND value > 300
+            )
+            SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS w_start,
+                   keyword, count(*) AS n_violations
+            FROM f WHERE ts IS NOT NULL
+            GROUP BY 1, 2
         """,
         # every queries() entry above has an oracle: md5-based hashes (not
         # xxhash64) and literal centroids (not in-query KMeans) were chosen
