@@ -927,12 +927,21 @@ def _q_stream_violation_windows(spark, sf_dir):
     aggregates to a batch pass (Validator.kt semantics carried through
     the streaming substrate), not merely that "a stream ran".
 
-    Determinism/compat notes: complete output mode (the final in-memory
-    table is the full aggregate regardless of micro-batch count);
-    window starts surface as epoch seconds via a timestamp->long CAST
-    (session-timezone-independent in Spark; DuckDB epoch() on the naive
-    parquet timestamp matches) — a rendered timestamp string would be
-    engine-formatting-sensitive where an int64 is hash-stable."""
+    The drain is deliberately MULTI-batch: the events table is staged as
+    4 hash-partitioned files and consumed with maxFilesPerTrigger=1, so
+    the windowed aggregation state must merge across 4 micro-batches
+    whose event times interleave adversarially (hash order, not time
+    order) — a single-batch drain would certify much less. Complete
+    output mode retains all window state (no watermark eviction /
+    late-row drop — the append-mode watermark semantics are pinned
+    separately in the streaming pytest suite), so the final in-memory
+    table is the full aggregate regardless of batch boundaries.
+
+    Determinism/compat notes: window starts surface as epoch seconds via
+    a timestamp->long CAST (session-timezone-independent in Spark; DuckDB
+    epoch() on the naive parquet timestamp matches) — a rendered
+    timestamp string would be engine-formatting-sensitive where an int64
+    is hash-stable."""
     import hashlib as _hashlib
     import os as _os
 
@@ -940,20 +949,22 @@ def _q_stream_violation_windows(spark, sf_dir):
     src = _os.path.join(sf_dir, "events.parquet")
     # the streaming file source requires a DIRECTORY to list (a bare file
     # path is rejected: "Option 'basePath' must be a directory"), but the
-    # driver's tables are single parquet files. Stage a one-symlink
-    # directory in /tmp keyed on the source path — deterministic across
-    # reruns, no data copied, and the listing sees exactly events.parquet.
+    # driver's tables are single parquet files. Stage a 4-file
+    # hash-partitioned copy in /tmp keyed on the source path; one file
+    # per trigger forces a genuinely multi-batch drain. Overwrite per
+    # invocation: the staging must track the source, and at the gate's
+    # sf0.01 the write is milliseconds.
     tag = _hashlib.md5(src.encode()).hexdigest()[:12]
     stage = f"/tmp/spark_graft_stream_src_{tag}"
-    _os.makedirs(stage, exist_ok=True)
-    link = _os.path.join(stage, "events.parquet")
-    if not _os.path.exists(link):
-        _os.symlink(src, link)
+    batch_df = spark.read.parquet(src)
+    (batch_df.repartition(4, F.col("event_id"))
+     .write.mode("overwrite").parquet(stage))
     # the parquet ts is TIMESTAMP_NTZ; watermarks require an LTZ event
     # time. The NTZ->LTZ cast interprets the wall clock in the session
     # timezone (UTC here, matching DuckDB's naive-as-UTC epoch())
     stream = (spark.readStream
-              .schema(spark.read.parquet(src).schema)
+              .schema(batch_df.schema)
+              .option("maxFilesPerTrigger", "1")
               .parquet(stage)
               .withColumn("ts", F.col("ts").cast("timestamp")))
     rate = violation_rate(stream, STREAM_EVENTS_SCHEMA, "ts",
@@ -963,6 +974,11 @@ def _q_stream_violation_windows(spark, sf_dir):
          .outputMode("complete").trigger(availableNow=True).start())
     try:
         q.awaitTermination()
+        n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+        if n_batches < 2:
+            raise RuntimeError(
+                f"stream parity drain ran {n_batches} micro-batch(es); "
+                "the multi-batch claim requires >=2")
     finally:
         q.stop()
     return spark.table(name).select(
