@@ -909,9 +909,16 @@ STREAM_EVENTS_SCHEMA = {
         # 'error' excluded on purpose: ~20% of rows violate the enum, so
         # the parity check exercises real violation volume, not a handful
         "event_type": {"enum": ["click", "view", "signup", "purchase"]},
-        "value": {"exclusiveMinimum": 0, "maximum": 300},
+        # generated values span ~0.01..490, so BOTH numeric keywords fire
+        # on real rows (exclusiveMinimum 0 would be a vacuous leg: no
+        # value is <= 0 — review r05c)
+        "value": {"exclusiveMinimum": 1, "maximum": 300},
     },
 }
+
+# number of staged files == forced micro-batches; module-level so the
+# negative pytest leg can collapse it and assert the drain guard fires
+_STREAM_STAGE_FILES = 4
 
 
 def _q_stream_violation_windows(spark, sf_dir):
@@ -928,62 +935,81 @@ def _q_stream_violation_windows(spark, sf_dir):
     the streaming substrate), not merely that "a stream ran".
 
     The drain is deliberately MULTI-batch: the events table is staged as
-    4 hash-partitioned files and consumed with maxFilesPerTrigger=1, so
-    the windowed aggregation state must merge across 4 micro-batches
-    whose event times interleave adversarially (hash order, not time
-    order) — a single-batch drain would certify much less. Complete
-    output mode retains all window state (no watermark eviction /
-    late-row drop — the append-mode watermark semantics are pinned
+    ``_STREAM_STAGE_FILES`` hash-partitioned files and consumed with
+    maxFilesPerTrigger=1, so the windowed aggregation state must merge
+    across that many micro-batches whose event times interleave
+    adversarially (hash order, not time order) — a single-batch drain
+    would certify much less; the drain guard enforces the full count.
+    Complete output mode retains all window state (no watermark eviction
+    / late-row drop — the append-mode watermark semantics are pinned
     separately in the streaming pytest suite), so the final in-memory
     table is the full aggregate regardless of batch boundaries.
 
-    Determinism/compat notes: window starts surface as epoch seconds via
-    a timestamp->long CAST (session-timezone-independent in Spark; DuckDB
-    epoch() on the naive parquet timestamp matches) — a rendered
-    timestamp string would be engine-formatting-sensitive where an int64
-    is hash-stable."""
-    import hashlib as _hashlib
-    import os as _os
+    Determinism/compat notes: the NTZ->LTZ event-time cast interprets
+    the parquet wall clock in the SESSION timezone, so this query pins
+    spark.sql.session.timeZone=UTC for its duration (and restores it) —
+    otherwise a non-UTC driver shifts rows across the UTC-aligned 1-day
+    windows while the DuckDB oracle keeps treating the naive ts as UTC
+    (review r05c: reproduced as a 51-vs-48-row mismatch under
+    TZ=Asia/Kolkata). Window starts surface as epoch seconds via a
+    timestamp->long CAST — a rendered timestamp string would be
+    engine-formatting-sensitive where an int64 is hash-stable."""
+    import shutil
+    import tempfile
 
     from json_skema_spark.streaming.validate_stream import violation_rate
-    src = _os.path.join(sf_dir, "events.parquet")
+    src = os.path.join(sf_dir, "events.parquet")
     # the streaming file source requires a DIRECTORY to list (a bare file
     # path is rejected: "Option 'basePath' must be a directory"), but the
-    # driver's tables are single parquet files. Stage a 4-file
-    # hash-partitioned copy in /tmp keyed on the source path; one file
-    # per trigger forces a genuinely multi-batch drain. Overwrite per
-    # invocation: the staging must track the source, and at the gate's
+    # driver's tables are single parquet files. Stage a hash-partitioned
+    # copy in a PER-INVOCATION temp dir (a fixed /tmp path would collide
+    # across users and race concurrent gate runs — review r05c); one file
+    # per trigger forces a genuinely multi-batch drain. At the gate's
     # sf0.01 the write is milliseconds.
-    tag = _hashlib.md5(src.encode()).hexdigest()[:12]
-    stage = f"/tmp/spark_graft_stream_src_{tag}"
-    batch_df = spark.read.parquet(src)
-    (batch_df.repartition(4, F.col("event_id"))
-     .write.mode("overwrite").parquet(stage))
-    # the parquet ts is TIMESTAMP_NTZ; watermarks require an LTZ event
-    # time. The NTZ->LTZ cast interprets the wall clock in the session
-    # timezone (UTC here, matching DuckDB's naive-as-UTC epoch())
-    stream = (spark.readStream
-              .schema(batch_df.schema)
-              .option("maxFilesPerTrigger", "1")
-              .parquet(stage)
-              .withColumn("ts", F.col("ts").cast("timestamp")))
-    rate = violation_rate(stream, STREAM_EVENTS_SCHEMA, "ts",
-                          window="1 day", watermark="2 days")
+    stage = tempfile.mkdtemp(prefix="spark_graft_stream_src_")
+    tz_before = spark.conf.get("spark.sql.session.timeZone", None)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     name = "stream_parity_violation_windows"
-    q = (rate.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
     try:
-        q.awaitTermination()
-        n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
-        if n_batches < 2:
-            raise RuntimeError(
-                f"stream parity drain ran {n_batches} micro-batch(es); "
-                "the multi-batch claim requires >=2")
+        batch_df = spark.read.parquet(src)
+        (batch_df.repartition(_STREAM_STAGE_FILES, F.col("event_id"))
+         .write.mode("overwrite").parquet(stage))
+        stream = (spark.readStream
+                  .schema(batch_df.schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(stage)
+                  .withColumn("ts", F.col("ts").cast("timestamp")))
+        rate = violation_rate(stream, STREAM_EVENTS_SCHEMA, "ts",
+                              window="1 day", watermark="2 days")
+        q = (rate.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        try:
+            q.awaitTermination()
+            n_batches = sum(
+                1 for p in q.recentProgress if p["numInputRows"] > 0)
+            # every staged file must land in its own batch (>=2 keeps the
+            # guard meaningful even if the knob is collapsed)
+            want = max(2, _STREAM_STAGE_FILES)
+            if n_batches < want:
+                raise RuntimeError(
+                    f"stream parity drain ran {n_batches} micro-batch(es); "
+                    f"the multi-batch claim requires >={want}")
+        finally:
+            q.stop()
+        # materialize before the staging dir disappears: complete-mode
+        # memory sink rows live on the driver, but collect()ing here keeps
+        # the returned DataFrame independent of /tmp lifetime
+        rows = spark.table(name).select(
+            F.col("window_start").cast("long").alias("w_start"),
+            "keyword", "n_violations").collect()
     finally:
-        q.stop()
-    return spark.table(name).select(
-        F.col("window_start").cast("long").alias("w_start"),
-        "keyword", "n_violations")
+        if tz_before is None:
+            spark.conf.unset("spark.sql.session.timeZone")
+        else:
+            spark.conf.set("spark.sql.session.timeZone", tz_before)
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "w_start bigint, keyword string, n_violations bigint")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1895,7 +1921,7 @@ def oracle_sql() -> dict[str, str]:
                   AND event_type NOT IN ('click','view','signup','purchase')
                 UNION ALL
                 SELECT ts, 'exclusiveMinimum' AS keyword FROM events
-                WHERE value IS NOT NULL AND value <= 0
+                WHERE value IS NOT NULL AND value <= 1
                 UNION ALL
                 SELECT ts, 'maximum' AS keyword FROM events
                 WHERE value IS NOT NULL AND value > 300

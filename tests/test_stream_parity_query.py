@@ -57,20 +57,42 @@ def test_stream_matches_batch_on_events(spark, entry_mod):
 
 
 def test_drain_is_multi_batch(spark, entry_mod, monkeypatch):
-    """The query itself asserts >=2 non-empty micro-batches; force the
-    single-batch layout (no per-file trigger) and the guard must fire, so
-    a future refactor can't silently collapse the claim back to one
-    batch."""
-    # sanity: the real query passes its own guard
-    entry_mod._q_stream_violation_windows(spark, SF_DIR)
+    """Force a single-file staging (collapse the _STREAM_STAGE_FILES
+    knob) and the drain guard must actually raise — so a future refactor
+    can't silently collapse the multi-batch claim while the docstring
+    keeps asserting it."""
+    monkeypatch.setattr(entry_mod, "_STREAM_STAGE_FILES", 1)
+    with pytest.raises(RuntimeError, match="micro-batch"):
+        entry_mod._q_stream_violation_windows(spark, SF_DIR)
 
+
+def test_query_runs_real_streaming_path(spark, entry_mod, monkeypatch):
     import json_skema_spark.streaming.validate_stream as vs
     real = vs.violation_rate
 
     def spy(stream, schema, ts_col, **kw):
         spy.called = True
+        assert stream.isStreaming
         return real(stream, schema, ts_col, **kw)
     spy.called = False
     monkeypatch.setattr(vs, "violation_rate", spy)
     entry_mod._q_stream_violation_windows(spark, SF_DIR)
     assert spy.called, "driver query must run the real streaming path"
+
+
+def test_parity_is_timezone_pinned(spark, entry_mod):
+    """The query must produce UTC-aligned windows (and restore the
+    session timezone) even when the caller's session is non-UTC —
+    review r05c reproduced a 51-vs-48-row gate mismatch under
+    TZ=Asia/Kolkata before the pin."""
+    before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        got = entry_mod._q_stream_violation_windows(spark, SF_DIR)
+        g = {(r.w_start, r.keyword): r.n_violations for r in got.collect()}
+        assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Kolkata"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", before)
+    want = _batch_replica(spark, SF_DIR, entry_mod.STREAM_EVENTS_SCHEMA)
+    w = {(r.w_start, r.keyword): r.n_violations for r in want.collect()}
+    assert g == w

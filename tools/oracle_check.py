@@ -53,6 +53,11 @@ def main(only: list[str] | None = None):
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.sql.shuffle.partitions", "8")
              .config("spark.ui.enabled", "false")
+             # DuckDB reads the naive parquet timestamps as-is; any
+             # NTZ->LTZ cast on the Spark side must agree (review r05c:
+             # a non-UTC TZ env var shifted windowed rows and failed the
+             # gate replica while the driver's UTC run stayed green)
+             .config("spark.sql.session.timeZone", "UTC")
              .config("spark.driver.memory", "16g")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
