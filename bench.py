@@ -18,7 +18,6 @@ import sys
 import time
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -160,17 +159,7 @@ def main() -> None:
     cpath = clips_src.ensure_clips_parquet(spark, CLIPS_N, audio=False)
     clips = spark.read.parquet(cpath)
     n = CLIPS_N
-    plan = compile_schema({
-        "type": "object",
-        "properties": {
-            "clip_id": {"type": "string", "pattern": "^clip_[0-9a-f]{12}$"},
-            "sr_hz": {"enum": [8000, 16000, 22050, 44100, 48000]},
-            "dur_ms": {"type": "integer", "minimum": 1, "maximum": 600000},
-            "codec": {"enum": ["pcm_s16le", "flac", "opus"]},
-            "transcript": {"type": "string", "minLength": 1},
-        },
-        "required": ["clip_id", "sr_hz", "dur_ms", "codec", "transcript"],
-    }, clips.schema)
+    plan = compile_schema(clips_src.CLIPS_CONSTRAINT_SCHEMA, clips.schema)
 
     def run_probe():
         return plan.apply(clips, mode="verdict").groupBy("passed").count().collect()

@@ -30,6 +30,23 @@ _WORDS = [f"w{j:03d}" for j in range(256)]
 CLIPS_SCHEMA = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
                 "codec string, transcript string")
 
+# the constraint-eval probe workload (BASELINE.json metric "validated
+# clips/sec"): ONE definition imported by both bench.py and
+# tools/scaling_probe.py, so the headline throughput and the N-vs-4N
+# scaling evidence can never silently measure different predicate sets
+# (review r05c — the dict was previously copy-pasted in both files)
+CLIPS_CONSTRAINT_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "clip_id": {"type": "string", "pattern": "^clip_[0-9a-f]{12}$"},
+        "sr_hz": {"enum": [8000, 16000, 22050, 44100, 48000]},
+        "dur_ms": {"type": "integer", "minimum": 1, "maximum": 600000},
+        "codec": {"enum": ["pcm_s16le", "flac", "opus"]},
+        "transcript": {"type": "string", "minLength": 1},
+    },
+    "required": ["clip_id", "sr_hz", "dur_ms", "codec", "transcript"],
+}
+
 
 def _row_rng(i: int, seed: int = SEED) -> np.random.Generator:
     return np.random.default_rng(np.random.SeedSequence([seed, i]))

@@ -27,17 +27,10 @@ CLIPS_N = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "20000000"))
 AUDIO_N = int(os.environ.get("SPARK_GRAFT_AUDIO_N", "40000"))
 REPS = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "5"))
 
-SCHEMA = {
-    "type": "object",
-    "properties": {
-        "clip_id": {"type": "string", "pattern": "^clip_[0-9a-f]{12}$"},
-        "sr_hz": {"enum": [8000, 16000, 22050, 44100, 48000]},
-        "dur_ms": {"type": "integer", "minimum": 1, "maximum": 600000},
-        "codec": {"enum": ["pcm_s16le", "flac", "opus"]},
-        "transcript": {"type": "string", "minLength": 1},
-    },
-    "required": ["clip_id", "sr_hz", "dur_ms", "codec", "transcript"],
-}
+# ONE workload definition shared with bench.py (review r05c: was a
+# verbatim copy that could silently desynchronize the scaling evidence
+# from the headline metric)
+from json_skema_spark.sources.clips import CLIPS_CONSTRAINT_SCHEMA as SCHEMA
 
 
 def _cpu_counters():
@@ -65,8 +58,14 @@ def timed_floor(fn, min_reps=3, max_reps=9, tol=1.3):
     vs a 5s idle floor; BENCH/BASELINE.md round-2 addendum), so agreement
     between two independent runs, not a clean steal reading, is the signal
     that the floor was reached. Per-run steal is recorded for the report
-    but does not gate selection."""
+    but does not gate selection.
+
+    Returns (best, runs, settled): ``settled`` is whether the two-best
+    agreement was ever reached — a leg that exhausts max_reps without
+    agreement never found its floor, and downstream decompositions must
+    not treat its minimum as one (review r05c)."""
     runs = []
+    settled = False
     for i in range(max_reps):
         runs.append(timed_with_steal(fn))
         # need two samples before the agreement test regardless of
@@ -74,8 +73,9 @@ def timed_floor(fn, min_reps=3, max_reps=9, tol=1.3):
         if i + 1 >= max(min_reps, 2):
             ts = sorted(s for s, _ in runs)
             if ts[1] <= ts[0] * tol:
+                settled = True
                 break
-    return min(s for s, _ in runs), runs
+    return min(s for s, _ in runs), runs, settled
 
 
 def main() -> None:
@@ -104,7 +104,8 @@ def main() -> None:
         plan.apply(clips, mode="verdict").groupBy("passed").count().collect()
 
     probe()  # warm-up (page cache, codegen JIT)
-    c_best, c_runs = timed_floor(probe, min_reps=min(REPS, 3), max_reps=REPS + 4)
+    c_best, c_runs, c_settled = timed_floor(probe, min_reps=min(REPS, 3),
+                                        max_reps=REPS + 4)
 
     apath = clips_src.ensure_clips_parquet(spark, AUDIO_N, audio=True)
     aclips = spark.read.parquet(apath)
@@ -113,7 +114,8 @@ def main() -> None:
         audio.pcm_invariant_check(aclips).groupBy("decode_ok").count().collect()
 
     aprobe()  # warm-up (spins up Python workers)
-    a_best, a_runs = timed_floor(aprobe, min_reps=2, max_reps=REPS + 2)
+    a_best, a_runs, a_settled = timed_floor(aprobe, min_reps=2,
+                                        max_reps=REPS + 2)
 
     # transfer-only floor: the identical scan + Arrow ship of the bytes
     # column into a NO-OP mapInPandas — the cost any Python-side decode
@@ -136,13 +138,23 @@ def main() -> None:
         sel.mapInPandas(_noop, "n long").groupBy().sum("n").collect()
 
     tprobe()
-    t_best, t_runs = timed_floor(tprobe, min_reps=2, max_reps=REPS + 2)
+    t_best, t_runs, t_settled = timed_floor(tprobe, min_reps=2,
+                                        max_reps=REPS + 2)
     # the decomposition is a SUBTRACTION of two independently-measured
-    # floors: when interference stomps the transfer leg past the full
-    # check's wall, the difference is meaningless — mark it invalid
-    # instead of clamping to a fabricated near-zero (review r05)
-    valid = a_best > t_best
+    # floors, so it is only meaningful when BOTH legs actually found
+    # their floor (settled) and the ordering makes sense. One-sided
+    # checks fabricate numbers in the opposite stomp direction too: an
+    # interference-stomped AUDIO leg with a clean transfer leg would
+    # report an inflated check_s as valid (review r05c), just as a
+    # stomped transfer leg used to clamp it near zero (review r05).
+    valid = a_settled and t_settled and a_best > t_best
     check_s = a_best - t_best if valid else None
+    invalid_reason = (
+        None if valid else
+        "audio leg never settled (max_reps exhausted without two-best "
+        "agreement)" if not a_settled else
+        "transfer leg never settled" if not t_settled else
+        "transfer floor exceeds audio floor — interference-stomped leg")
 
     print(json.dumps({
         "cpus": CPUS,
@@ -154,13 +166,14 @@ def main() -> None:
                   "runs": [[round(s, 3), st] for s, st in a_runs]},
         "transfer": {"best_s": round(t_best, 3),
                      "runs": [[round(s, 3), st] for s, st in t_runs]},
+        "settled": {"constraint": c_settled, "audio": a_settled,
+                    "transfer": t_settled},
         "audio_check_only": (
             {"best_s": round(check_s, 3),
              "rows_per_s": round(AUDIO_N / check_s, 1), "valid": True}
             if valid else
             {"best_s": None, "rows_per_s": None, "valid": False,
-             "reason": "transfer floor exceeds audio floor — "
-                       "interference-stomped leg, decomposition invalid"}),
+             "reason": invalid_reason}),
     }))
 
 

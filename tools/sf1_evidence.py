@@ -63,10 +63,34 @@ def _stage_metrics(spark, app_id: str) -> dict[int, tuple[int, int]]:
 
 
 def _exchange_count(df) -> int:
+    """Count physical shuffle Exchange NODES. Formatted explain prints
+    each operator twice — once in the tree ("+- Exchange (5)") and once
+    as a detail header ("(5) Exchange") — so a bare token count reported
+    ~2x the real number (review r05c); collecting the operator IDs from
+    both forms and deduplicating counts nodes, not mentions."""
     jq = df._jdf.queryExecution()
     mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode \
         .fromString("formatted")
-    return len(re.findall(r"\bExchange\b", jq.explainString(mode)))
+    txt = jq.explainString(mode)
+    ids = set(re.findall(r"\bExchange \((\d+)\)", txt))
+    ids |= set(re.findall(r"\((\d+)\) Exchange\b", txt))
+    return len(ids)
+
+
+def _settled_stage_metrics(spark, app_id: str) -> dict[int, tuple[int, int]]:
+    """Stage metrics once the async status store has caught up: the REST
+    snapshot taken immediately after count() returns can miss the last
+    stages (their completion events still queued on the listener bus),
+    silently dropping their shuffle bytes from the delta (review r05c).
+    Poll until two reads agree on the completed-stage set."""
+    prev = _stage_metrics(spark, app_id)
+    for _ in range(10):
+        time.sleep(0.3)
+        cur = _stage_metrics(spark, app_id)
+        if set(cur) == set(prev):
+            return cur
+        prev = cur
+    return prev
 
 
 def main() -> None:
@@ -104,9 +128,17 @@ def main() -> None:
             raise SystemExit(f"unknown query name(s): {sorted(unknown)}")
         names = only
 
-    # warm-up: page cache + python workers
+    # warm-up. The JVM-side pass below spins NO Python workers, so a
+    # pandas-UDF query timed first would absorb serialized worker
+    # cold-start (~2s/worker) in its wall (review r05c) — spin them with
+    # a no-op mapInPandas too, one task per core.
     spark.range(0, args.cpus * 8, 1, args.cpus * 2).selectExpr(
         "sum(id)").collect()
+
+    def _noop(batches):
+        yield from batches
+    spark.range(0, args.cpus * 100, 1, args.cpus).mapInPandas(
+        _noop, "id long").count()
 
     results: dict[str, dict] = {}
     for name in names:
@@ -120,12 +152,12 @@ def main() -> None:
 
         walls = []
         rows = None
-        before = _stage_metrics(spark, app)
+        before = _settled_stage_metrics(spark, app)
         for _ in range(args.reps):
             t0 = time.time()
             rows = fn(spark, SF1).count()
             walls.append(round(time.time() - t0, 3))
-        after = _stage_metrics(spark, app)
+        after = _settled_stage_metrics(spark, app)
         new_stages = {sid: m for sid, m in after.items() if sid not in before}
         sh_read = sum(m[0] for m in new_stages.values())
         sh_write = sum(m[1] for m in new_stages.values())
@@ -152,8 +184,14 @@ def main() -> None:
         "base_sf": _sf_label(SF01), "base_dir": SF01,
         "cpus": args.cpus, "reps": args.reps,
         "queries": results,
-        "all_plans_stable": all(r["plan_shape_stable"] is not False
-                                for r in results.values()),
+        # compared-only aggregate: a skipped capture (EAGER query) must
+        # not vacuously satisfy the headline boolean (review r05c); the
+        # count says how many plans the claim actually covers
+        "all_compared_plans_stable": all(
+            r["plan_shape_stable"] for r in results.values()
+            if r["plan_shape_stable"] is not None),
+        "plans_compared": sum(1 for r in results.values()
+                              if r["plan_shape_stable"] is not None),
         "plan_capture_skipped": sorted(EAGER & set(names)),
     }))
 
