@@ -378,6 +378,20 @@ def _q_minhash_clusters(spark, sf_dir):
     return dedup.duplicate_clusters(_minhash_pairs(spark, sf_dir))
 
 
+def _q_ngram_jaccard_pairs(spark, sf_dir):
+    """EXACT n-gram-Jaccard near-dup pairs via the prefix-filtered inverted
+    index (operators/dedup.ngram_jaccard_near_duplicates) — the
+    deterministic sibling of the MinHash row, deliberately parameterized
+    differently (bigrams, t=0.6) so the two rows pin different shingle and
+    threshold code paths. The prefix filter is analytically lossless, so
+    the output IS the brute-force all-pairs answer the oracle computes."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_near_duplicates(docs, "text", "doc_id",
+                                                n=2, jaccard_threshold=0.6)
+    return pairs.select("doc_id_a", "doc_id_b",
+                        F.round("jaccard", 6).alias("jaccard"))
+
+
 def _ivf_fixed_centroids():
     """Deterministic coarse-quantizer centroids (8 x 64, seeded numpy) —
     stands in for the KMeans index-build output so the probe path is exactly
@@ -1032,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_embeddings": _q_topk_embeddings,
         "dedup_minhash_pairs": _q_minhash_pairs_documents,
         "dedup_minhash_clusters": _q_minhash_clusters,
+        "dedup_ngram_jaccard": _q_ngram_jaccard_pairs,
         "dedup_simhash_fingerprints": _q_simhash_documents,
         "window_canonical_order": _q_canonical_order_per_customer,
         "agg_pricing_summary": _q_pricing_summary,
@@ -1636,6 +1651,24 @@ def oracle_sql() -> dict[str, str]:
                   (a, b) -> (a * 257 + b) % 2147483647)
               END AS fp
             FROM t
+        """,
+        "dedup_ngram_jaccard": """
+            -- brute-force all-pairs bigram Jaccard at t=0.6: the Spark side's
+            -- prefix-filtered inverted index is analytically lossless
+            -- (SSJoin/PPJoin prefix lemma), so the two must agree exactly
+            WITH d AS (SELECT doc_id,
+                list_distinct([array_to_string(toks[i:i+1], ' ')
+                               for i in range(1, greatest(len(toks)-1, 1)+1)]) AS g
+              FROM (SELECT doc_id,
+                    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                                 ' ') AS toks
+                    FROM documents WHERE text IS NOT NULL))
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / len(list_distinct(a.g || b.g)), 6) AS jaccard
+            FROM d a JOIN d b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                  / len(list_distinct(a.g || b.g)) >= 0.6
         """,
         "dedup_minhash_pairs": """
             -- exact brute-force oracle: every injected near-dup pair in this
