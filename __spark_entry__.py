@@ -319,6 +319,66 @@ def _q_media_rgb_stats(spark, sf_dir):
                     F.round("std_gray", 6).alias("std_gray"))
 
 
+def _q_audio_snr_verdicts(spark, sf_dir):
+    """The REAL audio invariant path (functions/audio.pcm_invariant_check:
+    RIFF/WAVE PCM16 decode -> cached one-period float32 reference ->
+    chunk-wise SNR -> >=30 dB verdict) under the driver gate — audio is the
+    graft payload (BASELINE.json north_star: "decoded-PCM allclose
+    (SNR>=30dB)") yet previously had bench-probe coverage only, no oracle
+    row.
+
+    Fixture: one PCM16 WAV per document — tone index doc_id % 16, sr
+    8000/16000 by doc_id parity, dur 200..600 ms. Two injected failure
+    classes: every doc_id % 23 == 0 payload is truncated to len//3
+    (container error path -> 'truncated_data_chunk'), else every
+    doc_id % 17 == 0 clip is synthesized one tone index OFF its claimed
+    clip_id (decodes cleanly, SNR ~4 dB -> verdict False with empty error —
+    the "audio doesn't match its metadata" class the SNR check exists for).
+
+    The oracle never parses bytes: encode (float64 two-sine synth,
+    truncate-toward-zero int16 quantization), decode (int16/32767) and the
+    float32 reference (double sin rounded to REAL — numpy computes sin in
+    float64 then .astype(float32), so CAST(... AS REAL) is bit-identical)
+    are replayed analytically per sample in DuckDB; measured |delta snr|
+    ~1e-14 dB, eleven orders below the round(3) grain."""
+    from json_skema_spark.functions import audio as jaudio
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from json_skema_spark.functions.audio import (encode_wav_pcm16,
+                                                      synth_reference_signal)
+        for pdf in batches:
+            rows = []
+            for k in pdf["doc_id"]:
+                k = int(k)
+                sr = 8000 if k % 2 == 0 else 16000
+                dur = 200 + (k * 131) % 401
+                tone = k + 1 if (k % 17 == 0 and k % 23 != 0) else k
+                buf = encode_wav_pcm16(synth_reference_signal(tone, sr, dur),
+                                       sr)
+                if k % 23 == 0:
+                    buf = buf[: len(buf) // 3]
+                rows.append((f"clip_{k:012x}", bytearray(buf), sr, dur,
+                             "pcm_s16le", "t"))
+            yield pd.DataFrame(rows, columns=[
+                "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"])
+
+    clips = ids.mapInPandas(
+        synth, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+               "codec string, transcript string")
+    checked = jaudio.pcm_invariant_check(clips, min_snr_db=30.0)
+    return checked.select(
+        F.conv(F.substring("clip_id", 6, 12), 16, 10).cast("long")
+        .alias("doc_id"),
+        "decode_ok", "error",
+        F.when(F.col("snr_db") == F.lit(float("-inf")),
+               F.lit(None).cast("double"))
+        .otherwise(F.round("snr_db", 3)).alias("snr_db"))
+
+
 def _q_token_stats_documents(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -1079,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_field_equality": _q_field_equality,
         "pack_greedy_ffd": _q_pack_greedy,
         "stream_violation_windows": _q_stream_violation_windows,
+        "audio_snr_verdicts": _q_audio_snr_verdicts,
     }
 
 
@@ -1963,6 +2024,53 @@ def oracle_sql() -> dict[str, str]:
                    keyword, count(*) AS n_violations
             FROM f WHERE ts IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "audio_snr_verdicts": """
+            -- analytic replay of the PCM16 encode/decode/SNR chain (never
+            -- parses WAV bytes): ref = double sin pair rounded to REAL then
+            -- upcast (numpy synthesizes sin in float64 and .astype(float32),
+            -- so CAST AS REAL is bit-identical); dec = trunc-toward-zero
+            -- int16 quantization of the float64 synth; measured |delta snr|
+            -- vs functions/audio.snr_db_periodic ~1e-14 dB (round(3) grain
+            -- is 5e-4). dur<=600ms so the reference is the one-period
+            -- prefix: t = k/sr with k < sr, no phase reduction needed.
+            WITH p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS sr,
+                     200 + (doc_id * 131) % 401 AS dur,
+                     220.0 + (doc_id % 16) AS f2_ref,
+                     CASE WHEN doc_id % 17 = 0 AND doc_id % 23 <> 0
+                          THEN 220.0 + ((doc_id + 1) % 16)
+                          ELSE 220.0 + (doc_id % 16) END AS f2_dec,
+                     doc_id % 23 = 0 AS corrupt
+              FROM documents
+            ), snr AS (
+              SELECT doc_id,
+                     round(10.0 * log10(sum(ref * ref)
+                                        / sum((ref - dec) * (ref - dec))),
+                           3) AS snr_db
+              FROM (
+                SELECT p.doc_id,
+                       CAST(CAST(0.5 * sin(2 * pi() * 220.0 * t)
+                                 + 0.25 * sin(2 * pi() * f2_ref * t) AS REAL)
+                            AS DOUBLE) AS ref,
+                       trunc((0.5 * sin(2 * pi() * 220.0 * t)
+                              + 0.25 * sin(2 * pi() * f2_dec * t))
+                             * 32767.0) / 32767.0 AS dec
+                FROM p,
+                     LATERAL (SELECT unnest(range(0, CAST(round(sr * dur
+                              / 1000.0) AS BIGINT))) AS k),
+                     LATERAL (SELECT CAST(k AS DOUBLE) / sr AS t)
+                WHERE NOT corrupt)
+              GROUP BY doc_id
+            )
+            SELECT p.doc_id,
+                   CASE WHEN corrupt THEN FALSE
+                        ELSE s.snr_db >= 30.0 END AS decode_ok,
+                   CASE WHEN corrupt THEN 'truncated_data_chunk'
+                        ELSE '' END AS error,
+                   CASE WHEN corrupt THEN NULL ELSE s.snr_db END AS snr_db
+            FROM p LEFT JOIN snr s USING (doc_id)
         """,
         # every queries() entry above has an oracle: md5-based hashes (not
         # xxhash64) and literal centroids (not in-query KMeans) were chosen
