@@ -335,8 +335,13 @@ def ngram_jaccard_near_duplicates(df: DataFrame, text_col: str, id_col: str,
 
     if prefix_filter:
         srt = F.sort_array(F.col("sh"))
+        # the 1e-9 keeps ceil from overshooting an exact integer product by
+        # one double ulp (e.g. t*|A| = k computing as k+2^-52): overshoot
+        # would SHORTEN the prefix below the lossless bound, while the
+        # epsilon can only lengthen it — the safe direction
         plen = (F.size("sh")
-                - F.ceil(F.lit(float(jaccard_threshold)) * F.size("sh"))
+                - F.ceil(F.lit(float(jaccard_threshold)) * F.size("sh")
+                         - F.lit(1e-9))
                 .cast("int") + F.lit(1))
         index_grams = F.slice(srt, 1, plen)
     else:

@@ -15,7 +15,11 @@ sandbox has no network and the reference's submodule is not checked out,
 so ``tests/suite/`` in this repo is a re-authored corpus in the official
 format, written from the public draft 2020-12 spec — not a copy of the
 suite files. Running ``run_suite`` against a real checkout requires no
-code changes.
+code changes. The corpus's expected verdicts are themselves crosschecked
+against python-jsonschema (an independent third implementation) in
+``tests/test_jsonschema_crosscheck.py``: every case agrees except two
+pinned, documented python-jsonschema divergences (float-modulo
+``multipleOf``; unimplemented ``$vocabulary`` keyword-disabling).
 
 Execution model: one Spark job per suite FILE — all of a file's tests
 become rows ``(group, test, payload)`` of a single DataFrame; each group's

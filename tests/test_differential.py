@@ -16,6 +16,40 @@ from pyspark.sql import types as T
 from json_skema_spark.plans.compile import Compiler
 from tests.reference_interp import validate as ref_validate
 
+try:
+    # third independent leg (python-jsonschema): triangulates the sweep —
+    # a spec misunderstanding SHARED by the engine and reference_interp
+    # (both authored in this repo) would pass two-way differential but
+    # disagree with the outside implementation. The generators emit only
+    # binary-exact multipleOf divisors (0.5/1/2/3) and no $vocabulary or
+    # format, so jsonschema's two known divergences (see
+    # test_jsonschema_crosscheck.py) are out of scope here by design.
+    import jsonschema as _jsonschema
+except ImportError:  # env-legit: sandbox images without the wheel
+    _jsonschema = None
+
+
+def _strip_absent(v):
+    """Map the engine's default null convention into jsonschema's model:
+    a null-valued field in a typed/lenient document means ABSENT (parquet
+    typed columns cannot distinguish the two), whereas python-jsonschema
+    would read Python None as JSON null. List elements are kept verbatim
+    (position matters; the generators emit no null elements)."""
+    if isinstance(v, dict):
+        return {k: _strip_absent(x) for k, x in v.items() if x is not None}
+    if isinstance(v, list):
+        return [_strip_absent(x) for x in v]
+    return v
+
+
+def third_validate(schema, inst):
+    # a null top-level instance is "absent" under the engine's lenient
+    # convention — vacuously valid, nothing for jsonschema to check
+    if _jsonschema is None or inst is None:
+        return None
+    return _jsonschema.Draft202012Validator(schema).is_valid(
+        _strip_absent(inst))
+
 RNG = np.random.default_rng(42)
 
 INTS = [-5, -1, 0, 1, 2, 3, 4, 5, 7, 10, 12, None]
@@ -201,9 +235,15 @@ def test_differential_random(spark, shape):
         c = comp.compile_value(F.col("v"), dtype)
         got = {r.i: r.p for r in df.select("i", c.passed.alias("p")).collect()}
         for i, v in enumerate(insts):
-            expected = ref_validate(_to_py(name, v), schema)
+            pv = _to_py(name, v)
+            expected = ref_validate(pv, schema)
             if got[i] != expected:
-                mismatches.append((schema, v, got[i], expected))
+                mismatches.append(("spark-vs-interp", schema, v,
+                                   got[i], expected))
+            third = third_validate(schema, pv)
+            if third is not None and third != expected:
+                mismatches.append(("jsonschema-vs-interp", schema, v,
+                                   third, expected))
     assert not mismatches, \
         f"{len(mismatches)} mismatches, first: {mismatches[0]}"
 
@@ -227,7 +267,12 @@ def test_differential_variant(spark):
         for i, v in enumerate(VARIANT_INSTANCES):
             expected = ref_validate(v, schema)
             if got[i] != expected:
-                mismatches.append((schema, v, got[i], expected))
+                mismatches.append(("spark-vs-interp", schema, v,
+                                   got[i], expected))
+            third = third_validate(schema, v)
+            if third is not None and third != expected:
+                mismatches.append(("jsonschema-vs-interp", schema, v,
+                                   third, expected))
     assert not mismatches, \
         f"{len(mismatches)} mismatches, first: {mismatches[0]}"
 
