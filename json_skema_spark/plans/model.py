@@ -104,8 +104,6 @@ def registry_from_dir(directory: str, base_uri: str = "") -> dict[str, Any]:
     return registry
 
 
-_ANCHOR_STOP_KEYWORDS = {"enum", "const"}  # raw-data subtrees; cf. SchemaLoader.kt:300-315
-
 # process-wide fetch memo, URI -> parsed document (the reference's
 # MemoizingSchemaClient cache, SchemaClient.kt:128-140): schema compiles are
 # driver-side and repeated per query, so each remote doc is fetched once
@@ -238,6 +236,9 @@ _SCHEMA_LIST_KW = {"allOf", "anyOf", "oneOf", "prefixItems"}
 _SCHEMA_VALUE_KW = {"items", "not", "if", "then", "else", "contains",
                     "additionalProperties", "propertyNames",
                     "unevaluatedItems", "unevaluatedProperties"}
+# identifier indexing additionally descends into contentSchema (a schema
+# position the validation-stripper doesn't touch)
+_INDEX_SCHEMA_VALUE_KW = _SCHEMA_VALUE_KW | {"contentSchema"}
 
 
 def strip_validation_keywords(node):
@@ -318,11 +319,19 @@ class Resolver:
                 # a $dynamicAnchor is also a plain anchor target
                 self._anchor_index.setdefault((base, dyn), node)
             self._scope_of[id(node)] = base
+            # recurse ONLY through known schema positions: identifiers in
+            # raw-data subtrees (enum/const/default) or under UNKNOWN
+            # keywords are not real identifiers and must not be indexed or
+            # rebase the scope (shouldStopAnchorLookup,
+            # SchemaLoader.kt:298-315; official suite unknownKeyword.json)
             for key, child in node.items():
-                if key in _ANCHOR_STOP_KEYWORDS:
-                    continue
-                self._index_document(child, base,
-                                     in_schema_map=key in _SCHEMA_MAP_KW)
+                if key in _SCHEMA_MAP_KW and isinstance(child, dict):
+                    self._index_document(child, base, in_schema_map=True)
+                elif key in _SCHEMA_LIST_KW and isinstance(child, list):
+                    for item in child:
+                        self._index_document(item, base)
+                elif key in _INDEX_SCHEMA_VALUE_KW:
+                    self._index_document(child, base)
         elif isinstance(node, list):
             for child in node:
                 self._index_document(child, base)

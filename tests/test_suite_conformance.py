@@ -54,6 +54,7 @@ REQUIRED_FILES = {
     "defs.json", "anchor.json", "dynamicRef.json", "id.json",
     "unevaluatedItems.json", "unevaluatedProperties.json",
     "infinite-loop-detection.json", "vocabulary.json",
+    "unknownKeyword.json",
     "optional/format/date.json", "optional/format/date-time.json",
     "optional/format/time.json", "optional/format/duration.json",
     "optional/format/email.json", "optional/format/ipv4.json",

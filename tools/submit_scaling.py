@@ -33,7 +33,12 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-LEVELS = (8, 32)
+# both N-vs-4N pairs, same rationale as tools/scaling_bench.py: 4->16
+# leaves per-core memory-bus headroom (the single-box analogue of adding
+# NODES, which bring their own bus); 8->32 saturates the shared bus, which
+# a real 4N-node cluster would not
+LEVELS = (4, 16, 8, 32)
+PAIRS = ((4, 16), (8, 32))
 CYCLES = int(os.environ.get("SPARK_GRAFT_SUBMIT_CYCLES", "2"))
 CLIPS_N = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "20000000"))
 AUDIO_N = int(os.environ.get("SPARK_GRAFT_AUDIO_N", "40000"))
@@ -129,18 +134,18 @@ def main() -> None:
             "package_source": all_runs[cpus][0]["package_source"],
             "n_runs": len(all_runs[cpus]),
         }
-    lo, hi = str(LEVELS[0]), str(LEVELS[1])
-    ratio = LEVELS[1] / LEVELS[0]
-    for fam in ("constraint", "audio"):
-        lo_p, hi_p = report["levels"][lo][fam], report["levels"][hi][fam]
-        # efficiency is only meaningful when BOTH legs found their floor
-        eff = (hi_p["rows_per_s"] / (ratio * lo_p["rows_per_s"])
-               if lo_p["rows_per_s"] else None)
-        report["efficiency"][fam] = {
-            "pair": f"local[{lo}]->local[{hi}]",
-            "raw": round(eff, 3) if eff is not None else None,
-            "valid": bool(lo_p["settled"] and hi_p["settled"]),
-        }
+    for lo, hi in PAIRS:
+        ratio = hi / lo
+        for fam in ("constraint", "audio"):
+            lo_p = report["levels"][str(lo)][fam]
+            hi_p = report["levels"][str(hi)][fam]
+            eff = hi_p["rows_per_s"] / (ratio * lo_p["rows_per_s"])
+            report["efficiency"][f"{fam}_{lo}to{hi}"] = {
+                "pair": f"local[{lo}]->local[{hi}]",
+                "raw": round(eff, 3),
+                # efficiency is only meaningful when BOTH legs found a floor
+                "valid": bool(lo_p["settled"] and hi_p["settled"]),
+            }
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     out_json = os.path.join(REPO, "BENCH", "submit_scaling_r05.json")
