@@ -18,7 +18,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -33,49 +32,8 @@ REPS = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "5"))
 from json_skema_spark.sources.clips import CLIPS_CONSTRAINT_SCHEMA as SCHEMA
 
 
-def _cpu_counters():
-    with open("/proc/stat") as f:
-        vals = list(map(int, f.readline().split()[1:]))
-    return vals
-
-
-def timed_with_steal(fn):
-    c0 = _cpu_counters()
-    t0 = time.time()
-    fn()
-    secs = time.time() - t0
-    c1 = _cpu_counters()
-    d = [b - a for a, b in zip(c0, c1)]
-    total = sum(d) or 1
-    steal_pct = 100.0 * d[7] / total
-    return secs, round(steal_pct, 2)
-
-
-def timed_floor(fn, min_reps=3, max_reps=9, tol=1.3):
-    """Rerun until the two best times agree within ``tol``, report the
-    MINIMUM over all runs — noisy-neighbor interference on this VM is
-    largely INVISIBLE to /proc/stat steal (observed 66s runs at 0.3% steal
-    vs a 5s idle floor; BENCH/BASELINE.md round-2 addendum), so agreement
-    between two independent runs, not a clean steal reading, is the signal
-    that the floor was reached. Per-run steal is recorded for the report
-    but does not gate selection.
-
-    Returns (best, runs, settled): ``settled`` is whether the two-best
-    agreement was ever reached — a leg that exhausts max_reps without
-    agreement never found its floor, and downstream decompositions must
-    not treat its minimum as one (review r05c)."""
-    runs = []
-    settled = False
-    for i in range(max_reps):
-        runs.append(timed_with_steal(fn))
-        # need two samples before the agreement test regardless of
-        # min_reps (SPARK_GRAFT_PROBE_REPS=1 used to IndexError here)
-        if i + 1 >= max(min_reps, 2):
-            ts = sorted(s for s, _ in runs)
-            if ts[1] <= ts[0] * tol:
-                settled = True
-                break
-    return min(s for s, _ in runs), runs, settled
+# timing helpers shared with tools/submit_probe.py via the package
+from json_skema_spark.timing import timed_floor  # noqa: E402
 
 
 def main() -> None:

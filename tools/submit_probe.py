@@ -22,39 +22,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import time
-
-
-def _cpu_counters():
-    with open("/proc/stat") as f:
-        return list(map(int, f.readline().split()[1:]))
-
-
-def _timed_with_steal(fn):
-    c0 = _cpu_counters()
-    t0 = time.time()
-    fn()
-    secs = time.time() - t0
-    c1 = _cpu_counters()
-    d = [b - a for a, b in zip(c0, c1)]
-    total = sum(d) or 1
-    return secs, round(100.0 * d[7] / total, 2)
-
-
-def _timed_floor(fn, min_reps=3, max_reps=9, tol=1.3):
-    # same floor-stability rule as tools/scaling_probe.timed_floor: the box
-    # has steal-invisible interference, so two independent runs agreeing
-    # within tol — not a clean steal reading — is the floor signal
-    runs = []
-    settled = False
-    for i in range(max_reps):
-        runs.append(_timed_with_steal(fn))
-        if i + 1 >= max(min_reps, 2):
-            ts = sorted(s for s, _ in runs)
-            if ts[1] <= ts[0] * tol:
-                settled = True
-                break
-    return min(s for s, _ in runs), runs, settled
 
 
 def main() -> None:
@@ -78,6 +45,9 @@ def main() -> None:
     from json_skema_spark import compile_schema
     from json_skema_spark.functions import audio as jaudio
     from json_skema_spark.sources.clips import CLIPS_CONSTRAINT_SCHEMA
+    # the SAME floor-stability rule as tools/scaling_probe.py, imported
+    # from the package (arrives via the --py-files zip)
+    from json_skema_spark.timing import timed_floor as _timed_floor
 
     # master / memory / shuffle partitions come from the spark-submit
     # command line — the driver must not override the cluster shape

@@ -15,9 +15,9 @@ fails HERE even when every in-process test is green.
     python tools/submit_scaling.py                # full 20M-row evidence run
     SPARK_GRAFT_CLIPS_N=200000 python tools/submit_scaling.py   # quick pass
 
-Writes BENCH/submit_scaling_r05.json and appends a Round-5 addendum section
-to BENCH/BASELINE.md (scaling_bench's regeneration preserves '## Round-N
-addendum' sections).
+Writes BENCH/submit_scaling_r05.json. The BASELINE.md addendum table is
+authored FROM that artifact by hand — after a rerun, reconcile the
+addendum's numbers with the fresh JSON.
 """
 
 from __future__ import annotations
