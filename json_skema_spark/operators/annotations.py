@@ -27,6 +27,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from json_skema_spark.operators.util import quoted_col
+
 
 def deprecated_paths(schema_doc: dict) -> list[tuple[str, list[Any]]]:
     """All (schema_pointer, instance_path) pairs whose subschema carries
@@ -70,13 +72,10 @@ def _presence(root: DataFrame, path: list[Any]) -> Column | None:
                 return base.isNotNull() & (F.size(base) > 0)
             return base.isNotNull() & F.exists(
                 base, lambda e: descend(e, rest))
-        # backtick-quote the top-level step: an unquoted F.col("a.b")
-        # parses as struct access a->b, failing analysis for a dotted
-        # column name — or silently counting a DIFFERENT nested field
-        # when both exist (review r04); _path_exists matched it as one
-        # exact fieldName, so resolve it as one
-        nxt = (F.col("`" + step.replace("`", "``") + "`")
-               if col is None else col.getField(step))
+        # quote the top-level step (util.quoted_col — this module is where
+        # the fix originated in r04): _path_exists matched it as one exact
+        # fieldName, so it must resolve as one, never as struct access
+        nxt = quoted_col(step) if col is None else col.getField(step)
         if not rest:
             return nxt.isNotNull()
         return nxt.isNotNull() & descend(nxt, rest)
@@ -125,7 +124,10 @@ def deprecated_usage(df: DataFrame, schema_doc: dict) -> DataFrame:
             continue
         slot = f"_c{len(counters)}"
         counters.append((ptr, ".".join(str(s) for s in path)))
-        aggs.append(F.sum(pres.cast("long")).alias(slot))
+        # coalesce: F.sum over a ZERO-ROW table is NULL, and a consumer's
+        # "n_present == 0 -> safe to delete" check must read 0 (review r05c)
+        aggs.append(F.coalesce(F.sum(pres.cast("long")), F.lit(0))
+                    .alias(slot))
     if not counters:
         return spark.createDataFrame(
             [], "schema_pointer string, property_path string, "

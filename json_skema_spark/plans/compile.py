@@ -1625,7 +1625,14 @@ class Compiler:
 
 
 def compile_schema(schema_doc: Any, struct_type: T.StructType, **kwargs):
-    """Compile ``schema_doc`` against a table schema; returns a ValidationPlan."""
+    """Compile ``schema_doc`` against a table schema; returns a ValidationPlan.
+
+    Forces the full-message compile so schema mistakes raise HERE —
+    before callers (runner.validate_table) create manifests or output
+    dirs — while ValidationPlan itself stays lazy for light-only
+    streaming consumers (review r05c)."""
     from json_skema_spark.plans.verdict import ValidationPlan
 
-    return ValidationPlan(Compiler(schema_doc, **kwargs), struct_type)
+    plan = ValidationPlan(Compiler(schema_doc, **kwargs), struct_type)
+    plan._compiled  # noqa: B018 — force compile errors to surface now
+    return plan

@@ -38,7 +38,21 @@ class ValidationPlan:
     def __init__(self, compiler: Compiler, struct_type: T.StructType):
         self.compiler = compiler
         self.struct_type = struct_type
-        self._compiled: Compiled = compiler.compile_root(struct_type)
+        self._full_compiled: Compiled | None = None
+        self._light_compiled: Compiled | None = None
+
+    @property
+    def _compiled(self) -> Compiled:
+        """Full-message compile, LAZY: light-only consumers
+        (``violation_rate`` reads only ``_light().passed/failures``) no
+        longer pay a second full-message compile_root they never use
+        (review r05c). Batch entry points that want schema mistakes to
+        raise at construction — before manifests/output dirs exist —
+        force it via ``compile.compile_schema``."""
+        if self._full_compiled is None:
+            self._full_compiled = self.compiler.compile_root(
+                self.struct_type)
+        return self._full_compiled
 
     @property
     def passed(self) -> Column:
@@ -134,7 +148,7 @@ class ValidationPlan:
 
     def _light(self) -> Compiled:
         """The same compiled plan with empty failure messages (lazy)."""
-        if getattr(self, "_light_compiled", None) is None:
+        if self._light_compiled is None:
             from json_skema_spark.plans.compile import light_messages
             with light_messages():
                 self._light_compiled = self.compiler.compile_root(

@@ -29,16 +29,23 @@ def exact_dedup_stream(stream_df: DataFrame, text_col: str, ts_col: str, *,
     """Drop content-duplicate rows from a stream, state bounded by
     ``watermark``. Output: the input rows, first occurrence per digest."""
     wm = stream_df.withWatermark(ts_col, watermark)
+    # a user column literally named "_digest" (e.g. batch-dedup output
+    # re-ingested) would be OVERWRITTEN by withColumn and then dropped from
+    # only this branch, failing the unionByName — pick a collision-free
+    # internal name instead (review r05c)
+    digest_col = "_digest"
+    while digest_col in stream_df.columns:
+        digest_col += "_"
     # null text -> null digest, and dropDuplicatesWithinWatermark groups
     # null keys together: all-but-first null-text rows would be silently
     # DROPPED as "duplicates" of content that was never compared. Null-text
     # rows bypass dedup instead (they are not duplicates of anything).
     deduped = (wm.filter(F.col(text_col).isNotNull())
-               .withColumn("_digest",
+               .withColumn(digest_col,
                            content_digest(F.col(text_col),
                                           normalize=normalize))
-               .dropDuplicatesWithinWatermark(["_digest"])
-               .drop("_digest"))
+               .dropDuplicatesWithinWatermark([digest_col])
+               .drop(digest_col))
     return deduped.unionByName(wm.filter(F.col(text_col).isNull()))
 
 
