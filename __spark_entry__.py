@@ -1677,8 +1677,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_quality": f"""
             WITH q AS (SELECT doc_id, length(text) AS n_chars,
-                len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
-                len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                len(regexp_extract_all(text, '\\p{{L}}')) AS n_alpha,
+                len(regexp_extract_all(text, '[^\\p{{L}}\\p{{N}}_\\s]')) AS n_punct,
                 length(regexp_replace(text, '\\s+', '', 'g')) AS n_wchars,
                 len({_TOKENS}) AS n_tok FROM documents),
             b AS (SELECT doc_id,
@@ -1788,8 +1788,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE coalesce(
                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '42'), 1, 8))::UBIGINT
                     / 4294967296.0,
-                    ('0x' || substr(md5(chr(0) || 'null' || '42'), 1, 8))::UBIGINT
-                    / 4294967296.0)
+                    1.0 - 1.0 / 4294967296.0)
                   < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
                               WHEN 'fr' THEN 1.0 ELSE 0.1 END
         """,

@@ -248,9 +248,13 @@ def duration_consistency_violations(df: DataFrame, *,
                 sig, dec_sr, err = _decode_with(decoders, codec, buf)
                 # decoder-reported rate, claimed sr_hz as the fallback
                 # (same convention as pcm_invariant_check)
-                eff_sr = dec_sr if dec_sr else (
+                # sr <= 0 containment like the sibling UDFs (r04/r05c): a
+                # decoder-reported or claimed NEGATIVE rate would flow into
+                # the duration math and emit bogus negative-duration
+                # violations for every such clip
+                eff_sr = dec_sr if dec_sr and dec_sr > 0 else (
                     None if pd.isna(sr) else int(sr))
-                if sig is None or not eff_sr or pd.isna(dur):
+                if sig is None or not eff_sr or eff_sr <= 0 or pd.isna(dur):
                     # null dur_ms arrives as NaN; int(NaN) raises and would
                     # abort the job — a missing claim is required's problem,
                     # not a duration-consistency violation (ADVICE r01)

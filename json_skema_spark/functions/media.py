@@ -153,9 +153,20 @@ def _decode_image(decoders, codec: Any, buf: Any):
     fn = decoders.get(codec)
     if fn is not None:
         try:
-            return fn(buf)
+            img, err = fn(buf)
         except Exception as exc:
             return None, f"decode_error:{type(exc).__name__}"
+        if img is not None:
+            # validate the shape INSIDE the containment boundary: a
+            # third-party decoder returning a 2-D grayscale array (e.g.
+            # PIL.Image.open without .convert('RGB')) previously raised
+            # IndexError at img.shape[2] in the mapInPandas loop — task
+            # death, not a per-row verdict (review r05c)
+            arr = np.asarray(img)
+            if arr.ndim != 3 or arr.shape[2] < 1:
+                return None, f"decode_error:bad_shape:{'x'.join(map(str, arr.shape))}"
+            return arr, err
+        return img, err
     if codec in known:
         return None, f"codec_not_supported:{codec}"
     return None, f"unknown_codec:{codec}"

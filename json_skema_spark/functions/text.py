@@ -83,10 +83,16 @@ def quality_score(col: Column) -> Column:
     band (0.2) — Gopher-rules-style thresholds. Mean word length counts
     only non-whitespace characters (``n_chars/n_tok`` would charge every
     token ~1 extra character for its separating space and misband
-    short-word documents near the 3.0 boundary)."""
+    short-word documents near the 3.0 boundary). Alpha/punct classes are
+    UNICODE letter/number categories (``\\p{L}``/``\\p{N}`` — identical in
+    Java regex and DuckDB's RE2): the previous ASCII ``[A-Za-z]``/``\\w``
+    counted every accented letter as punctuation AND as non-alpha,
+    systematically scoring clean non-English documents (the same languages
+    ``language_id`` supports) ~0.2-0.3 below identical English text
+    (review r05c)."""
     n_chars = F.length(col)
-    n_alpha = F.regexp_count(col, F.lit(r"[A-Za-z]"))
-    n_punct = F.regexp_count(col, F.lit(r"[^\w\s]"))
+    n_alpha = F.regexp_count(col, F.lit(r"\p{L}"))
+    n_punct = F.regexp_count(col, F.lit(r"[^\p{L}\p{N}_\s]"))
     n_wchars = F.length(F.regexp_replace(col, r"\s+", ""))
     toks = tokens(col)
     n_tok = F.size(toks)

@@ -23,7 +23,13 @@ from pyspark.sql import functions as F
 
 from json_skema_spark.operators.dedup import shingles
 
-_WS = re.compile(r"\s+")
+# Java \s, NOT Python \s: shingles() normalizes documents JVM-side with
+# regexp_replace(\s+), which is ASCII-only — a probe normalized with
+# Python's Unicode-aware \s would collapse NBSP/ideographic spaces the
+# document side keeps as word characters, making such probes silently
+# inert (review r05c)
+_JAVA_WS = " \t\n\x0b\f\r"
+_WS = re.compile(f"[{_JAVA_WS}]+")
 
 
 def _hits(text: Column, probes: list[str], n: int) -> Column:
@@ -41,8 +47,17 @@ def _hits(text: Column, probes: list[str], n: int) -> Column:
     A probe whose NORMALIZED word count differs from ``n`` can still never
     match a fixed-n shingle, so that raises.
     """
-    norm = [_WS.sub(" ", p.strip()).lower() for p in probes]
+    norm = [_WS.sub(" ", p.strip(_JAVA_WS)).lower() for p in probes]
     for p, p_norm in zip(probes, norm):
+        if not p_norm:
+            # ''.split(' ') == [''] would sneak an empty probe past the
+            # n=1 word count — and '' matches the degenerate '' shingle
+            # every empty document produces, flagging all empty-text rows
+            # as contaminated (review r05c)
+            raise ValueError(
+                f"probe {p!r} is empty after normalization — an empty "
+                "probe cannot identify benchmark text; drop it from the "
+                "probe set")
         w = len(p_norm.split(" "))
         if w != n:
             raise ValueError(

@@ -58,6 +58,12 @@ def chunk_assignments(df: DataFrame, id_col: str, tokens_col: str, *,
     The result is identical to the single-window formulation (prefix sums
     are associative; offsets correct the local sums regardless of where
     range boundaries land), so the DuckDB window oracle still matches.
+
+    NULL ``group_col`` values form their own group (SQL window
+    ``PARTITION BY`` semantics — the offsets join is null-safe, review
+    r05c). Duplicate ``id_col`` values get non-overlapping token ranges in
+    an unspecified tie order (ROWS frame; a RANGE frame would hand every
+    tied row the full peer-group sum — overlapping ranges, review r05c).
     """
     part = [group_col] if group_col else []
     # NULL token counts count as 0 (documented semantics, like the null
@@ -79,11 +85,25 @@ def chunk_assignments(df: DataFrame, id_col: str, tokens_col: str, *,
         "_off", (F.sum("_sub").over(w_off) - F.col("_sub")).cast("long")) \
         .drop("_sub")
 
-    # level-1: local running sums within each (slice, group)
-    w_loc = Window.partitionBy("_pid", *part).orderBy(F.col(id_col))
+    # level-1: local running sums within each (slice, group); ROWS frame —
+    # the default RANGE frame treats duplicate ids as peers and gives each
+    # tied row the whole peer-group sum (overlapping ranges, review r05c)
+    w_loc = Window.partitionBy("_pid", *part).orderBy(F.col(id_col)) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local_start = (F.sum(tokens_col).over(w_loc) - F.col(tokens_col)).cast("long")
-    joined = ranged.withColumn("_local_start", local_start) \
-        .join(offsets, ["_pid", *part]) \
+    local = ranged.withColumn("_local_start", local_start)
+    # null-safe join on the group key: a plain equi-join never matches
+    # NULL = NULL, silently DROPPING every null-group document — the
+    # single-window formulation this decomposition must equal treats NULL
+    # as an ordinary partition (review r05c)
+    off = offsets.withColumnRenamed("_pid", "_opid")
+    cond = F.col("_pid") == F.col("_opid")
+    drop_cols = ["_opid"]
+    for g in part:
+        off = off.withColumnRenamed(g, f"_og_{g}")
+        cond = cond & F.col(g).eqNullSafe(F.col(f"_og_{g}"))
+        drop_cols.append(f"_og_{g}")
+    joined = local.join(off, cond).drop(*drop_cols) \
         .withColumn("_start", (F.col("_local_start") + F.col("_off"))
                     .cast("long"))
     # chunk_id via `div` — EXACT integral division on longs. `/` on longs

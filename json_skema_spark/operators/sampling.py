@@ -39,9 +39,13 @@ def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
         rate = F.when(F.col(strata_col) == stratum, F.lit(float(r))) \
             .otherwise(rate)
     # NULL keys hash to NULL and an un-coalesced NULL predicate would
-    # silently drop them at ANY rate (review r04; same rule as
-    # contamination.decontaminate): give them a fixed deterministic draw
-    # instead, so rate=1.0 really keeps everything
+    # silently drop them at ANY rate (review r04). They cannot be
+    # deterministically SAMPLED either: any single shared draw keeps or
+    # drops the whole NULL-key population all-or-nothing at fractional
+    # rates (review r05c). The honest deterministic semantics: their draw
+    # is the supremum 1 - 2^-32 — kept only by a keep-everything rate
+    # >= 1.0, dropped by every fractional rate. Repair or filter NULL keys
+    # upstream (required/uniqueness checks) to include them in a mix.
     draw = F.coalesce(hash_fraction(F.col(key_col), seed),
-                      hash_fraction(F.lit("\x00null"), seed))
+                      F.lit(1.0 - 2.0 ** -32))
     return df.filter(draw < rate)

@@ -160,6 +160,127 @@ def test_compile_schema_still_fails_at_construction(spark):
         compile_schema({"properties": {"a": 5}}, st)
 
 
+def test_chunk_assignments_null_group_not_dropped(spark):
+    """NULL group_col rows form their own group (SQL PARTITION BY
+    semantics); the inner equi-join on the group key silently dropped
+    them (review r05c finding: null-safe join)."""
+    from json_skema_spark.operators.packing import chunk_assignments
+    rows = [("a", 5, None), ("b", 7, None), ("c", 3, "en"), ("d", 4, "en")]
+    df = spark.createDataFrame(rows, "id string, n long, lang string")
+    got = {r["id"]: r for r in chunk_assignments(
+        df, "id", "n", max_tokens=8, group_col="lang").collect()}
+    assert set(got) == {"a", "b", "c", "d"}  # nothing vanished
+    # NULL group stream: a(5) then b(7) -> starts 0, 5
+    assert (got["a"]["chunk_id"], got["a"]["chunk_offset"]) == (0, 0)
+    assert (got["b"]["chunk_id"], got["b"]["chunk_offset"]) == (0, 5)
+    # en stream independent: c(3) then d(4) -> starts 0, 3
+    assert (got["c"]["chunk_id"], got["c"]["chunk_offset"]) == (0, 0)
+    assert (got["d"]["chunk_id"], got["d"]["chunk_offset"]) == (0, 3)
+
+
+def test_chunk_assignments_duplicate_ids_non_overlapping(spark):
+    """Duplicate ids are window PEERS under the default RANGE frame — both
+    rows got the full peer sum and overlapping token ranges (review r05c:
+    ROWS frame)."""
+    from json_skema_spark.operators.packing import chunk_assignments
+    df = spark.createDataFrame([("x", 5), ("x", 7), ("y", 2)],
+                               "id string, n long")
+    out = chunk_assignments(df, "id", "n", max_tokens=100).collect()
+    starts = sorted(r["chunk_id"] * 100 + r["chunk_offset"] for r in out)
+    # concatenation order among the tied 'x' rows is unspecified, but the
+    # ranges must tile [0, 14): starts are prefix sums of SOME order
+    assert starts in ([0, 5, 12], [0, 7, 12])
+
+
+def test_stratified_sample_null_keys_deterministic(spark):
+    """NULL keys cannot be deterministically sampled: kept only by a
+    keep-everything rate >= 1.0, dropped by every fractional rate — never
+    the old all-or-nothing constant draw (review r05c)."""
+    from json_skema_spark.operators.sampling import stratified_sample
+    rows = [(None, "en")] * 5 + [(f"d{i}", "en") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    kept_full = stratified_sample(df, "doc_id", "lang", {"en": 1.0}).collect()
+    assert len(kept_full) == 15  # rate 1.0 keeps the null-key rows too
+    kept_half = stratified_sample(df, "doc_id", "lang", {"en": 0.5}).collect()
+    assert all(r["doc_id"] is not None for r in kept_half)
+
+
+def test_contamination_probe_java_whitespace_normal_form(spark):
+    """Probe normalization must match the JVM shingle normal form: Java \\s
+    is ASCII-only, so an NBSP inside a probe is a WORD character on both
+    sides — Python's Unicode \\s collapsed it and made the probe silently
+    inert (review r05c)."""
+    from json_skema_spark.operators.contamination import contamination_flags
+    probe = "alpha beta gamma"  # 2 words under ASCII whitespace
+    df = spark.createDataFrame(
+        [("1", f"xx {probe} yy"), ("2", "clean text here")],
+        "doc_id string, text string")
+    got = {r["doc_id"]: r["contaminated"] for r in contamination_flags(
+        df, "text", "doc_id", [probe], n=2).collect()}
+    assert got == {"1": True, "2": False}
+
+
+def test_contamination_empty_probe_raises(spark):
+    from json_skema_spark.operators.contamination import contamination_flags
+    df = spark.createDataFrame([("1", "")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="empty after normalization"):
+        contamination_flags(df, "text", "doc_id", ["   "], n=1)
+
+
+def test_quality_score_unicode_letters_not_punctuation(spark):
+    """Accented letters must count as alpha, not punctuation: identical
+    documents differing only in accents must score identically
+    (review r05c)."""
+    from json_skema_spark.functions.text import quality_score
+    base = "the quick brown fox jumps over the lazy dog again and again. " * 3
+    accented = base.replace("e", "é").replace("a", "á")
+    df = spark.createDataFrame([(base,), (accented,)], ["text"])
+    scores = [r[0] for r in
+              df.select(quality_score(F.col("text"))).collect()]
+    assert scores[0] == scores[1]
+
+
+def test_duration_consistency_contains_negative_rate_decoder(spark):
+    """A decoder reporting a NEGATIVE sample rate must be skipped like the
+    sibling UDFs' sr<=0 containment, not emit a bogus negative-duration
+    violation (review r05c)."""
+    import numpy as np
+
+    from json_skema_spark.functions import audio
+    from json_skema_spark.functions.audio_features import (
+        duration_consistency_violations)
+    audio.register_decoder("negsr", lambda buf: (np.zeros(4800), -48000, ""))
+    try:
+        df = spark.createDataFrame(
+            [("c1", "negsr", bytearray(b"xx"), 48000, 100)],
+            "clip_id string, codec string, bytes binary, sr_hz int, dur_ms int")
+        rows = duration_consistency_violations(df).collect()
+    finally:
+        audio.unregister_decoder("negsr")
+    # negative decoder rate, positive claimed rate: falls back to claimed
+    # 48000 -> 4800 samples = 100 ms = consistent -> no violation
+    assert rows == []
+
+
+def test_image_decode_contains_2d_decoder_output(spark):
+    """A registered decoder returning a 2-D grayscale array must degrade to
+    a per-row verdict, not IndexError the task (review r05c)."""
+    import numpy as np
+
+    from json_skema_spark.functions import media
+    media.register_image_decoder(
+        "gray2d", lambda buf: (np.zeros((4, 5), np.uint8), ""))
+    try:
+        df = spark.createDataFrame(
+            [("i1", "gray2d", bytearray(b"xx"))],
+            "image_id string, codec string, bytes binary")
+        r = media.image_decode_check(df).collect()[0]
+    finally:
+        media.unregister_image_decoder("gray2d")
+    assert not r["decode_ok"]
+    assert r["error"] == "decode_error:bad_shape:4x5"
+
+
 def test_deprecated_usage_dotted_column_still_counts(spark):
     """The quoted_col migration (review r05c finding 8) keeps the r04
     dotted-name behavior."""
