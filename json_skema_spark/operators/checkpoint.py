@@ -119,6 +119,10 @@ class PartitionManifest:
     def num_buckets(self) -> int | None:
         return self._state.get("num_buckets")
 
+    @property
+    def key(self) -> str | None:
+        return self._state.get("key")
+
     # -- run options (emit_clean, ref-staging fingerprint, lineage...) ----
     # Recorded so a RESUME into the same out_dir can detect that it was
     # invoked with different semantics than the run that committed buckets
@@ -192,6 +196,103 @@ def fs_exists(spark, path: str) -> bool:
     jvm = spark._jvm
     hp = jvm.org.apache.hadoop.fs.Path(path)
     return hp.getFileSystem(spark._jsc.hadoopConfiguration()).exists(hp)
+
+
+def _staged_bucket_ids(spark, path: str) -> list[int]:
+    """The ``_bucket=<id>`` partition ids actually present under a staging
+    directory (Hadoop FS listing — one metadata call)."""
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = []
+    for st in fs.listStatus(hp):
+        name = st.getPath().getName()
+        if name.startswith("_bucket="):
+            try:
+                out.append(int(name[len("_bucket="):]))
+            except ValueError:
+                pass
+    return out
+
+
+def _check_bucket_layout(spark, staging: str, num_buckets: int) -> None:
+    """Refuse a staging directory whose ``_bucket=<id>`` layout cannot be
+    this bucketing. Two silent-data-loss shapes (review r04 + r05c):
+
+    - NO ``_bucket=<id>`` dir at all — a typo'd path or an Iceberg
+      bucket-transform table's real naming (``<col>_bucket=0``): every
+      bucket would read as "genuinely empty" and be committed done without
+      opening a single row;
+    - a dir with id >= ``num_buckets`` — data bucketed MORE ways than this
+      invocation processes: the extra dirs' rows would silently never be
+      read, and bucket-locality assumptions (all copies of a key share a
+      bucket) break for the rows that were.
+    """
+    ids = _staged_bucket_ids(spark, staging)
+    if not ids:
+        raise ValueError(
+            f"staging dir {staging!r} contains no _bucket=<id> directory "
+            f"for any of the {num_buckets} buckets — every bucket would "
+            "be committed as empty. An Iceberg bucket-transform table "
+            "names its partition dirs '<col>_bucket=<id>'; re-expose them "
+            "as '_bucket=<id>' (or restage with stage_by_bucket)")
+    over = sorted(i for i in ids if i >= num_buckets)
+    if over:
+        raise ValueError(
+            f"staging dir {staging!r} holds _bucket={over[0]} (and "
+            f"{len(over) - 1} more) beyond num_buckets={num_buckets} — "
+            "the data is bucketed MORE ways than this run would read, so "
+            f"those buckets' rows would silently never be validated; run "
+            f"with num_buckets={max(ids) + 1} (or restage)")
+
+
+def _norm_nullability(dtype: T.DataType) -> T.DataType:
+    """The same type with every nullability flag forced True: parquet
+    footers may widen containsNull/nullable relative to the live source
+    schema, and that difference is harmless for an explicit-schema read —
+    only name/type drift is the silent-NULL hazard."""
+    if isinstance(dtype, T.StructType):
+        return T.StructType([
+            T.StructField(f.name, _norm_nullability(f.dataType), True)
+            for f in dtype.fields])
+    if isinstance(dtype, T.ArrayType):
+        return T.ArrayType(_norm_nullability(dtype.elementType), True)
+    if isinstance(dtype, T.MapType):
+        return T.MapType(_norm_nullability(dtype.keyType),
+                         _norm_nullability(dtype.valueType), True)
+    return dtype
+
+
+def _check_staged_schema(spark, staging: str,
+                         expected: T.StructType) -> None:
+    """Refuse staged files whose footer schema diverges from this
+    invocation's source schema: the explicit-schema bucket read would
+    return changed/new columns as all-NULL (or mistyped values), silently
+    diverging from the already-committed buckets (review r05c). One footer
+    read; the staged ``_bucket`` partition column and any extra staged
+    columns are ignored."""
+    try:
+        actual = {f.name: f.dataType
+                  for f in spark.read.parquet(staging).schema.fields}
+    except Exception as exc:
+        raise ValueError(
+            f"cannot read a schema from the staged data at {staging!r} "
+            f"({exc}) — refusing to treat every bucket as empty; delete "
+            "the manifest to restage") from exc
+    problems = []
+    for f in expected.fields:
+        got = actual.get(f.name)
+        if got is None:
+            problems.append(f"{f.name} missing from staged files")
+        elif _norm_nullability(got) != _norm_nullability(f.dataType):
+            problems.append(f"{f.name}: staged {got.simpleString()} != "
+                            f"source {f.dataType.simpleString()}")
+    if problems:
+        raise ValueError(
+            "staged data does not match this invocation's source schema "
+            f"({'; '.join(problems)}) — the source changed between "
+            "staging and resume; finish the resume against the original "
+            "source, or delete the manifest+staging to restage")
 
 
 def with_source_file(df: DataFrame, col_name: str = "_src_file") -> DataFrame:
@@ -319,6 +420,17 @@ def run_resumable(df: DataFrame, key: str, num_buckets: int,
                 "commit them done, silently skipping validation; rerun "
                 f"with num_buckets={manifest.num_buckets} or delete the "
                 "manifest to restage")
+        if manifest.key is not None and manifest.key != key:
+            # num_buckets gets the guard above; the KEY equally shapes the
+            # staged layout — resuming with a different key would read
+            # buckets co-located by the OLD key, silently breaking every
+            # bucket-local assumption (duplicates share a bucket,
+            # key-scoped process logic) (review r05c)
+            raise ValueError(
+                f"resume requested key={key!r} but the staged data was "
+                f"bucketed by {manifest.key!r} — bucket-local semantics "
+                "would silently break; rerun with the original key or "
+                "delete the manifest to restage")
         staging = pre_staged_dir or manifest.staging_dir or staging_dir \
             or os.path.join(manifest.dir, "staging")
         if not _exists(staging):
@@ -327,6 +439,12 @@ def run_resumable(df: DataFrame, key: str, num_buckets: int,
                 "not exist (cleaned tmp dir? node swap?) — refusing to "
                 "treat every bucket as empty; delete the manifest to "
                 "restage, or pass pre_staged_dir to the moved data")
+        # the elif branch's guards must hold HERE too: a wrong-but-existing
+        # pre_staged_dir override (or a source whose schema changed between
+        # staging and resume) would otherwise commit the remaining buckets
+        # as empty / all-NULL (review r05c)
+        _check_bucket_layout(spark, staging, num_buckets)
+        _check_staged_schema(spark, staging, schema)
     elif pre_staged_dir is not None:
         staging = pre_staged_dir
         # sanity-check the layout BEFORE marking staged: a typo'd path or
@@ -337,15 +455,12 @@ def run_resumable(df: DataFrame, key: str, num_buckets: int,
         if not _exists(pre_staged_dir):
             raise FileNotFoundError(
                 f"pre_staged_dir {pre_staged_dir!r} does not exist")
-        if not any(_exists(os.path.join(pre_staged_dir, f"_bucket={b}"))
-                   for b in range(num_buckets)):
-            raise ValueError(
-                f"pre_staged_dir {pre_staged_dir!r} contains no "
-                f"_bucket=<id> directory for any of the {num_buckets} "
-                "buckets — every bucket would be committed as empty. An "
-                "Iceberg bucket-transform table names its partition dirs "
-                "'<col>_bucket=<id>'; re-expose them as '_bucket=<id>' "
-                "(or restage with stage_by_bucket)")
+        _check_bucket_layout(spark, pre_staged_dir, num_buckets)
+        _check_staged_schema(
+            spark, pre_staged_dir,
+            # _src_file has its own friendlier message below
+            T.StructType([f for f in schema.fields
+                          if f.name != "_src_file"]))
         if capture_source_file:
             # pre-staged data (e.g. an Iceberg bucket-transform table) was
             # written by someone else: requesting lineage it does not

@@ -89,7 +89,10 @@ def profile(df: DataFrame, columns: list[str] | None = None, *,
     per_col_structs = F.array(*[
         F.struct(
             F.lit(name).alias("column_name"),
-            *[F.col(f"`{name}__prof_{fieldname}`").alias(fieldname)
+            # quoted_col, not manual backticks: a column name with an
+            # embedded backtick makes f"`{name}__...`" a MALFORMED quoted
+            # identifier (review r05c)
+            *[quoted_col(f"{name}__prof_{fieldname}").alias(fieldname)
               for fieldname in _PROFILE_FIELDS],
         )
         for name in columns
@@ -160,7 +163,8 @@ def mergeable_profile(df: DataFrame, columns: list[str] | None = None, *,
     wide = df.groupBy().agg(*aggs)
     structs = F.array(*[
         F.struct(F.lit(name).alias("column_name"),
-                 *[F.col(f"`{name}__m_{f}`").alias(f) for f in _MERGE_FIELDS])
+                 *[quoted_col(f"{name}__m_{f}").alias(f)
+                   for f in _MERGE_FIELDS])
         for name in columns])
     return (wide.select(F.explode(structs).alias("p"))
             .select("p.column_name", *[f"p.{f}" for f in _MERGE_FIELDS]))
@@ -242,7 +246,7 @@ def hll_sketches(df: DataFrame, columns: list[str], *,
         .alias(f"{name}__sketch") for name in columns])
     structs = F.array(*[
         F.struct(F.lit(name).alias("column_name"),
-                 F.col(f"`{name}__sketch`").alias("sketch"))
+                 quoted_col(f"{name}__sketch").alias("sketch"))
         for name in columns])
     return wide.select(F.explode(structs).alias("s")).select("s.column_name",
                                                              "s.sketch")

@@ -73,6 +73,15 @@ def duplicate_rows(df: DataFrame, key: str, *, salt_buckets: int = 64,
     the caller asserts its size via ``dup_keys_hint``; otherwise AQE picks
     broadcast vs shuffled hash join from runtime statistics."""
     from json_skema_spark.operators.referential import _maybe_broadcast
+    clash = [c for c in ("partition_id", "n_rows") if c in df.columns]
+    if clash:
+        # withColumn would silently OVERWRITE a user 'partition_id' column
+        # (wrong lineage reported), and a user 'n_rows' makes the join
+        # output ambiguous — same targeted refusal as stats.profile
+        # (review r04/r05c)
+        raise ValueError(
+            f"duplicate_rows adds output column(s) {clash} that the input "
+            "already carries — rename them first")
     dups = _maybe_broadcast(
         duplicate_keys(df, key, salt_buckets=salt_buckets)
         .select(F.col("key").alias(key), "n_rows"),

@@ -131,49 +131,65 @@ def start_streaming(spark: SparkSession, input_dir: str, out_dir: str, *,
         return w
 
     running = {}
-    if "verdicts" in queries:
-        v = validate_stream(stream, schema_doc).drop("failures")
-        running["verdicts"] = _writer(v, "verdicts").start()
-    if "violations" in queries:
-        running["violations"] = _writer(
-            violations_stream(stream, schema_doc, row_key),
-            "violations").start()
-    if "dedup" in queries:
-        running["dedup"] = _writer(
-            unique_key_stream(stream, row_key, ts_col,
-                              watermark=dedup_watermark),
-            "deduped").start()
-    if "drift" in queries:
-        running["drift"] = _writer(
-            windowed_drift(stream, baseline_map(baseline_profile), ts_col,
-                           window=drift_window, watermark=drift_watermark),
-            "drift").start()
-    if "tally" in queries:
-        # update-mode output (running totals re-emit changed keys) can't
-        # feed a parquet file sink directly; foreachBatch writes each
-        # batch's updated snapshot rows into a _batch_id=<id> partition
-        # dir with OVERWRITE — a crash between the parquet commit and the
-        # streaming-checkpoint commit replays the batch into the same dir
-        # idempotently (a blind append would double-write those rows —
-        # review r05). The latest partition per key is the current tally;
-        # the state store behind the checkpoint carries the running totals
-        # across kill/resume.
-        tally = running_violation_tally(stream, schema_doc, tally_key)
-        tally_path = os.path.join(out_dir, "tally")
+    try:
+        if "verdicts" in queries:
+            v = validate_stream(stream, schema_doc).drop("failures")
+            running["verdicts"] = _writer(v, "verdicts").start()
+        if "violations" in queries:
+            running["violations"] = _writer(
+                violations_stream(stream, schema_doc, row_key),
+                "violations").start()
+        if "dedup" in queries:
+            running["dedup"] = _writer(
+                unique_key_stream(stream, row_key, ts_col,
+                                  watermark=dedup_watermark),
+                "deduped").start()
+        if "drift" in queries:
+            running["drift"] = _writer(
+                windowed_drift(stream, baseline_map(baseline_profile), ts_col,
+                               window=drift_window, watermark=drift_watermark),
+                "drift").start()
+        if "tally" in queries:
+            # update-mode output (running totals re-emit changed keys) can't
+            # feed a parquet file sink directly; foreachBatch writes each
+            # batch's updated snapshot rows into a _batch_id=<id> partition
+            # dir with OVERWRITE — a crash between the parquet commit and the
+            # streaming-checkpoint commit replays the batch into the same dir
+            # idempotently (a blind append would double-write those rows —
+            # review r05). The latest partition per key is the current tally;
+            # the state store behind the checkpoint carries the running totals
+            # across kill/resume.
+            tally = running_violation_tally(stream, schema_doc, tally_key)
+            tally_path = os.path.join(out_dir, "tally")
 
-        def _write_tally(bdf: DataFrame, batch_id: int) -> None:
-            bdf.write.mode("overwrite").parquet(
-                os.path.join(tally_path, f"_batch_id={batch_id}"))
+            def _write_tally(bdf: DataFrame, batch_id: int) -> None:
+                bdf.write.mode("overwrite").parquet(
+                    os.path.join(tally_path, f"_batch_id={batch_id}"))
 
-        w = (tally.writeStream.outputMode("update")
-             .foreachBatch(_write_tally)
-             .option("checkpointLocation",
-                     os.path.join(out_dir, "_checkpoints", "tally"))
-             .queryName("json_skema_tally"))
-        if available_now:
-            w = w.trigger(availableNow=True)
-        running["tally"] = w.start()
-    return running
+            w = (tally.writeStream.outputMode("update")
+                 .foreachBatch(_write_tally)
+                 .option("checkpointLocation",
+                         os.path.join(out_dir, "_checkpoints", "tally"))
+                 .queryName("json_skema_tally"))
+            if available_now:
+                w = w.trigger(availableNow=True)
+            running["tally"] = w.start()
+        return running
+    except BaseException:
+        # failures Spark only raises at plan construction/.start()
+        # (non-timestamp --ts column, malformed interval strings,
+        # baseline_map's duplicate-column/empty-baseline errors) land
+        # AFTER earlier queries started — without this net they leak
+        # as orphaned active StreamingQueries and a retry against the
+        # same session fails with 'query ... is already active'
+        # (review r05c); the presence checks above catch only what a
+        # column listing can see
+        for q in running.values():
+            try:
+                q.stop()
+            except Exception:
+                pass
+        raise
 
 
 def await_streaming(running: dict) -> None:

@@ -281,6 +281,139 @@ def test_image_decode_contains_2d_decoder_output(spark):
     assert r["error"] == "decode_error:bad_shape:4x5"
 
 
+def test_start_streaming_failure_stops_started_queries(spark, tmp_path):
+    """A construction-time failure Spark raises only at .start() (here: a
+    bigint ts column — withWatermark needs a timestamp) must stop the
+    queries that already started, not leak them as active (review r05c)."""
+    from json_skema_spark.stream_runner import start_streaming
+    src = str(tmp_path / "in")
+    spark.createDataFrame([("c1", 5, 1000)],
+                          "clip_id string, v int, ts long") \
+        .write.parquet(src)
+    before = len(spark.streams.active)
+    with pytest.raises(Exception):
+        start_streaming(
+            spark, src, str(tmp_path / "out"),
+            schema_doc={"properties": {"v": {"minimum": 0}}},
+            input_schema="clip_id string, v int, ts long",
+            queries=("verdicts", "dedup"), available_now=True)
+    assert len(spark.streams.active) == before  # verdicts was stopped
+    # and a retry reaches the SAME root error, not 'already active'
+    with pytest.raises(Exception) as ei:
+        start_streaming(
+            spark, src, str(tmp_path / "out2"),
+            schema_doc={"properties": {"v": {"minimum": 0}}},
+            input_schema="clip_id string, v int, ts long",
+            queries=("verdicts", "dedup"), available_now=True)
+    assert "already active" not in str(ei.value)
+    assert len(spark.streams.active) == before
+
+
+def test_run_resumable_over_bucketed_pre_staged_refused(spark, tmp_path):
+    """Pre-staged data bucketed MORE ways than num_buckets previously
+    passed the any()-guard and the extra buckets were silently never read
+    (review r05c)."""
+    from json_skema_spark.operators import checkpoint
+    df = spark.createDataFrame([(f"c{i}", i) for i in range(50)],
+                               "clip_id string, v int")
+    staging = str(tmp_path / "staged4")
+    checkpoint.stage_by_bucket(df, "clip_id", 4, staging)
+    m = checkpoint.PartitionManifest(str(tmp_path / "_m"), spark)
+    with pytest.raises(ValueError, match="beyond num_buckets=2"):
+        checkpoint.run_resumable(df, "clip_id", 2, m, lambda b, i: {},
+                                 pre_staged_dir=staging)
+
+
+def test_run_resumable_resume_validates_overridden_pre_staged(spark,
+                                                              tmp_path):
+    """On RESUME, a wrong-but-existing pre_staged_dir override previously
+    skipped layout validation and committed every remaining bucket as
+    empty (review r05c)."""
+    from json_skema_spark.operators import checkpoint
+    df = spark.createDataFrame([(f"c{i}", i) for i in range(50)],
+                               "clip_id string, v int")
+    m = checkpoint.PartitionManifest(str(tmp_path / "_m"), spark)
+
+    def boom(bucket_df, i):
+        if i == 1:
+            raise RuntimeError("crash")
+        return {"rows": bucket_df.count()}
+
+    with pytest.raises(RuntimeError):
+        checkpoint.run_resumable(df, "clip_id", 2, m, boom)
+    wrong = tmp_path / "not_staging"
+    wrong.mkdir()
+    m2 = checkpoint.PartitionManifest(str(tmp_path / "_m"), spark)
+    with pytest.raises(ValueError, match="no _bucket=<id> directory"):
+        checkpoint.run_resumable(df, "clip_id", 2, m2, lambda b, i: {},
+                                 pre_staged_dir=str(wrong))
+
+
+def test_run_resumable_resume_key_mismatch_refused(spark, tmp_path):
+    from json_skema_spark.operators import checkpoint
+    df = spark.createDataFrame([(f"c{i}", i) for i in range(20)],
+                               "clip_id string, v int")
+    m = checkpoint.PartitionManifest(str(tmp_path / "_m"), spark)
+
+    def boom(bucket_df, i):
+        raise RuntimeError("crash")
+
+    with pytest.raises(RuntimeError):
+        checkpoint.run_resumable(df, "clip_id", 2, m, boom)
+    m2 = checkpoint.PartitionManifest(str(tmp_path / "_m"), spark)
+    with pytest.raises(ValueError, match="bucketed by 'clip_id'"):
+        checkpoint.run_resumable(df, "v", 2, m2, lambda b, i: {})
+
+
+def test_run_resumable_resume_schema_drift_refused(spark, tmp_path):
+    """The source gaining a column between staging and resume previously
+    read it as all-NULL from the old staged files — spurious violations
+    diverging silently from the committed buckets (review r05c)."""
+    from json_skema_spark.operators import checkpoint
+    df = spark.createDataFrame([(f"c{i}", i) for i in range(20)],
+                               "clip_id string, v int")
+    m = checkpoint.PartitionManifest(str(tmp_path / "_m"), spark)
+
+    def boom(bucket_df, i):
+        if i == 1:
+            raise RuntimeError("crash")
+        return {}
+
+    with pytest.raises(RuntimeError):
+        checkpoint.run_resumable(df, "clip_id", 2, m, boom)
+    evolved = df.withColumn("lang", F.lit("en"))
+    m2 = checkpoint.PartitionManifest(str(tmp_path / "_m"), spark)
+    with pytest.raises(ValueError, match="lang missing from staged files"):
+        checkpoint.run_resumable(evolved, "clip_id", 2, m2, lambda b, i: {})
+    # the clean resume (same source) still completes
+    m3 = checkpoint.PartitionManifest(str(tmp_path / "_m"), spark)
+    metrics = checkpoint.run_resumable(df, "clip_id", 2, m3,
+                                       lambda b, i: {"rows": b.count()})
+    assert set(metrics) == {"0", "1"}
+
+
+def test_duplicate_rows_refuses_colliding_columns(spark):
+    """withColumn would silently overwrite a user 'partition_id' (wrong
+    lineage); 'n_rows' makes the join ambiguous (review r05c)."""
+    from json_skema_spark.operators.uniqueness import duplicate_rows
+    df = spark.createDataFrame([("k1", 7)], "clip_id string, partition_id int")
+    with pytest.raises(ValueError, match="partition_id"):
+        duplicate_rows(df, "clip_id")
+
+
+def test_profile_backtick_column_name(spark):
+    """Generated aggregate aliases are referenced via quoted_col — a
+    column name with an embedded backtick previously produced a malformed
+    quoted identifier (review r05c)."""
+    from json_skema_spark.operators.stats import profile
+    df = spark.createDataFrame([(1.0,), (None,)], ["v"]) \
+        .withColumnRenamed("v", "a`b")
+    rows = profile(df, ["a`b"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["column_name"] == "a`b"
+    assert rows[0]["null_fraction"] == 0.5
+
+
 def test_deprecated_usage_dotted_column_still_counts(spark):
     """The quoted_col migration (review r05c finding 8) keeps the r04
     dotted-name behavior."""
