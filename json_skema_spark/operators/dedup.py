@@ -529,6 +529,7 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_id_a",
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node"))
               .localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges["dst"] == labels["node"])
                  .groupBy("src").agg(F.min("label").alias("nlabel")))
@@ -559,8 +560,19 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_id_a",
         prev, labels = labels, jumped
         _release_local_checkpoint(prev)
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # falling out of the loop unconverged would return SPLIT clusters
+        # — several canonicals per true component, indistinguishable from
+        # a correct labeling — and drop_near_duplicates would silently
+        # KEEP those duplicates (review r05c)
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within max_iter="
+            f"{max_iter} pointer-jumping rounds — the pair graph contains "
+            "a chain longer than 2^max_iter; raise max_iter (rounds "
+            "needed ~ log2 of the longest chain)")
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"),
         (F.col("node") == F.col("label")).alias("is_canonical"))

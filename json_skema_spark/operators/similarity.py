@@ -72,6 +72,14 @@ def make_hyperplanes(dim: int, num_planes: int = 16, seed: int = 42) -> np.ndarr
 
 def lsh_bucket(embedding: Column, hyperplanes: np.ndarray) -> Column:
     """Sign-of-projection bucket id (0 .. 2^num_planes - 1), JVM-side."""
+    if len(hyperplanes) > 63:
+        # bit 63 is the sign bit: F.lit(2**63) is unrepresentable as a
+        # signed long and fails literal conversion at plan build
+        # (review r05c) — band the planes instead (bands x <=63)
+        raise ValueError(
+            f"{len(hyperplanes)} hyperplanes exceed the 63 bits a signed "
+            "long bucket id can carry — split them into bands of <= 63 "
+            "planes (ann_topk's bands/planes_per_band)")
     bucket = F.lit(0).cast("long")
     for i, h in enumerate(hyperplanes):
         bit = F.when(dot(embedding, _lit_vec(h)) > 0,
@@ -240,9 +248,16 @@ def embedding_near_duplicates(df: DataFrame, embedding_col: str, id_col: str, *,
         F.col(id_col).alias("doc_id"), emb.alias("e"))
     if persist_vectors:
         # reused by the banding stage, the bucket-size agg, and both
-        # verify joins (same rationale as minhash_near_duplicates)
+        # verify joins (same rationale as minhash_near_duplicates) — and
+        # tracked in the SAME release registry: an untracked persist pins
+        # block-manager storage for the application lifetime, the exact
+        # leak release_persisted_signatures() exists to drain
+        # (review r05c)
         from pyspark import StorageLevel
+
+        from json_skema_spark.operators.dedup import _PERSISTED_BASES
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED_BASES.append(base)
     banded = base.select(
         "doc_id", "e",
         F.explode(F.array(*[

@@ -33,6 +33,7 @@ no Spark jobs.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from fractions import Fraction
 from typing import Any
 
 # keywords where a LOWER value accepts more instances
@@ -103,11 +104,18 @@ def _hashable(v: Any):
 
 
 def _divides(a: Any, b: Any) -> bool:
+    """Is ``b`` an exact integer multiple of ``a`` — DECIMAL-exact
+    (``Fraction`` over the literal decimal strings, the same arithmetic
+    the compiler's scale-adaptive decimal multipleOf enforces). ANY
+    tolerance here is unsound: the r04 relative-1e-12 version certified
+    3 as "dividing" 3000000000001 (residue 1 within tolerance of 3e12),
+    classifying the change as pure widening and skipping re-validation of
+    rows the deployed v2 rejects (review r05c)."""
     try:
-        # RELATIVE tolerance: an absolute 1e-12 calls ANY pair of
-        # sub-picoscale divisors (e.g. 1.5e-13 vs 1e-13) integer multiples
-        # and wrongly certifies the change as widening (review r04)
-        return abs(round(b / a) * a - b) <= 1e-12 * abs(b)
+        if isinstance(a, bool) or isinstance(b, bool):
+            return False
+        q = Fraction(str(b)) / Fraction(str(a))
+        return q.denominator == 1
     except Exception:
         return False
 
@@ -494,24 +502,49 @@ def _contains_ref(node: Any) -> bool:
     return False
 
 
+def _declares_id(node: Any) -> bool:
+    if isinstance(node, dict):
+        if "$id" in node:
+            return True
+        return any(_declares_id(v) for v in node.values())
+    if isinstance(node, list):
+        return any(_declares_id(v) for v in node)
+    return False
+
+
 def _has_unlocalizable_ref(node: Any) -> bool:
     """True when the document contains an internal reference whose target
     the local diff cannot track: a ``$ref`` into the document body (e.g.
     ``#/properties/x`` — a change AT the target silently changes every ref
     site, which a structural diff of the sites cannot see), an anchor ref
     (``#name``), or any ``$dynamicRef`` (resolution depends on dynamic
-    scope). ``#/$defs/...`` targets are fine — a changed ``$defs`` already
-    forces the full-document fallback — and external URIs resolve through
-    a registry this diff does not claim to cover."""
+    scope, wherever it points). ``#/$defs/...`` targets are fine — a
+    changed ``$defs`` already forces the full-document fallback. External
+    URIs resolve through a registry this diff does not claim to cover —
+    UNLESS the document declares an ``$id`` anywhere, in which case an
+    absolute/relative ref can resolve back INTO this document (e.g.
+    ``$id: https://s`` + ``$ref: https://s#/properties/a``), the same
+    polarity-inversion blindness as a textual ``#/...`` ref
+    (review r05c); such documents are conservatively refused."""
+    return _scan_unlocalizable(node, _declares_id(node))
+
+
+def _scan_unlocalizable(node: Any, has_id: bool) -> bool:
     if isinstance(node, dict):
         for kw in ("$ref", "$dynamicRef"):
             v = node.get(kw)
-            if isinstance(v, str) and v.startswith("#"):
-                if kw == "$dynamicRef" or not v.startswith("#/$defs/"):
+            if not isinstance(v, str):
+                continue
+            if kw == "$dynamicRef":
+                return True
+            if v.startswith("#"):
+                if not v.startswith("#/$defs/"):
                     return True
-        return any(_has_unlocalizable_ref(v) for v in node.values())
+            elif has_id:
+                return True
+        return any(_scan_unlocalizable(v, has_id) for v in node.values())
     if isinstance(node, list):
-        return any(_has_unlocalizable_ref(v) for v in node)
+        return any(_scan_unlocalizable(v, has_id) for v in node)
     return False
 
 
@@ -545,6 +578,15 @@ def delta_schema(old_doc: Any, new_doc: Any) -> Any | None:
     if any(c.keyword == "$defs" for c in changes):
         # a changed definition alters every $ref site: local diff is blind
         return new_doc
+    if isinstance(d, dict) and isinstance(new_doc, dict) \
+            and "$schema" in new_doc and "$schema" not in d:
+        # an UNCHANGED $schema never appears in the diff, but the
+        # dialect's $vocabulary gates which keywords ASSERT (format-
+        # assertion on/off, validation vocab omitted): a $schema-less
+        # delta compiles under the default dialect and certifies rows the
+        # deployed v2 rejects — or flags rows it accepts (review r05c)
+        d = dict(d)
+        d["$schema"] = new_doc["$schema"]
     if isinstance(d, dict) and _contains_ref(d) \
             and isinstance(new_doc, dict) and "$defs" in new_doc \
             and "$defs" not in d:

@@ -345,7 +345,17 @@ class Resolver:
 
         Returns ``(node, new_scope)``.
         """
-        target = urljoin(scope or self.root_base or "", ref) if (scope or self.root_base) else ref
+        base = scope or self.root_base or ""
+        if ref.startswith("#") and base:
+            # fragment-only ref: RFC 3986 §5.2 resolves it against the
+            # base URI sans fragment REGARDLESS of scheme; urljoin only
+            # implements that for hierarchical schemes in uses_relative —
+            # under a urn: base it returns the bare fragment, silently
+            # re-rooting the pointer at the ROOT document instead of the
+            # urn-identified resource (review r05c)
+            target = urldefrag(base)[0] + ref
+        else:
+            target = urljoin(base, ref) if base else ref
         uri, frag = urldefrag(target)
         if uri:
             if uri in self._id_index:

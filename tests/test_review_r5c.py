@@ -414,6 +414,111 @@ def test_profile_backtick_column_name(spark):
     assert rows[0]["null_fraction"] == 0.5
 
 
+def test_compat_multiple_of_divisibility_is_exact():
+    """A tolerance-based divisibility check certified non-divisor
+    multipleOf changes as pure widening — skipping re-validation of rows
+    the deployed v2 rejects (review r05c)."""
+    from json_skema_spark.plans.compat import (delta_schema,
+                                               is_backward_compatible)
+    # 3 does NOT divide 3000000000001 (residue 1, inside the old 1e-12
+    # relative tolerance of ~3e12)
+    assert not is_backward_compatible({"multipleOf": 3000000000001},
+                                      {"multipleOf": 3})
+    assert delta_schema({"multipleOf": 3000000000001},
+                        {"multipleOf": 3}) is not None
+    # true divisor changes still widen, including decimal-exact floats
+    assert is_backward_compatible({"multipleOf": 4}, {"multipleOf": 2})
+    assert is_backward_compatible({"multipleOf": 0.1}, {"multipleOf": 0.05})
+    assert not is_backward_compatible({"multipleOf": 0.1},
+                                      {"multipleOf": 0.03})
+
+
+def test_compat_delta_carries_unchanged_schema_dialect():
+    """An unchanged $schema gates which keywords ASSERT via $vocabulary;
+    the delta must compile under the same dialect as v2 (review r05c)."""
+    from json_skema_spark.plans.compat import delta_schema
+    dialect = "https://example.test/dialect"
+    v1 = {"$schema": dialect, "minimum": 1}
+    v2 = {"$schema": dialect, "minimum": 5}
+    d = delta_schema(v1, v2)
+    assert d["$schema"] == dialect and d["minimum"] == 5
+
+
+def test_compat_absolute_uri_self_ref_refused():
+    """An $id-qualified absolute-URI self-reference under `not` inverts
+    polarity exactly like a textual '#/...' ref; it escaped the guard
+    because only '#'-prefixed refs were checked (review r05c)."""
+    from json_skema_spark.plans.compat import (delta_schema,
+                                               is_backward_compatible)
+    v1 = {"$id": "https://s", "properties": {"a": {"minimum": 5}},
+          "not": {"$ref": "https://s#/properties/a"}}
+    v2 = {"$id": "https://s", "properties": {"a": {"minimum": 3}},
+          "not": {"$ref": "https://s#/properties/a"}}
+    # the only keyword change is a widening, but the self-ref under `not`
+    # inverts it: instance 3 is v1-valid and v2-INVALID
+    assert not is_backward_compatible(v1, v2)
+    assert delta_schema(v1, v2) == v2
+
+
+def test_urn_base_fragment_ref_resolves_in_urn_resource(spark):
+    """A '#/$defs/...' ref inside a urn-identified subschema must resolve
+    against the urn resource, not re-root at the document (urljoin returns
+    the bare fragment for non-hierarchical schemes) (review r05c)."""
+    from pyspark.sql import types as T
+
+    from json_skema_spark.plans.compile import Compiler
+    doc = {"$defs": {"y": {"type": "string"}},
+           "properties": {"a": {"$id": "urn:foo",
+                                "$defs": {"y": {"type": "number"}},
+                                "$ref": "#/$defs/y"}}}
+    st = T.StructType([T.StructField("a", T.DoubleType())])
+    df = spark.createDataFrame([(5.0,)], st)
+    c = Compiler(doc).compile_value(
+        F.struct(F.col("a")).alias("v"),
+        T.StructType([T.StructField("a", T.DoubleType())]))
+    got = df.select(c.passed.alias("p")).collect()[0]["p"]
+    # urn resource says number -> 5.0 passes; the root's $defs/y (string)
+    # would have REJECTED it
+    assert got is True
+
+
+def test_embedding_persist_tracked_for_release(spark):
+    from json_skema_spark.operators import dedup
+    from json_skema_spark.operators.similarity import (
+        embedding_near_duplicates)
+    rows = [(f"d{i}", [float(i), 1.0, 0.5]) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id string, emb array<float>")
+    before = len(dedup._PERSISTED_BASES)
+    embedding_near_duplicates(df, "emb", "doc_id", dim=3,
+                              persist_vectors=True).collect()
+    assert len(dedup._PERSISTED_BASES) == before + 1
+    dedup.release_persisted_signatures()
+    assert not dedup._PERSISTED_BASES
+
+
+def test_duplicate_clusters_raises_on_non_convergence(spark):
+    """Exiting max_iter unconverged returned SPLIT clusters (multiple
+    canonicals per component) indistinguishable from a correct labeling
+    (review r05c)."""
+    from json_skema_spark.operators.dedup import duplicate_clusters
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(12)]
+    pairs = spark.createDataFrame(chain, "doc_id_a string, doc_id_b string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_iter=1)
+    # enough rounds: one cluster, one canonical
+    out = duplicate_clusters(pairs, max_iter=20).collect()
+    assert len({r["cluster_id"] for r in out}) == 1
+    assert sum(r["is_canonical"] for r in out) == 1
+
+
+def test_lsh_bucket_rejects_over_63_planes(spark):
+    from json_skema_spark.operators.similarity import ann_topk
+    df = spark.createDataFrame([("d0", [1.0, 0.0])],
+                               "doc_id string, emb array<float>")
+    with pytest.raises(ValueError, match="63 bits"):
+        ann_topk(df, "emb", "doc_id", [1.0, 0.0], num_planes=64)
+
+
 def test_deprecated_usage_dotted_column_still_counts(spark):
     """The quoted_col migration (review r05c finding 8) keeps the r04
     dotted-name behavior."""
