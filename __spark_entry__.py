@@ -373,7 +373,7 @@ def _q_audio_snr_verdicts(spark, sf_dir):
     return checked.select(
         F.conv(F.substring("clip_id", 6, 12), 16, 10).cast("long")
         .alias("doc_id"),
-        "decode_ok", "error",
+        "invariant_ok", "error",
         F.when(F.col("snr_db") == F.lit(float("-inf")),
                F.lit(None).cast("double"))
         .otherwise(F.round("snr_db", 3)).alias("snr_db"))
@@ -2065,7 +2065,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT p.doc_id,
                    CASE WHEN corrupt THEN FALSE
-                        ELSE s.snr_db >= 30.0 END AS decode_ok,
+                        ELSE s.snr_db >= 30.0 END AS invariant_ok,
                    CASE WHEN corrupt THEN 'truncated_data_chunk'
                         ELSE '' END AS error,
                    CASE WHEN corrupt THEN NULL ELSE s.snr_db END AS snr_db

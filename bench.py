@@ -175,7 +175,7 @@ def main() -> None:
     an = AUDIO_N
 
     def run_audio():
-        return audio.pcm_invariant_check(aclips).groupBy("decode_ok").count().collect()
+        return audio.pcm_invariant_check(aclips).groupBy("invariant_ok").count().collect()
 
     timed(run_audio)  # warm-up pass (spins up every Python worker)
     audio_secs, audio_reps = timed_floor_with_reps(run_audio, max_reps=9)

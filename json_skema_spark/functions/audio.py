@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 DECODE_SCHEMA = ("clip_id string, decode_ok boolean, error string, "
                  "sr_hz_decoded int, n_samples long")
-SNR_SCHEMA = ("clip_id string, decode_ok boolean, snr_db double, "
+SNR_SCHEMA = ("clip_id string, invariant_ok boolean, snr_db double, "
               "transcript_ok boolean, error string")
 
 # largest header-claimed sample rate for which the SNR checker caches a
@@ -335,7 +335,12 @@ def pcm_invariant_check(df: DataFrame, ref_transcripts: DataFrame | None = None,
     ``transcript_ok=False`` with ``error="missing_reference_transcript"``
     so it is distinguishable from a genuine text mismatch.
 
-    Output: (clip_id, decode_ok, snr_db, transcript_ok, error).
+    Output: (clip_id, invariant_ok, snr_db, transcript_ok, error) —
+    ``invariant_ok`` is the PER-ROW INVARIANT verdict (decode AND SNR AND
+    metadata AND optional duration), deliberately NOT named decode_ok:
+    ``decode_check``'s column of that name means only "decoder returned a
+    signal", and sharing the name over-counted decode failures in any
+    consumer comparing the two outputs (review r05c).
     """
     cols = ["clip_id", "codec", "bytes", "sr_hz", "dur_ms", "transcript"]
     base = df.select(*cols)
@@ -434,7 +439,7 @@ def pcm_invariant_check(df: DataFrame, ref_transcripts: DataFrame | None = None,
                     errs[idx] = "null_transcript" if tr_null \
                         else "missing_reference_transcript"
             yield pd.DataFrame({
-                "clip_id": pdf["clip_id"], "decode_ok": ok, "snr_db": snr,
+                "clip_id": pdf["clip_id"], "invariant_ok": ok, "snr_db": snr,
                 "transcript_ok": terr, "error": errs})
 
     return base.mapInPandas(run, SNR_SCHEMA)
@@ -451,14 +456,14 @@ def audio_violations(df: DataFrame, *, min_snr_db: float = 30.0,
     runner.py's pipeline had no way to turn them on (review r04)."""
     checked = pcm_invariant_check(df, ref_transcripts, min_snr_db=min_snr_db,
                                   **invariant_kwargs)
-    bad = checked.filter(~F.col("decode_ok") | ~F.col("transcript_ok"))
+    bad = checked.filter(~F.col("invariant_ok") | ~F.col("transcript_ok"))
     return bad.select(
         F.col("clip_id").alias("row_key"),
         F.lit("format").alias("keyword"),
         F.lit("#/properties/bytes/format").alias("keyword_location"),
         F.lit("#/bytes").alias("instance_location"),
         F.lit("#/properties/bytes/format").alias("dynamic_path"),
-        F.when(~F.col("decode_ok"),
+        F.when(~F.col("invariant_ok"),
                F.concat(F.lit(f"decoded PCM SNR below {min_snr_db} dB or decode "
                               "failed: "), F.coalesce(F.col("error"), F.lit(""))))
         .when(F.col("error") == "missing_reference_transcript",

@@ -21,7 +21,11 @@ _STOPWORDS = {
     "hu": ["a", "az", "és", "hogy", "nem", "egy", "van", "de", "is", "meg"],
 }
 
-_BPE_ISH = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
+# Unicode letter/number runs (same migration as quality_score, review
+# r05c): the ASCII version counted every accented letter as its own
+# punctuation token — 'café' was 2 tokens — inflating counts for the
+# languages language_id supports
+_BPE_ISH = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]"
 
 
 def md5_hex_slice(col: Column, start: int, length: int, *,

@@ -997,9 +997,12 @@ class Compiler:
                     location=f"{kw_loc}/multipleOf")
             if isinstance(inst.dtype, _INTEGERISH) and isinstance(d, int):
                 fail = gate & ~inst.is_absent() & (F.pmod(inst.col, F.lit(d)) != 0)
-            elif abs(float(d)) >= 1e26:
-                # divisor beyond decimal(38,12)'s integral range: exact
-                # decimal arithmetic impossible; double remainder
+            elif abs(float(d)) >= 1e26 or float(d) < 1e-30:
+                # divisor beyond decimal(38,12)'s integral range — or BELOW
+                # decimal scale 30 (the frac cap): a sub-1e-30 divisor
+                # casts to decimal ZERO and pmod raises DIVIDE_BY_ZERO
+                # under ANSI defaults (review r05c) — exact decimal
+                # arithmetic impossible either way; double remainder
                 fail = gate & ~inst.is_absent() & (
                     F.pmod(num, F.lit(float(d))) != 0)
             else:
@@ -1078,6 +1081,12 @@ class Compiler:
             return None  # format applies to strings only (Format.kt:23-160)
         if _is_variant(inst.dtype):
             scol = F.when(vt.is_string(inst.col), vt.as_string(inst.col))
+        elif isinstance(inst.dtype, _TEMPORAL):
+            # temporal columns ARE json strings (_json_type_of): assert
+            # the format over the canonical text like _string_keywords
+            # does, instead of silently passing what `type: "string"`
+            # just accepted (review r05c)
+            scol = inst.col.cast("string")
         elif isinstance(inst.dtype, _STRINGISH):
             scol = inst.col
         else:
@@ -1435,6 +1444,17 @@ class Compiler:
     # -- combinators (§2.e) ------------------------------------------------
     def _combinators(self, node: dict, inst: Inst, kw_loc: str, dyn: str,
                      scope: tuple, depth: int, res: NodeResult, add) -> None:
+        for comb in ("allOf", "anyOf", "oneOf"):
+            if comb in node and (not isinstance(node[comb], list)
+                                 or not node[comb]):
+                # 2020-12 core: these MUST be non-empty arrays. An empty
+                # anyOf previously raised a raw IndexError that escaped
+                # the CompileError contract — bypassing the aggregate
+                # collector and aborting whole suite files instead of
+                # recording one per-group compile failure (review r05c)
+                raise CompileError(
+                    f"{comb} must be a non-empty array of schemas, got "
+                    f"{node[comb]!r}", location=f"{kw_loc}/{comb}")
         if "allOf" in node:
             # all subschemas pass; all failures collected (Validator.kt:783-795)
             for i, sub in enumerate(node["allOf"]):

@@ -266,12 +266,27 @@ def yaml_to_json(df: DataFrame, yaml_col: str, *,
 
         import yaml as _yaml
 
+        import base64 as _b64
+        import datetime as _dt
+
+        def _scalar(o):
+            # PyYAML resolves unquoted dates/timestamps/binary scalars to
+            # Python objects json.dumps can't serialize; without this a
+            # PARSEABLE document silently became NULL (= absent), so its
+            # schema violations passed undetected (review r05c) — render
+            # them as their canonical text instead
+            if isinstance(o, (_dt.date, _dt.datetime)):
+                return o.isoformat()
+            if isinstance(o, (bytes, bytearray)):
+                return _b64.b64encode(bytes(o)).decode("ascii")
+            raise TypeError(f"unrepresentable YAML scalar: {type(o).__name__}")
+
         def conv(v):
             if v is None:
                 return None
             try:
                 return _json.dumps(_yaml.safe_load(v), ensure_ascii=False,
-                                   separators=(",", ":"))
+                                   separators=(",", ":"), default=_scalar)
             except Exception:
                 return None  # malformed YAML = absent payload (verdict, not crash)
 
@@ -294,7 +309,10 @@ def validate_yaml_column(df: DataFrame, yaml_col: str, schema_doc: Any, *,
     (YamlSupport.kt:12-54 feeding the same Validator) re-expressed over a
     column."""
     tmp = "_yaml_as_json"
-    while tmp in df.columns:  # never clobber a caller's column
+    # never clobber a caller's column — NOR out_col itself: tmp == out_col
+    # would overwrite the temp with the verdict and then drop(tmp) deletes
+    # the just-written verdict, returning no output column (review r05c)
+    while tmp in df.columns or tmp == out_col:
         tmp = "_" + tmp
     converted = yaml_to_json(df, yaml_col, out_col=tmp)
     parsed = F.parse_json(F.col(tmp))

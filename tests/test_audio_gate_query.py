@@ -33,7 +33,7 @@ def test_truncated_payloads_fail_with_container_error(verdicts):
     corrupt = {k: v for k, v in verdicts.items() if k % 23 == 0}
     assert corrupt, "fixture must inject truncated payloads"
     for v in corrupt.values():
-        assert v["decode_ok"] is False
+        assert v["invariant_ok"] is False
         assert v["error"] == "truncated_data_chunk"
         assert v["snr_db"] is None
 
@@ -47,7 +47,7 @@ def test_wrong_tone_decodes_but_fails_snr(verdicts):
            if k % 17 == 0 and k % 23 != 0}
     assert off, "fixture must inject wrong-tone clips"
     for v in off.values():
-        assert v["decode_ok"] is False
+        assert v["invariant_ok"] is False
         assert v["error"] == ""
         assert v["snr_db"] is not None and v["snr_db"] < 10.0
 
@@ -57,7 +57,7 @@ def test_clean_clips_pass_well_above_threshold(verdicts):
              if k % 23 != 0 and k % 17 != 0}
     assert clean
     for v in clean.values():
-        assert v["decode_ok"] is True
+        assert v["invariant_ok"] is True
         assert v["error"] == ""
         # PCM16 truncation noise vs float32 reference: ~86-90 dB on this
         # signal; 60 leaves headroom while staying far above the 30 dB gate

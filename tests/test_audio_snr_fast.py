@@ -88,9 +88,9 @@ def test_mismatched_signal_still_fails(spark):
         rows, "clip_id string, codec string, bytes binary, sr_hz int, "
               "dur_ms int, transcript string")
     out = {r.clip_id: r for r in audio.pcm_invariant_check(df).collect()}
-    assert out["clip_000000000000"].decode_ok
+    assert out["clip_000000000000"].invariant_ok
     assert out["clip_000000000000"].snr_db >= 30
-    assert not out["clip_000000000001"].decode_ok
+    assert not out["clip_000000000001"].invariant_ok
     assert out["clip_000000000001"].snr_db < 30
 
 

@@ -36,7 +36,7 @@ def test_pcm_invariant_on_clips(spark):
     pcm = [r for r in out if r.error == ""]
     stubbed = [r for r in out if r.error.startswith("codec_not_supported")]
     assert len(pcm) + len(stubbed) >= len(out) - 2  # unknown codecs rare w/o inject
-    assert all(r.decode_ok and r.snr_db >= 30 for r in pcm)
+    assert all(r.invariant_ok and r.snr_db >= 30 for r in pcm)
     assert all(r.transcript_ok for r in out)
 
 
@@ -70,15 +70,15 @@ def test_decoder_registry_pins_integration_contract(spark):
     audio.register_decoder("flac", fake_flac)
     try:
         out = {r.clip_id: r for r in audio.pcm_invariant_check(df).collect()}
-        assert out["clip_000000000000"].decode_ok
+        assert out["clip_000000000000"].invariant_ok
         assert out["clip_000000000000"].snr_db >= 30
-        assert not out["clip_000000000001"].decode_ok
+        assert not out["clip_000000000001"].invariant_ok
         assert out["clip_000000000001"].error == "not_flac"
 
         # a decoder that raises is contained as a verdict, never a task kill
         audio.register_decoder("flac", lambda buf: 1 / 0)
         out2 = {r.clip_id: r for r in audio.pcm_invariant_check(df).collect()}
-        assert all(not r.decode_ok for r in out2.values())
+        assert all(not r.invariant_ok for r in out2.values())
         assert all(r.error.startswith("decode_error:") for r in out2.values())
     finally:
         audio.unregister_decoder("flac")
@@ -143,7 +143,7 @@ def test_null_metadata_reported_not_raised(spark):
     missing = [r for r in out if r.error == "missing_metadata"]
     # null dur_ms rows are unverifiable -> reported; null sr_hz rows still
     # verify via the decoded sample rate (dec_sr wins over claimed sr_hz)
-    assert missing and all(not r.decode_ok for r in missing)
+    assert missing and all(not r.invariant_ok for r in missing)
     # duration-consistency check also survives the same dirty rows
     from json_skema_spark.functions import audio_features
     audio_features.duration_consistency_violations(dirty).collect()
@@ -185,11 +185,11 @@ def test_pcm_check_duration_and_missing_reference(spark):
               "codec string, transcript string")
     strict = {r.clip_id: r for r in
               pcm_invariant_check(df, check_duration=True).collect()}
-    assert strict["clip_000000000007"].decode_ok
-    assert not strict["clip_000000000008"].decode_ok
+    assert strict["clip_000000000007"].invariant_ok
+    assert not strict["clip_000000000008"].invariant_ok
     assert "duration_mismatch" in strict["clip_000000000008"].error
     lax = {r.clip_id: r for r in pcm_invariant_check(df).collect()}
-    assert lax["clip_000000000008"].decode_ok  # prefix SNR passes w/o check
+    assert lax["clip_000000000008"].invariant_ok  # prefix SNR passes w/o check
 
     ref = spark.createDataFrame([("clip_000000000007", "different")],
                                 "clip_id string, transcript string")

@@ -519,6 +519,94 @@ def test_lsh_bucket_rejects_over_63_planes(spark):
         ann_topk(df, "emb", "doc_id", [1.0, 0.0], num_planes=64)
 
 
+def test_yaml_date_scalars_still_validate(spark):
+    """PyYAML resolves unquoted dates to datetime.date; json.dumps raised
+    and the bare except nulled the whole PARSEABLE document, so its schema
+    violations passed undetected (review r05c)."""
+    from json_skema_spark.plans.verdict import validate_yaml_column
+    rows = [("a", "created: 2024-01-01\nn: 5"),
+            ("b", "created: 2024-01-01\nn: 99")]
+    df = spark.createDataFrame(rows, "id string, y string")
+    out = validate_yaml_column(
+        df, "y", {"properties": {"created": {"type": "string",
+                                             "format": "date"},
+                                 "n": {"maximum": 10}}})
+    got = {r["id"]: r["yaml_passed"] for r in out.collect()}
+    assert got == {"a": True, "b": False}  # b's n=99 violation now SEEN
+
+
+def test_validate_yaml_out_col_collision_with_temp(spark):
+    """out_col equal to the computed temp name previously dropped the
+    verdict column entirely (review r05c)."""
+    from json_skema_spark.plans.verdict import validate_yaml_column
+    df = spark.createDataFrame([("a", "n: 5")], "id string, y string")
+    out = validate_yaml_column(df, "y", {"properties": {"n": {"maximum": 10}}},
+                               out_col="_yaml_as_json")
+    assert "_yaml_as_json" in out.columns
+    assert out.collect()[0]["_yaml_as_json"] is True
+
+
+def test_format_asserts_on_temporal_columns(spark):
+    """format must evaluate over a Date/Timestamp column's canonical text
+    like the other string keywords, not silently pass (review r05c)."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from json_skema_spark.plans.compile import Compiler
+    df = spark.createDataFrame([(datetime.date(2024, 1, 1),)],
+                               T.StructType([T.StructField("d", T.DateType())]))
+    ok = Compiler({"properties": {"d": {"format": "date"}}},
+                  format_assertion=True).compile_root(df.schema)
+    bad = Compiler({"properties": {"d": {"format": "uuid"}}},
+                   format_assertion=True).compile_root(df.schema)
+    r = df.select(ok.passed.alias("a"), bad.passed.alias("b")).collect()[0]
+    assert r["a"] is True   # '2024-01-01' IS a date
+    assert r["b"] is False  # ...and is NOT a uuid (previously passed)
+
+
+def test_multiple_of_sub_1e30_divisor_no_crash(spark):
+    """A divisor below decimal scale 30 cast to decimal ZERO and pmod
+    raised DIVIDE_BY_ZERO under ANSI defaults (review r05c); it now takes
+    the documented double-remainder fallback."""
+    from json_skema_spark.plans.compile import Compiler
+    df = spark.createDataFrame([(2e-31,), (3.3e-31,)], ["v"])
+    c = Compiler({"properties": {"v": {"multipleOf": 1e-31}}}) \
+        .compile_root(df.schema)
+    got = [r["p"] for r in df.select(c.passed.alias("p")).collect()]
+    assert got == [True, False]
+
+
+def test_empty_combinator_arrays_are_compile_errors(spark):
+    """{'anyOf': []} previously raised a raw IndexError escaping the
+    CompileError contract — bypassing the aggregate collector and aborting
+    whole suite files (review r05c)."""
+    from pyspark.sql import types as T
+
+    from json_skema_spark.plans.compile import (AggregateCompileError,
+                                                CompileError, Compiler)
+    st = T.StructType([T.StructField("a", T.LongType())])
+    for comb in ("allOf", "anyOf", "oneOf"):
+        with pytest.raises(CompileError, match="non-empty array"):
+            Compiler({comb: []}, collect_errors=False).compile_root(st)
+    # and the collector aggregates them with pointers intact
+    with pytest.raises(AggregateCompileError) as ei:
+        Compiler({"properties": {"a": {"anyOf": []}},
+                  "allOf": []}).compile_root(st)
+    locs = {e.location for e in ei.value.errors}
+    assert "#/allOf" in locs and "#/properties/a/anyOf" in locs
+
+
+def test_bpe_token_count_unicode(spark):
+    """'café' must be ONE token, not 'caf' + 'é'-as-punctuation
+    (review r05c — same migration as quality_score)."""
+    from json_skema_spark.functions.text import bpe_ish_token_count
+    df = spark.createDataFrame([("café au lait",), ("a1 b2!",)], ["t"])
+    got = [r["n"] for r in
+           df.select(bpe_ish_token_count(F.col("t")).alias("n")).collect()]
+    assert got == [3, 5]
+
+
 def test_deprecated_usage_dotted_column_still_counts(spark):
     """The quoted_col migration (review r05c finding 8) keeps the r04
     dotted-name behavior."""
