@@ -38,12 +38,12 @@ def resample_linear(sig: np.ndarray, from_sr: int, to_sr: int) -> np.ndarray:
 
 
 def frame_signal(sig: np.ndarray, frame_len: int, hop: int) -> np.ndarray:
-    """(n_frames, frame_len) view-based framing."""
+    """(n_frames, frame_len) framing — a TRUE zero-copy strided view;
+    fancy indexing materialized a ~frame_len/hop x copy of the signal per
+    clip (review r05c)."""
     if len(sig) < frame_len:
         return sig[np.newaxis, :] if len(sig) else np.empty((0, frame_len))
-    n = 1 + (len(sig) - frame_len) // hop
-    idx = np.arange(frame_len)[None, :] + hop * np.arange(n)[:, None]
-    return sig[idx]
+    return np.lib.stride_tricks.sliding_window_view(sig, frame_len)[::hop]
 
 
 def clip_features(sig: np.ndarray, sr: int, *, frame_ms: int = 25,
@@ -56,7 +56,12 @@ def clip_features(sig: np.ndarray, sr: int, *, frame_ms: int = 25,
         return {"n_frames": 0, "rms_db": [], "zcr": [], "spectral_centroid": []}
     rms = np.sqrt(np.mean(frames * frames, axis=1))
     rms_db = 20.0 * np.log10(np.maximum(rms, 1e-10))
-    zcr = np.mean(np.abs(np.diff(np.signbit(frames), axis=1)), axis=1)
+    if frames.shape[1] > 1:
+        zcr = np.mean(np.abs(np.diff(np.signbit(frames), axis=1)), axis=1)
+    else:
+        # a 1-sample frame has no crossings; np.diff over zero columns
+        # would make np.mean emit NaN + RuntimeWarning (review r05c)
+        zcr = np.zeros(frames.shape[0])
     spec = np.abs(np.fft.rfft(frames * np.hanning(frames.shape[1]), axis=1)) ** 2
     freqs = np.fft.rfftfreq(frames.shape[1], d=1.0 / sr)
     denom = spec.sum(axis=1)
@@ -79,10 +84,11 @@ def extract_features(df: DataFrame, *, frame_ms: int = 25,
             out = []
             for cid, codec, buf in zip(pdf["clip_id"], pdf["codec"], pdf["bytes"]):
                 sig, sr, err = _decode_with(decoders, codec, buf)
-                # sr<=0 guard (review r04): a third-party decoder
-                # reporting rate 0 must degrade to an empty feature row,
-                # not ZeroDivisionError the whole task
-                if sig is None or sr <= 0:
+                # sr<=0 / sr=None guard (review r04/r05c): a
+                # third-party decoder reporting rate 0 or None must
+                # degrade to an empty feature row, not TypeError/
+                # ZeroDivisionError the whole task
+                if sig is None or not sr or sr <= 0:
                     out.append((cid, 0, [], [], []))
                 else:
                     f = clip_features(sig, sr, frame_ms=frame_ms, hop_ms=hop_ms)
@@ -104,7 +110,7 @@ def resample_clips(df: DataFrame, target_sr: int) -> DataFrame:
             out = []
             for cid, codec, buf in zip(pdf["clip_id"], pdf["codec"], pdf["bytes"]):
                 sig, sr, err = _decode_with(decoders, codec, buf)
-                if sig is None or sr <= 0:  # sr guard: see extract_features
+                if sig is None or not sr or sr <= 0:  # sr guard: see extract_features
                     out.append((cid, 0, 0, b""))
                     continue
                 r = resample_linear(sig, sr, target_sr)
@@ -132,7 +138,7 @@ def sample_frames(df: DataFrame, *, every_ms: int = 500,
                 # clip has no window to sample — emitting one empty-pcm
                 # "frame" would disagree with extract_features' 0-frame
                 # verdict for the same clip (review r04)
-                if sig is None or sr <= 0 or len(sig) == 0:
+                if sig is None or not sr or sr <= 0 or len(sig) == 0:
                     continue
                 hop = max(int(sr * every_ms / 1000), 1)
                 flen = max(int(sr * frame_ms / 1000), 1)

@@ -4,8 +4,10 @@ reference analogue — SURVEY.md §2.f "approx distinct / quantiles / drift").
 A *profile* is the output of ``operators.stats.profile`` (FIXTURES.md §3).
 Drift compares a current profile against a baseline one and flags columns
 whose null-fraction delta, distinct-count ratio, or quantile shift exceeds
-thresholds. Profiles are tiny (one row per column), so the comparison is a
-broadcast join regardless of the underlying table size.
+thresholds. Profiles are tiny (one row per column), so the join is
+negligible regardless of the underlying table size (full-outer — which
+BroadcastHashJoin cannot execute, so a broadcast hint would be silently
+ignored).
 """
 
 from __future__ import annotations
@@ -26,7 +28,19 @@ def drift_report(current: DataFrame, baseline: DataFrame, *,
     - ``quantile_drift``: max relative per-quantile shift > threshold
       (quantiles compared positionally; both sides computed with the same
       quantile vector)
+
+    Refuses per-partition profile parts (a ``partition_id`` column):
+    duplicate column_name rows would turn the full-outer join into a
+    per-column cross product comparing arbitrary partition pairs — the
+    same refusal as streaming ``baseline_map`` (review r05c); merge parts
+    first (``stats.merge_profiles``).
     """
+    for side, prof in (("current", current), ("baseline", baseline)):
+        if "partition_id" in prof.columns:
+            raise ValueError(
+                f"{side} profile carries partition_id (per-partition "
+                "parts): drift_report compares ONE row per column - merge "
+                "the parts first (operators.stats.merge_profiles)")
     cur = current.select(
         "column_name",
         F.col("null_fraction").alias("nf_cur"),
@@ -43,7 +57,7 @@ def drift_report(current: DataFrame, baseline: DataFrame, *,
     # extreme drift there is — an inner join would emit no row for it and a
     # monitor checking `drifted` would see all-clear. One-sided rows get
     # null metric deltas and drifted=True (via the coalesce below).
-    j = cur.join(F.broadcast(base), "column_name", "full_outer")
+    j = cur.join(base, "column_name", "full_outer")
     rel_shift = F.zip_with(
         "q_cur", "q_base",
         lambda a, b: F.when(

@@ -70,6 +70,7 @@ def _render(v: Any) -> str:
     and must be normalized — integral ones exactly as unbounded ints (a
     float round-trip could mine a bound past the true data bound), the
     rest as floats (review r04)."""
+    import datetime
     from decimal import Decimal
 
     def norm(x):
@@ -77,6 +78,13 @@ def _render(v: Any) -> str:
             return int(x) if x == x.to_integral_value() else float(x)
         if isinstance(x, float) and x == int(x) and abs(x) < 2**53:
             return int(x)
+        if isinstance(x, (datetime.date, datetime.datetime)):
+            # temporal columns ARE json strings in the data model
+            # (_json_type_of); str() matches Spark's canonical cast-to-
+            # string text, so the mined enum validates the same column it
+            # was mined from. json.dumps would otherwise raise TypeError
+            # and abort the whole suggestion run (review r05c)
+            return str(x)
         return x
 
     if isinstance(v, (list, tuple)):
@@ -140,7 +148,12 @@ def suggest_constraints(df: DataFrame, columns: list[str] | None = None, *,
             out.append((c, "type", _render(jt)))
         if row["_rows"] > 0 and row[f"{c}__nonnull"] == row["_rows"]:
             out.append((c, "required", _render(True)))
-        if c in enums and all(_finite(v) for v in enums[c]):
+        if c in enums and all(_finite(v) for v in enums[c]) \
+                and not any(isinstance(v, (bytes, bytearray))
+                            for v in enums[c]):
+            # bytes have no JSON representation — skip the enum rather
+            # than crash _render for an explicitly-passed binary column
+            # (review r05c)
             out.append((c, "enum", _render(enums[c])))
         elif isinstance(dt, (*_INT_TYPES, *_FLOAT_TYPES)):
             lo, hi = row[f"{c}__min"], row[f"{c}__max"]

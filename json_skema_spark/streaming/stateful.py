@@ -21,6 +21,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from json_skema_spark.plans.compile import Compiler
 from json_skema_spark.plans.verdict import ValidationPlan
+from json_skema_spark.operators.util import quoted_col
 
 OUTPUT_SCHEMA = ("key string, rows_seen long, rows_failed long, "
                  "fail_fraction double")
@@ -53,7 +54,7 @@ def running_violation_tally(stream_df: DataFrame, schema_doc: Any,
     # suggested key class) would fail the pandas->Arrow conversion on the
     # first micro-batch
     flagged = stream_df.withColumn("passed", plan.passed) \
-        .select(F.col(key_col).cast("string").alias("key"), "passed")
+        .select(quoted_col(key_col).cast("string").alias("key"), "passed")
     return (
         flagged.groupBy("key")
         .applyInPandasWithState(

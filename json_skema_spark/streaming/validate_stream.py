@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from json_skema_spark.plans.compile import Compiler
 from json_skema_spark.plans.verdict import ValidationPlan
+from json_skema_spark.operators.util import quoted_col
 
 
 def validate_stream(stream_df: DataFrame, schema_doc: Any,
@@ -57,8 +58,11 @@ def violation_rate(stream_df: DataFrame, schema_doc: Any, ts_col: str,
     return (
         stream_df.withWatermark(ts_col, watermark)
         .filter(~light.passed)
-        .select(F.col(ts_col), F.explode(light.failures).alias("f"))
-        .groupBy(F.window(F.col(ts_col), window).alias("w"),
+        # quoted_col: a dotted top-level ts column must resolve literally,
+        # not as struct access (review r05c). The post-select reference
+        # quotes again — the selected column KEEPS the dotted name.
+        .select(quoted_col(ts_col), F.explode(light.failures).alias("f"))
+        .groupBy(F.window(quoted_col(ts_col), window).alias("w"),
                  F.col("f.keyword").alias("keyword"))
         .agg(F.count("*").alias("n_violations"))
         .select(F.col("w.start").alias("window_start"),

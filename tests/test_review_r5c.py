@@ -607,6 +607,105 @@ def test_bpe_token_count_unicode(spark):
     assert got == [3, 5]
 
 
+def test_drift_report_refuses_per_partition_profiles(spark):
+    """Duplicate column_name rows (per-partition parts) turned the
+    full-outer join into a per-column cross product (review r05c) — same
+    refusal as streaming baseline_map."""
+    from json_skema_spark.operators.drift import drift_report
+    from json_skema_spark.operators.stats import profile
+    df = spark.createDataFrame([(float(i),) for i in range(20)], ["v"]) \
+        .repartition(4)
+    merged = profile(df, ["v"])
+    parts = profile(df, ["v"], per_partition=True)
+    with pytest.raises(ValueError, match="partition_id"):
+        drift_report(parts, merged)
+    with pytest.raises(ValueError, match="partition_id"):
+        drift_report(merged, parts)
+    assert drift_report(merged, merged).count() == 1  # clean path intact
+
+
+def test_suggest_constraints_temporal_enum_serializes(spark):
+    """An explicitly-selected DateType column small enough for an enum
+    previously crashed json.dumps (review r05c); binary columns skip the
+    enum instead of crashing."""
+    import datetime
+
+    from json_skema_spark.operators.infer import suggest_constraints
+    rows = [(datetime.date(2024, 1, 1), bytearray(b"x")),
+            (datetime.date(2024, 1, 2), bytearray(b"y"))]
+    df = spark.createDataFrame(rows, "d date, b binary")
+    got = {(r["column_name"], r["keyword"]): r["value"]
+           for r in suggest_constraints(df, columns=["d", "b"]).collect()}
+    assert got[("d", "enum")] == '["2024-01-01","2024-01-02"]'
+    assert ("b", "enum") not in got
+
+
+def test_audio_features_contain_none_sample_rate(spark):
+    """A decoder returning sr=None previously raised TypeError (None <= 0)
+    and killed the task in extract_features/resample/sample_frames
+    (review r05c)."""
+    import numpy as np
+
+    from json_skema_spark.functions import audio
+    from json_skema_spark.functions.audio_features import (extract_features,
+                                                           resample_clips,
+                                                           sample_frames)
+    audio.register_decoder("nonesr", lambda buf: (np.zeros(100), None, ""))
+    try:
+        df = spark.createDataFrame([("c1", "nonesr", bytearray(b"x"))],
+                                   "clip_id string, codec string, bytes binary")
+        assert extract_features(df).collect()[0]["n_frames"] == 0
+        assert resample_clips(df, 8000).collect()[0]["n_samples"] == 0
+        assert sample_frames(df).collect() == []
+    finally:
+        audio.unregister_decoder("nonesr")
+
+
+def test_clip_features_one_sample_frame_no_nan():
+    import numpy as np
+
+    from json_skema_spark.functions.audio_features import clip_features
+    f = clip_features(np.asarray([0.5], dtype=np.float64), sr=40)
+    # 25ms at sr=40 -> frame_len 1: zcr must be 0.0, never NaN
+    assert f["n_frames"] == 1 and f["zcr"] == [0.0]
+    assert not any(np.isnan(f["rms_db"]))
+
+
+def test_frame_signal_is_a_view_and_matches_copy_semantics():
+    import numpy as np
+
+    from json_skema_spark.functions.audio_features import frame_signal
+    sig = np.arange(100, dtype=np.float64)
+    frames = frame_signal(sig, 25, 10)
+    assert frames.shape == (8, 25)
+    # identical frame content to the index-materialized formulation
+    idx = np.arange(25)[None, :] + 10 * np.arange(8)[:, None]
+    assert np.array_equal(frames, sig[idx])
+    assert frames.base is not None  # a view, not a copy
+
+
+def test_running_tally_dotted_key_column(spark, tmp_path):
+    """key_col with a dot must resolve as one literal column
+    (review r05c)."""
+    from json_skema_spark.streaming.stateful import running_violation_tally
+    src = str(tmp_path / "in")
+    df = spark.createDataFrame([("s1", 5), ("s1", -1)],
+                               "shard string, v int") \
+        .withColumnRenamed("shard", "meta.shard")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = running_violation_tally(
+        stream, {"properties": {"v": {"minimum": 0}}}, "meta.shard")
+    got = []
+    q = (out.writeStream.outputMode("update")
+         .foreachBatch(lambda b, _i: got.extend(b.collect()))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    final = {r["key"]: r for r in got}
+    assert final["s1"]["rows_seen"] == 2 and final["s1"]["rows_failed"] == 1
+
+
 def test_deprecated_usage_dotted_column_still_counts(spark):
     """The quoted_col migration (review r05c finding 8) keeps the r04
     dotted-name behavior."""
