@@ -1241,10 +1241,14 @@ def oracle_sql() -> dict[str, str]:
             WITH v AS ({_ORDERS_VIOLS_SQL})
             SELECT keyword, keyword_location,
                    count(*) AS n_violations,
-                   array_to_string(
+                   coalesce(array_to_string(
                        (list(row_key ORDER BY row_key)
                         FILTER (WHERE row_key IS NOT NULL))[1:5],
-                       ',') AS example_keys
+                       ','), '') AS example_keys
+                   -- coalesce: a group whose offending keys are ALL NULL
+                   -- gives list(...) FILTER = NULL -> array_to_string NULL,
+                   -- while the Spark side coalesces the same case to ''
+                   -- (review r05c)
             FROM v GROUP BY keyword, keyword_location
         """,
         "validate_lineitem_verdict": f"""
@@ -1356,8 +1360,13 @@ def oracle_sql() -> dict[str, str]:
         "window_canonical_order": """
             SELECT o_custkey, o_orderkey FROM (
                 SELECT o_custkey, o_orderkey,
+                       -- NULLS FIRST: Spark's min(struct(...)) ranks NULL
+                       -- dates first, DuckDB's default is NULLS LAST —
+                       -- latent only while the fixture has no NULL dates
+                       -- (review r05c)
                        row_number() OVER (PARTITION BY o_custkey
-                                          ORDER BY o_orderdate, o_orderkey) AS rn
+                                          ORDER BY o_orderdate NULLS FIRST,
+                                                   o_orderkey NULLS FIRST) AS rn
                 FROM orders) WHERE rn = 1
         """,
         "validate_events_json_payload": """

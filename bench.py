@@ -69,20 +69,14 @@ def timed(fn):
     return time.time() - t0, out
 
 
-def _cpu_counters():
-    with open("/proc/stat") as f:
-        return list(map(int, f.readline().split()[1:]))
-
-
 def _timed_with_steal(fn, steal_threshold: float) -> tuple[float, bool]:
-    c0 = _cpu_counters()
-    t0 = time.time()
-    fn()
-    secs = time.time() - t0
-    c1 = _cpu_counters()
-    d = [b - a for a, b in zip(c0, c1)]
-    steal = 100.0 * d[7] / (sum(d) or 1)
-    return secs, steal <= steal_threshold
+    # the /proc/stat parsing contract lives ONCE in the package
+    # (json_skema_spark.timing, shared with both probe families); bench
+    # keeps only its distinct floor rule — steal-gated VOTING — on top
+    # (review r05c)
+    from json_skema_spark.timing import timed_with_steal
+    secs, steal_pct = timed_with_steal(fn)
+    return secs, steal_pct <= steal_threshold
 
 
 def timed_floor(fn, min_reps: int = 3, max_reps: int = 7,

@@ -34,6 +34,11 @@ def test_submit_probe_runs_from_zip_only(spark, tmp_path):
     cpath = str(tmp_path / "clips")
     clips_src.clips_df_fast(spark, 5000, inject=True,
                             partitions=4).write.parquet(cpath)
+    # audio leg too: r05c caught the ship-path audio probe referencing a
+    # column pcm_invariant_check no longer emits — CI stayed green because
+    # this test omitted --audio, while every evidence run crashed
+    apath = str(tmp_path / "audio")
+    clips_src.clips_df(spark, 200, audio=True).write.parquet(apath)
 
     # expected verdict counts from the in-process engine on the same files
     df = spark.read.parquet(cpath)
@@ -53,7 +58,7 @@ def test_submit_probe_runs_from_zip_only(spark, tmp_path):
          "--conf", "spark.ui.enabled=false",
          "--conf", "spark.sql.shuffle.partitions=4",
          "--py-files", zip_path,
-         str(driver), "--clips", cpath, "--reps", "1"],
+         str(driver), "--clips", cpath, "--audio", apath, "--reps", "1"],
         cwd=scratch, env=env, capture_output=True, text=True, timeout=600)
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     assert out.returncode == 0 and lines, (
@@ -65,3 +70,6 @@ def test_submit_probe_runs_from_zip_only(spark, tmp_path):
     assert r["constraint"]["n"] == 5000
     assert r["constraint"]["verdict_counts"] == expected
     assert r["constraint"]["rows_per_s"] > 0
+    assert r["audio"]["n"] == 200
+    counts = r["audio"]["invariant_counts"]
+    assert sum(counts.values()) > 0 and "True" in counts

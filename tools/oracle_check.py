@@ -115,8 +115,9 @@ def main(only: list[str] | None = None):
                 order_d = sorted(range(len(dcols)), key=lambda i: dcols[i].lower())
                 s_set = sorted("|".join(norm_cell(tuple(r)[i]) for i in order_s) for r in srows)
                 d_set = sorted("|".join(norm_cell(r[i]) for i in order_d) for r in drows)
-                s_only = [x for x in s_set if x not in set(d_set)][:5]
-                d_only = [x for x in d_set if x not in set(s_set)][:5]
+                ds, ss = set(d_set), set(s_set)  # hoisted: O(n^2) inline
+                s_only = [x for x in s_set if x not in ds][:5]
+                d_only = [x for x in d_set if x not in ss][:5]
                 print("   spark-only:", s_only)
                 print("   duck-only :", d_only)
         else:

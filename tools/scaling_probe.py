@@ -69,7 +69,7 @@ def main() -> None:
     aclips = spark.read.parquet(apath)
 
     def aprobe():
-        audio.pcm_invariant_check(aclips).groupBy("decode_ok").count().collect()
+        audio.pcm_invariant_check(aclips).groupBy("invariant_ok").count().collect()
 
     aprobe()  # warm-up (spins up Python workers)
     a_best, a_runs, a_settled = timed_floor(aprobe, min_reps=2,

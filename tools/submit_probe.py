@@ -87,13 +87,13 @@ def main() -> None:
     if args.audio:
         aclips = spark.read.parquet(args.audio)
         an = aclips.count()
-        decode_counts: dict[str, int] = {}
+        invariant_counts: dict[str, int] = {}
 
         def aprobe():
             rows = (jaudio.pcm_invariant_check(aclips)
-                    .groupBy("decode_ok").count().collect())
-            decode_counts.clear()
-            decode_counts.update({str(r["decode_ok"]): r["count"]
+                    .groupBy("invariant_ok").count().collect())
+            invariant_counts.clear()
+            invariant_counts.update({str(r["invariant_ok"]): r["count"]
                                   for r in rows})
 
         aprobe()  # warm-up: Python workers
@@ -105,7 +105,7 @@ def main() -> None:
             "rows_per_s": round(an / a_best, 1),
             "runs": [[round(s, 3), st] for s, st in a_runs],
             "settled": a_settled,
-            "decode_counts": decode_counts,
+            "invariant_counts": invariant_counts,
         }
 
     print(json.dumps(result))
