@@ -64,9 +64,11 @@ def build_spark() -> SparkSession:
 
 
 def timed(fn):
-    t0 = time.time()
+    # perf_counter: monotonic — an NTP step during a query would corrupt
+    # the artifact's per-query seconds (review r05c)
+    t0 = time.perf_counter()
     out = fn()
-    return time.time() - t0, out
+    return time.perf_counter() - t0, out
 
 
 def _timed_with_steal(fn, steal_threshold: float) -> tuple[float, bool]:

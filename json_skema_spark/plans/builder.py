@@ -70,10 +70,39 @@ class SchemaBuilder:
         self._doc[keyword] = _unwrap(value)
         return self
 
+    # draft 2020-12 keyword surface reachable as attribute names ($-core
+    # keywords can't be Python identifiers; use .kw for those and for
+    # extension vocabularies)
+    _KNOWN_KEYWORDS = frozenset({
+        "type", "enum", "const",
+        "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
+        "multipleOf",
+        "minLength", "maxLength", "pattern", "format",
+        "properties", "patternProperties", "additionalProperties",
+        "propertyNames", "minProperties", "maxProperties",
+        "dependentRequired", "dependentSchemas",
+        "contains", "minContains", "maxContains",
+        "minItems", "maxItems", "uniqueItems",
+        "unevaluatedItems", "unevaluatedProperties",
+        "allOf", "anyOf", "oneOf", "then",
+        "prefixItems", "required", "items",  # also settable as attributes
+        "title", "description", "default", "examples", "deprecated",
+        "readOnly", "writeOnly",
+        "contentEncoding", "contentMediaType", "contentSchema",
+    })
+
     def __getattr__(self, keyword: str):
-        # any unknown method is a keyword setter: .minimum(5), .pattern("..")
-        if keyword.startswith("_"):
-            raise AttributeError(keyword)
+        # a KNOWN-keyword method is a setter: .minimum(5), .pattern("..").
+        # Unknown names raise: a typo (.minimun) would otherwise silently
+        # build a WEAKER schema than written — the unknown keyword is a
+        # no-op annotation at validation time, so rows violating the
+        # intended constraint pass with no error anywhere (review r05c).
+        # Extension/custom keywords go through the explicit .kw() hatch.
+        if keyword.startswith("_") or keyword not in self._KNOWN_KEYWORDS:
+            raise AttributeError(
+                f"{keyword!r} is not a draft 2020-12 keyword this builder "
+                "knows — a typo here would silently weaken the schema; "
+                f"use .kw({keyword!r}, value) for extension keywords")
 
         def setter(value: Any = True) -> "SchemaBuilder":
             return self.kw(keyword, value)

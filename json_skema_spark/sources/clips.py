@@ -155,8 +155,13 @@ def clips_df_fast(spark: SparkSession, n: int, *, inject: bool = True,
     nw = (F.pmod(h(12), F.lit(38)) + 3).cast("int")
     transcript = F.array_join(
         F.transform(F.sequence(F.lit(1), nw),
-                    lambda j: F.element_at(words, (F.pmod(F.xxhash64(sid, j),
-                                                          F.lit(256)) + 1).cast("int"))),
+                    # the seed MUST thread through the word draw like every
+                    # other h() draw: without it two different-seed tables
+                    # share position-wise identical word streams and only
+                    # differ in length (review r05c)
+                    lambda j: F.element_at(words, (F.pmod(
+                        F.xxhash64(sid, F.lit(seed), j),
+                        F.lit(256)) + 1).cast("int"))),
         " ")
     if inject:
         transcript = F.when(u(13) < 0.01,

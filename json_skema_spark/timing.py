@@ -23,11 +23,15 @@ def cpu_counters() -> list[int]:
 
 
 def timed_with_steal(fn) -> tuple[float, float]:
-    """Time ``fn`` and report (seconds, CPU-steal % over the window)."""
+    """Time ``fn`` and report (seconds, CPU-steal % over the window).
+
+    ``perf_counter``, not ``time.time``: floor selection MINIMIZES over
+    reps, so a backward NTP step during one rep would fabricate the
+    published floor (review r05c)."""
     c0 = cpu_counters()
-    t0 = time.time()
+    t0 = time.perf_counter()
     fn()
-    secs = time.time() - t0
+    secs = time.perf_counter() - t0
     c1 = cpu_counters()
     d = [b - a for a, b in zip(c0, c1)]
     total = sum(d) or 1

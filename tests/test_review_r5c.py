@@ -706,6 +706,50 @@ def test_running_tally_dotted_key_column(spark, tmp_path):
     assert final["s1"]["rows_seen"] == 2 and final["s1"]["rows_failed"] == 1
 
 
+def test_schema_builder_rejects_typo_keywords():
+    """A misspelled builder method previously became an unknown (inert)
+    keyword — a silently WEAKER schema (review r05c)."""
+    from json_skema_spark.plans.builder import SchemaBuilder
+    b = SchemaBuilder.integer()
+    with pytest.raises(AttributeError, match="minimun"):
+        b.minimun(1)
+    assert b.minimum(1).build()["minimum"] == 1
+    # extension keywords still reachable through the explicit hatch
+    assert b.kw("x-custom", 5).build()["x-custom"] == 5
+
+
+def test_clips_fast_word_streams_differ_across_seeds(spark):
+    """Different seeds must produce independent transcript WORD streams,
+    not just different lengths (review r05c)."""
+    from json_skema_spark.sources.clips import clips_df_fast
+    a = clips_df_fast(spark, 50, inject=False, seed=1).collect()
+    b = clips_df_fast(spark, 50, inject=False, seed=2).collect()
+    same_first_word = sum(
+        1 for ra, rb in zip(a, b)
+        if ra["transcript"].split(" ")[0] == rb["transcript"].split(" ")[0])
+    # pre-fix this was 50/50 (identical streams); ~1/256 collisions now
+    assert same_first_word < 10
+
+
+def test_scaling_bench_prefers_settled_floors():
+    """An unsettled (interference-bound) minimum must not beat a settled
+    floor in the published evidence (review r05c)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    try:
+        from tools.scaling_bench import _better
+    finally:
+        sys.path.remove("/root/repo")
+    settled_slow = {"best_s": 5.0, "settled": True}
+    unsettled_fast = {"best_s": 2.0, "settled": False}
+    assert _better(settled_slow, unsettled_fast) is settled_slow
+    assert _better(unsettled_fast, settled_slow) is settled_slow
+    faster_settled = {"best_s": 4.0, "settled": True}
+    assert _better(settled_slow, faster_settled) is faster_settled
+    assert _better(None, unsettled_fast) is unsettled_fast
+    assert _better(unsettled_fast, None) is unsettled_fast
+
+
 def test_deprecated_usage_dotted_column_still_counts(spark):
     """The quoted_col migration (review r05c finding 8) keeps the r04
     dotted-name behavior."""

@@ -26,15 +26,39 @@ LEVELS = (4, 16, 8, 32)
 CYCLES = int(os.environ.get("SPARK_GRAFT_SCALING_CYCLES", "2"))
 
 
-def run_probe(cpus: int) -> dict:
+def run_probe(cpus: int) -> dict | None:
+    """One probe run; None when it fails. A stomped probe in cycle 2 must
+    not discard cycle 1's completed measurements (review r05c) — the
+    caller skips a failed run and aborts only if a LEVEL ends with zero
+    successful runs."""
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "scaling_probe.py")],
-        env=env, capture_output=True, text=True, timeout=3600)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "scaling_probe.py")],
+            env=env, capture_output=True, text=True, timeout=3600)
+    except (subprocess.TimeoutExpired, OSError) as exc:
+        print(f"WARNING: probe at {cpus} did not complete ({exc!r}) — "
+              "skipping this run", file=sys.stderr)
+        return None
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:
-        raise RuntimeError(f"probe at {cpus} failed: {out.stderr[-2000:]}")
-    return json.loads(lines[-1])
+        print(f"WARNING: probe at {cpus} produced no JSON "
+              f"(rc={out.returncode}) — skipping this run. stderr tail:\n"
+              + out.stderr[-2000:], file=sys.stderr)
+        return None
+    try:
+        r = json.loads(lines[-1])
+    except json.JSONDecodeError as exc:
+        print(f"WARNING: probe at {cpus} emitted truncated JSON ({exc}) — "
+              "skipping this run", file=sys.stderr)
+        return None
+    # the probe reports settledness in a side dict; attach it to each leg
+    # so floor selection can prefer settled floors over faster unsettled
+    # minima (review r05c)
+    for leg in ("constraint", "audio", "transfer"):
+        if isinstance(r.get(leg), dict):
+            r[leg]["settled"] = bool(r.get("settled", {}).get(leg, True))
+    return r
 
 
 def run_suite() -> dict:
@@ -60,15 +84,62 @@ def run_suite() -> dict:
               "will be MISSING from BENCH/BASELINE.md. stderr tail:\n"
               + out.stderr[-2000:], file=sys.stderr)
         return {}
-    return json.loads(lines[-1])
+    try:
+        return json.loads(lines[-1])
+    except json.JSONDecodeError as exc:
+        # bench killed mid-print leaves a truncated '{'-line: same
+        # must-not-abort class as the cases above (review r05c)
+        print(f"WARNING: bench.py emitted truncated JSON ({exc}) — the "
+              "suite section will be MISSING from BENCH/BASELINE.md.",
+              file=sys.stderr)
+        return {}
+
+
+def _better(a: dict | None, b: dict | None) -> dict | None:
+    """Pick the better floor candidate: a SETTLED leg beats an unsettled
+    one regardless of time (an unsettled minimum is interference, not a
+    floor — timing.timed_floor's contract, review r05c); among equally
+    settled legs, the faster wins."""
+    if b is None:
+        return a
+    if a is None:
+        return b
+    sa, sb = bool(a.get("settled")), bool(b.get("settled"))
+    if sa != sb:
+        return b if sb else a
+    return b if b["best_s"] < a["best_s"] else a
+
+
+def _check_addendum_preservable() -> str:
+    """Validate + extract the analysis addenda BEFORE any probing: the
+    old write-time abort discarded hours of completed measurements
+    (review r05c)."""
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    import re as _re
+    if not os.path.exists(out_path):
+        return ""
+    old = open(out_path).read()
+    m = _re.search(r"\n## Round-\d+ addendum", old)
+    if m:
+        return old[m.start():]
+    if "addendum" in old.lower():
+        print("WARNING: existing BASELINE.md mentions an addendum but no "
+              "'## Round-N addendum' heading matched — it would NOT be "
+              "preserved; aborting BEFORE probing instead of overwriting.",
+              file=sys.stderr)
+        raise SystemExit(2)
+    return ""
 
 
 def main() -> None:
+    addendum = _check_addendum_preservable()
     best: dict[int, dict] = {}
     all_runs: dict[int, list] = {c: [] for c in LEVELS}
     for _cycle in range(CYCLES):
         for cpus in LEVELS:
             r = run_probe(cpus)
+            if r is None:
+                continue
             all_runs[cpus].append(r)
             if cpus not in best:
                 best[cpus] = {"constraint": r["constraint"],
@@ -76,23 +147,27 @@ def main() -> None:
                               "transfer": r.get("transfer"),
                               "audio_check_only": r.get("audio_check_only")}
             else:
-                if r["constraint"]["best_s"] < best[cpus]["constraint"]["best_s"]:
-                    best[cpus]["constraint"] = r["constraint"]
-                if r["audio"]["best_s"] < best[cpus]["audio"]["best_s"]:
-                    best[cpus]["audio"] = r["audio"]
+                best[cpus]["constraint"] = _better(
+                    best[cpus]["constraint"], r["constraint"])
+                best[cpus]["audio"] = _better(
+                    best[cpus]["audio"], r["audio"])
                 # keep the best-valid decomposition legs too: dropping
                 # them wasted every transfer rep the probe timed and lost
                 # the per-level engine-vs-transfer split (review r05c)
-                t = r.get("transfer")
-                if t and (best[cpus]["transfer"] is None
-                          or t["best_s"] < best[cpus]["transfer"]["best_s"]):
-                    best[cpus]["transfer"] = t
+                best[cpus]["transfer"] = _better(
+                    best[cpus]["transfer"], r.get("transfer"))
                 aco = r.get("audio_check_only")
                 if aco and aco.get("valid") and (
                         not (best[cpus]["audio_check_only"] or {}).get("valid")
                         or aco["best_s"]
                         < best[cpus]["audio_check_only"]["best_s"]):
                     best[cpus]["audio_check_only"] = aco
+    missing = [c for c in LEVELS if c not in best]
+    if missing:
+        raise SystemExit(
+            f"no successful probe run at level(s) {missing} — cannot "
+            "compute scaling pairs; completed levels were: "
+            + json.dumps({str(c): len(all_runs[c]) for c in LEVELS}))
 
     def tp(c):
         return best[c]["constraint"]["rows_per_s"]
@@ -108,6 +183,19 @@ def main() -> None:
 
     clips_n = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "20000000"))
     audio_n = int(os.environ.get("SPARK_GRAFT_AUDIO_N", "40000"))
+    unsettled = [f"local[{c}] {leg}" for c in sorted(best)
+                 for leg in ("constraint", "audio")
+                 if not best[c][leg].get("settled")]
+    if unsettled:
+        settled_note = (
+            "**Floor-stability caveat**: these legs never reached two-best "
+            "agreement within max reps — their minima are "
+            "interference-bound UPPER estimates, not certified floors: "
+            + ", ".join(unsettled) + ". Efficiencies touching them are "
+            "flagged in the JSON (`floor_settled`).")
+    else:
+        settled_note = ("All published figures are floor-stability minima "
+                        "(every leg reached two-best agreement).")
     md = f"""# BENCH/BASELINE — measured numbers (this machine, PySpark 4.1.2)
 
 Generated by tools/scaling_bench.py on {datetime.now(timezone.utc).isoformat()}.
@@ -132,6 +220,8 @@ single shared memory bus.
 | local[4] -> local[16] | audio decode + SNR (clips/sec) | {atp(4):,.0f} | {atp(16):,.0f} | **{aeff_4_16:.2f}** |
 | local[8] -> local[32] | constraint-eval (validated clips/sec) | {tp(8):,.0f} | {tp(32):,.0f} | **{eff_8_32:.2f}** |
 | local[8] -> local[32] | audio decode + SNR (clips/sec) | {atp(8):,.0f} | {atp(32):,.0f} | **{aeff_8_32:.2f}** |
+
+{settled_note}
 
 Requirement: efficiency >= 0.8 (BASELINE.json north_rule). The 4->16 pair is
 the faithful single-box analogue of N->4N *executors*: on a real cluster
@@ -176,24 +266,9 @@ legs settled on a floor (see tools/scaling_probe.py).
         for name, s in suite.get("queries", {}).items():
             md += f"| {name} | {s} |\n"
         md += "\n```json\n" + json.dumps(suite) + "\n```\n"
-    # preserve any analysis addenda appended after the generated content
+    # addenda were validated + extracted BEFORE probing
+    # (_check_addendum_preservable, review r05c)
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    # match the FIRST addendum heading of any round: keying on the
-    # literal Round-2 title meant renaming that one section would
-    # silently drop every later round's analysis (review r05c)
-    import re as _re
-    addendum = ""
-    if os.path.exists(out_path):
-        old = open(out_path).read()
-        m = _re.search(r"\n## Round-\d+ addendum", old)
-        if m:
-            addendum = old[m.start():]
-        elif "addendum" in old.lower():
-            print("WARNING: existing BASELINE.md mentions an addendum but "
-                  "no '## Round-N addendum' heading matched — it will NOT "
-                  "be preserved; aborting instead of overwriting.",
-                  file=sys.stderr)
-            raise SystemExit(2)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(out_path, "w") as f:
         f.write(md + addendum)
@@ -208,6 +283,9 @@ legs settled on a floor (see tools/scaling_probe.py).
                             for c in sorted(best)},
         "check_only": {c: best[c].get("audio_check_only")
                        for c in sorted(best)},
+        "floor_settled": {c: {"constraint": bool(best[c]["constraint"].get("settled")),
+                              "audio": bool(best[c]["audio"].get("settled"))}
+                          for c in sorted(best)},
     }))
 
 
