@@ -59,6 +59,16 @@ except AttributeError:  # pyspark < 4.0
     _VARIANT_TYPES = ()
 
 
+def _contains_map_type(dtype: T.DataType) -> bool:
+    if isinstance(dtype, T.MapType):
+        return True
+    if isinstance(dtype, T.StructType):
+        return any(_contains_map_type(f.dataType) for f in dtype.fields)
+    if isinstance(dtype, T.ArrayType):
+        return _contains_map_type(dtype.elementType)
+    return False
+
+
 def _is_variant(dtype: T.DataType) -> bool:
     return bool(_VARIANT_TYPES) and isinstance(dtype, _VARIANT_TYPES)
 
@@ -79,15 +89,47 @@ def _name_pattern(pat: str, ploc: str) -> "_re.Pattern":
     matching. Runtime matching (map keys) uses ``rlike`` — the same Java
     engine as the reference — but fixed struct names must be matched
     driver-side; a Java-only construct (``\\p{Alpha}`` etc.) is reported
-    as a pointered CompileError instead of an uncaught ``re.error``."""
+    as a pointered CompileError instead of an uncaught ``re.error``.
+
+    ``re.ASCII``: Java's ``\\d``/``\\w``/``\\s`` are ASCII classes while
+    Python's default is Unicode-aware — without the flag a struct field
+    named with a non-ASCII digit matched ``^\\d+$`` where the map path
+    (and the reference) do not, silently diverging the two physical
+    layouts AND leaking wrong coverage into the unevaluatedProperties
+    algebra (review r05c)."""
     try:
-        return _re.compile(pat)
+        return _re.compile(pat, _re.ASCII)
     except _re.error as exc:
         raise CompileError(
             f"pattern {pat!r} is not a valid Python regex — compile-time "
             "struct property-name matching cannot evaluate Java-only "
             f"constructs ({exc}); use a map column for dynamic keys",
             location=ploc)
+
+
+def _check_java_pattern(pat: str, ploc: str) -> None:
+    """Validate a RUNTIME-matched regex against the engine that will run
+    it (java.util.regex, via the active session's gateway): a bad pattern
+    otherwise crashes executors mid-job with PatternSyntaxException —
+    after cluster time is spent, bypassing the collect-then-throw
+    AggregateCompileError contract (review r05c). Python re cannot stand
+    in: it accepts Java-invalid constructs ((?P<n>...)) and rejects
+    Java-valid ones (\\p{Alpha}). Soft-skipped when no session is active
+    (pure plan construction)."""
+    try:
+        from pyspark.sql import SparkSession
+        sess = SparkSession.getActiveSession()
+    except Exception:
+        return
+    if sess is None:
+        return
+    try:
+        sess._jvm.java.util.regex.Pattern.compile(pat)
+    except Exception as exc:
+        first = str(exc).splitlines()[0] if str(exc) else repr(exc)
+        raise CompileError(
+            f"pattern {pat!r} is not a valid Java regex (the engine that "
+            f"evaluates it at runtime): {first[:200]}", location=ploc)
 
 
 class AggregateCompileError(CompileError):
@@ -303,6 +345,13 @@ class Inst:
             if _is_variant(self.dtype.valueType) and not self.strict:
                 val = F.element_at(self.col, F.lit(name))
                 return has & ~F.coalesce(vt.is_json_null(val), F.lit(False))
+            if not _is_variant(self.dtype.valueType):
+                # non-variant map values: SQL NULL = absent, matching the
+                # struct branch above — a NULL-valued key previously
+                # counted as PRESENT here, so the same logical document
+                # got opposite required/dependent* verdicts by physical
+                # column type (review r05c)
+                return has & F.element_at(self.col, F.lit(name)).isNotNull()
             return has
         return F.lit(False)
 
@@ -896,7 +945,14 @@ class Compiler:
                         out = out & ~inst.present(name)
                 return out
             if isinstance(dtype, T.MapType):
-                out = F.size(F.map_keys(col)) == len(value)
+                if _is_variant(dtype.valueType):
+                    cnt = F.size(F.map_keys(col))
+                else:
+                    # non-variant: NULL-valued keys are absent and must
+                    # not count toward const/enum object size (review r05c)
+                    cnt = F.size(F.filter(F.map_values(col),
+                                          lambda v: v.isNotNull()))
+                out = cnt == len(value)
                 for k, v in value.items():
                     out = out & F.coalesce(self._value_equals(
                         Inst(F.element_at(col, F.lit(k)), dtype.valueType,
@@ -1069,7 +1125,9 @@ class Compiler:
         if "pattern" in node:
             p = node["pattern"]
             # rlike = Java regex unanchored find(), same engine + semantics as
-            # the reference (Regexp.kt:29-49)
+            # the reference (Regexp.kt:29-49); validated against the Java
+            # engine at compile time (review r05c)
+            _check_java_pattern(p, f"{kw_loc}/pattern")
             parts.append(Compiled.simple(
                 ~inst.is_absent() & ~col.cast("string").rlike(p), "pattern",
                 f"{kw_loc}/pattern", inst.loc, dyn + "/pattern",
@@ -1142,6 +1200,9 @@ class Compiler:
                 for pat, pschema in pattern_props.items():
                     ploc = f"{kw_loc}/patternProperties/{pointer_escape(pat)}"
                     pdyn = dyn + "/patternProperties"
+                    # runtime rlike: validate against the JAVA engine now,
+                    # not PatternSyntaxException on an executor later
+                    _check_java_pattern(pat, ploc)
                     elem_fn = self._element_fn(pschema, val_t, inst.loc, ploc,
                                                pdyn, scope, depth, strict=inst.strict)
                     matched = F.map_filter(inst.col, lambda k, v: k.rlike(pat))
@@ -1200,6 +1261,9 @@ class Compiler:
                         # JSON-null members are absent (engine convention,
                         # same as required/minProperties above)
                         cond = cond & ~vt.is_json_null(v)
+                    elif not _is_variant(inst.dtype.valueType):
+                        # non-variant: SQL NULL = absent (review r05c)
+                        cond = cond & v.isNotNull()
                     return cond
                 return F.map_filter(col, is_residual)
 
@@ -1243,6 +1307,10 @@ class Compiler:
                     # members are absent under the engine convention
                     pn_src = F.map_filter(
                         inst.col, lambda k, v: ~vt.is_json_null(v))
+                elif not _is_variant(inst.dtype.valueType):
+                    # non-variant: SQL NULL = absent (review r05c)
+                    pn_src = F.map_filter(
+                        inst.col, lambda k, v: v.isNotNull())
                 ok = F.forall(F.map_keys(pn_src), lambda k: elem_fn(k, F.lit(0)).passed)
                 add(Compiled.simple(
                     ~inst.is_absent() & ~F.coalesce(ok, F.lit(True)), "propertyNames",
@@ -1263,6 +1331,10 @@ class Compiler:
                     # strict mode counts them (official null semantics)
                     cnt = F.size(F.filter(F.map_values(inst.col),
                                           lambda v: ~vt.is_json_null(v)))
+                elif not _is_variant(inst.dtype.valueType):
+                    # non-variant: SQL NULL = absent (review r05c)
+                    cnt = F.size(F.filter(F.map_values(inst.col),
+                                          lambda v: v.isNotNull()))
                 else:
                     cnt = F.size(F.map_keys(inst.col))
             if "minProperties" in node:
@@ -1346,6 +1418,18 @@ class Compiler:
 
         # uniqueItems (Validator.kt:692-708): report first duplicate pair
         if node.get("uniqueItems") is True:
+            if not _is_variant(elem_t) and _contains_map_type(elem_t):
+                # array_distinct/array_position cannot ORDER MapType: the
+                # plan would pass compile and then fail ANALYSIS at first
+                # use — an uncaught non-CompileError escaping the error-
+                # collection contract (review r05c). Honest refusal with a
+                # pointer; the VariantType path supports object elements.
+                raise CompileError(
+                    "uniqueItems over elements containing a MAP type is "
+                    f"not supported ({elem_t.simpleString()}: Spark cannot "
+                    "order maps) — use a struct element type, or parse the "
+                    "column as VariantType (canonical equality keys)",
+                    location=f"{kw_loc}/uniqueItems")
             # variant elements have no ordering; compare canonical equality
             # keys (JSON value-equality classes) instead of raw values
             cmp_arr = (F.transform(arr, lambda x: vt.equality_key(x))
@@ -1597,6 +1681,9 @@ class Compiler:
             r = ~F.coalesce(evaluated(k), F.lit(False))
             if _is_variant(val_t) and not strict:
                 r = r & ~F.coalesce(vt.is_json_null(v), F.lit(False))
+            elif not _is_variant(val_t):
+                # non-variant: SQL NULL = absent (review r05c)
+                r = r & v.isNotNull()
             return r
 
         residual = F.map_filter(inst.col, residual_entry)

@@ -750,6 +750,91 @@ def test_scaling_bench_prefers_settled_floors():
     assert _better(unsettled_fast, None) is unsettled_fast
 
 
+def test_map_null_values_are_absent_like_structs(spark):
+    """A NULL-valued map key previously counted as PRESENT while the
+    identical struct row counted it absent — opposite verdicts for the
+    same logical document by physical column type (review r05c)."""
+    from pyspark.sql import types as T
+
+    from json_skema_spark.plans.compile import Compiler
+    mt = T.MapType(T.StringType(), T.IntegerType())
+    df = spark.createDataFrame([({"a": None},), ({"a": 1},), ({},)],
+                               T.StructType([T.StructField("m", mt)]))
+
+    def verdicts(doc):
+        c = Compiler(doc).compile_value(F.col("m"), mt)
+        return [r["p"] for r in df.select(c.passed.alias("p")).collect()]
+
+    # required: NULL value = absent -> fails, like the struct path
+    assert verdicts({"required": ["a"]}) == [False, True, False]
+    # additionalProperties:false ignores the absent member
+    assert verdicts({"additionalProperties": False}) == [True, False, True]
+    # minProperties counts only present members
+    assert verdicts({"minProperties": 1}) == [False, True, False]
+    # propertyNames skips absent members
+    assert verdicts({"propertyNames": {"maxLength": 0}}) == \
+        [True, False, True]
+    # const object size counts only present members
+    assert verdicts({"const": {}}) == [True, False, True]
+    # unevaluatedProperties ignores absent members
+    assert verdicts({"properties": {}, "unevaluatedProperties": False}) == \
+        [True, False, True]
+
+
+def test_struct_pattern_names_match_java_ascii_classes(spark):
+    """Struct-path name matching must use ASCII \\d/\\w like Java (the map
+    path and the reference): a field named with a non-ASCII digit
+    previously matched ^\\d+$ on structs only (review r05c)."""
+    from pyspark.sql import types as T
+
+    from json_skema_spark.plans.compile import Compiler
+    st = T.StructType([T.StructField("٣", T.IntegerType())])
+    df = spark.createDataFrame([(5,)], st)
+    doc = {"patternProperties": {"^\\d+$": {"type": "integer"}},
+           "additionalProperties": False}
+    c = Compiler(doc).compile_root(st)
+    # Java \\d does not match the Arabic digit -> the field is ADDITIONAL
+    # -> additionalProperties:false fires (map path and reference agree)
+    assert df.select(c.passed.alias("p")).collect()[0]["p"] is False
+
+
+def test_runtime_java_invalid_patterns_are_compile_errors(spark):
+    """A Python-only regex evaluated by rlike at runtime previously passed
+    compilation and crashed executors with PatternSyntaxException
+    (review r05c)."""
+    from pyspark.sql import types as T
+
+    from json_skema_spark.plans.compile import CompileError, Compiler
+    mt = T.MapType(T.StringType(), T.IntegerType())
+    with pytest.raises(CompileError, match="Java regex"):
+        Compiler({"patternProperties": {"(?P<n>x)": True},
+                  "additionalProperties": False},
+                 collect_errors=False).compile_value(F.col("m"), mt)
+    st = T.StructType([T.StructField("s", T.StringType())])
+    with pytest.raises(CompileError, match="Java regex"):
+        Compiler({"properties": {"s": {"pattern": "(?P<n>x)"}}},
+                 collect_errors=False).compile_root(st)
+    # Java-only constructs stay VALID for runtime evaluation
+    c = Compiler({"properties": {"s": {"pattern": r"^\p{Alpha}+$"}}}) \
+        .compile_root(st)
+    df = spark.createDataFrame([("abc",), ("a1",)], st)
+    assert [r["p"] for r in df.select(c.passed.alias("p")).collect()] == \
+        [True, False]
+
+
+def test_unique_items_over_map_elements_is_compile_error(spark):
+    """array_distinct cannot order MapType: previously an uncaught
+    AnalysisException at first use instead of a pointered CompileError
+    (review r05c)."""
+    from pyspark.sql import types as T
+
+    from json_skema_spark.plans.compile import CompileError, Compiler
+    at = T.ArrayType(T.MapType(T.StringType(), T.IntegerType()))
+    with pytest.raises(CompileError, match="cannot\n?.*order maps|order maps"):
+        Compiler({"uniqueItems": True},
+                 collect_errors=False).compile_value(F.col("a"), at)
+
+
 def test_deprecated_usage_dotted_column_still_counts(spark):
     """The quoted_col migration (review r05c finding 8) keeps the r04
     dotted-name behavior."""
