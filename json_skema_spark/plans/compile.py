@@ -51,7 +51,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from json_skema_spark.plans import variant as vt
-from json_skema_spark.plans.model import Resolver, pointer_escape
+from json_skema_spark.plans.model import (Resolver, SchemaError,
+                                           pointer_escape)
 
 try:
     _VARIANT_TYPES: tuple = (T.VariantType,)
@@ -554,6 +555,7 @@ class Compiler:
         self.collect_errors = collect_errors
         self.strict_nulls = strict_nulls
         self.on_max_depth = on_max_depth
+        self._neg_depth = 0  # >0 inside not / oneOf / if-condition subtrees
         self.errors: list[CompileError] = []
 
     # -- public ------------------------------------------------------------
@@ -599,6 +601,22 @@ class Compiler:
             self.errors.append(exc)
             return NodeResult(Compiled.ok())
 
+    from contextlib import contextmanager as _ctxmgr
+
+    @_ctxmgr
+    def _negation_scope(self):
+        """Marks compilation of subtrees whose verdict feeds a
+        NON-MONOTONE context (not, oneOf's exact count, if's branch
+        selection): a conservative per-row depth-cutoff failure INVERTS
+        there — '~child.passed' under `not` would wrongly ACCEPT a
+        too-deep instance (review r05c), so the fail_row cutoff refuses
+        at compile time inside these scopes."""
+        self._neg_depth += 1
+        try:
+            yield
+        finally:
+            self._neg_depth -= 1
+
     def _compile_node(self, node: Any, inst: Inst, kw_loc: str, dyn: str,
                       scope: tuple[str, ...], depth: int) -> NodeResult:
         # ``scope`` is the *dynamic scope stack* (outermost first); its last
@@ -607,6 +625,13 @@ class Compiler:
         # resolution can search outermost-first (reference SchemaVisitor
         # dynamic-path semantics; ADVICE r01).
         if depth > self.max_depth:
+            if self.on_max_depth == "fail_row" and self._neg_depth > 0:
+                raise CompileError(
+                    f"recursive schema exceeds max_depth={self.max_depth} "
+                    "INSIDE a not/oneOf/if scope — the per-row conservative "
+                    "cutoff failure would invert there (a too-deep instance "
+                    "under `not` would wrongly PASS); raise max_depth or "
+                    "restructure the negated recursion", location=kw_loc)
             if self.on_max_depth == "fail_row":
                 # Bounded unrolling for recursive schemas: verdicts are exact
                 # for every instance that nests within the compiled budget;
@@ -650,9 +675,17 @@ class Compiler:
             return scope if base == scope[-1] else scope + (base,)
 
         # ---- $ref / $dynamicRef (inlined; SchemaLoader.kt:381-405) -------
+        # Resolver failures (unresolvable ref, bad pointer) re-raise as
+        # POINTERED CompileErrors: a raw SchemaError would escape the
+        # collect-then-throw contract, aborting the compile uncaught and
+        # suppressing every sibling diagnostic (review r05c)
         if "$ref" in node:
-            target, tscope = self.resolver.resolve(node["$ref"], scope[-1])
-            child = self._compile(target, inst, self._ref_loc(node["$ref"], kw_loc),
+            try:
+                target, tscope = self.resolver.resolve(node["$ref"], scope[-1])
+            except SchemaError as exc:
+                raise CompileError(str(exc), location=f"{kw_loc}/$ref")
+            child = self._compile(target, inst,
+                                  self._ref_loc(node["$ref"], kw_loc, target),
                                   dyn + "/$ref", _enter(tscope), depth + 1)
             add(child.compiled)
             res.merge_child(child, child.compiled.passed)
@@ -660,12 +693,19 @@ class Compiler:
             # search the accumulated dynamic stack outermost-first — a
             # $dynamicAnchor defined in an *intermediate* document of a $ref
             # chain must win over the lexical fallback (ADVICE r01)
-            hit = self.resolver.resolve_dynamic(node["$dynamicRef"], list(scope))
-            if hit is None:
-                hit = self.resolver.resolve(node["$dynamicRef"], scope[-1])
+            try:
+                hit = self.resolver.resolve_dynamic(node["$dynamicRef"],
+                                                    list(scope))
+                if hit is None:
+                    hit = self.resolver.resolve(node["$dynamicRef"], scope[-1])
+            except SchemaError as exc:
+                raise CompileError(str(exc), location=f"{kw_loc}/$dynamicRef")
             target, tscope = hit
-            child = self._compile(target, inst, self._ref_loc(node["$dynamicRef"], kw_loc),
-                                  dyn + "/$dynamicRef", _enter(tscope), depth + 1)
+            child = self._compile(target, inst,
+                                  self._ref_loc(node["$dynamicRef"], kw_loc,
+                                                target),
+                                  dyn + "/$dynamicRef", _enter(tscope),
+                                  depth + 1)
             add(child.compiled)
             res.merge_child(child, child.compiled.passed)
 
@@ -802,8 +842,17 @@ class Compiler:
             res.compiled = base
         return res
 
-    @staticmethod
-    def _ref_loc(ref: str, kw_loc: str) -> str:
+    def _ref_loc(self, ref: str, kw_loc: str, target: Any = None) -> str:
+        """keyword_location base for a $ref target: the target's REAL
+        schema pointer when it lives in the root document (so an
+        anchor-form ref '#A' reports '#/$defs/s/...', dereferenceable by
+        tooling — review r05c); the raw fragment for pointer-form refs
+        (identical string), '#/$ref:<uri>' for remote targets whose
+        pointers belong to a different document."""
+        if target is not None:
+            ptr = self.resolver.pointer_of(target)
+            if ptr is not None:
+                return "#" + ptr
         return ref if ref.startswith("#") else "#/$ref:" + ref
 
     # -- scalar keyword builders ------------------------------------------
@@ -828,7 +877,29 @@ class Compiler:
                 # unknown type name -> never matches (same as the typed
                 # path), not a KeyError escaping the CompileError contract
                 check = checks.get(t, lambda _c: F.lit(False))
-                ok = ok | F.coalesce(check(inst.col), F.lit(False))
+                cond = check(inst.col)
+                if self.lenient:
+                    # LENIENT primitive coercion (Validator.kt:324-365) on
+                    # the VARIANT path too — previously implemented only
+                    # for typed columns, so lenient=True was silently
+                    # ignored on open documents (review r05c); mirrors
+                    # _type_matches' typed-path rules exactly
+                    is_s = F.coalesce(vt.is_string(inst.col), F.lit(False))
+                    sv = vt.as_string(inst.col)
+                    if t == "number":
+                        cond = cond | (is_s & sv.try_cast("double").isNotNull())
+                    elif t == "integer":
+                        dd = sv.try_cast("double")
+                        cond = cond | (is_s & dd.isNotNull()
+                                       & (dd == F.floor(dd)))
+                    elif t == "boolean":
+                        cond = cond | (is_s & F.lower(sv).isin(
+                            "true", "false", "yes", "no", "on", "off"))
+                    elif t == "string":
+                        cond = cond | F.coalesce(
+                            vt.is_number(inst.col) | vt.is_boolean(inst.col),
+                            F.lit(False))
+                ok = ok | F.coalesce(cond, F.lit(False))
             prefix = (f"expected type: {types[0]}" if isinstance(tval, str)
                       else "expected type: one of " + ", ".join(types))
             msg = F.concat(F.lit(prefix + ", actual: "),
@@ -904,6 +975,17 @@ class Compiler:
             return col == F.lit(value) if isinstance(dtype, T.BooleanType) else F.lit(False)
         if _is_number(value):
             if isinstance(dtype, _NUMERIC_TYPES):
+                if isinstance(value, int) and not -2 ** 63 <= value < 2 ** 63:
+                    # F.lit cannot carry it as a JVM long (raw Py4J error
+                    # escaping the CompileError contract, review r05c);
+                    # compare via decimal38 when it fits — a double column
+                    # CAN hold a numerically-equal value — else no Spark
+                    # numeric can represent it: never equal
+                    from decimal import Decimal as _D
+                    if len(str(abs(value))) > 38:
+                        return F.lit(False)
+                    return (col.try_cast(T.DecimalType(38, 0))
+                            == F.lit(_D(value)))
                 return col == F.lit(value)
             return F.lit(False)
         if isinstance(value, str):
@@ -970,6 +1052,16 @@ class Compiler:
         if isinstance(value, bool):
             return vt.is_boolean(col) & (vt.as_boolean(col) == F.lit(value))
         if _is_number(value):
+            if isinstance(value, int) and abs(value) > 2 ** 53:
+                # a double comparison conflates distinct integers past the
+                # 53-bit mantissa (e.g. const 2^53+1 matched 2^53) — the
+                # exact class vt.equality_key's decimal(38,0) component
+                # exists to separate (review r05c)
+                from decimal import Decimal as _D
+                if len(str(abs(value))) > 38:
+                    return F.lit(False)  # beyond decimal38: unrepresentable
+                dec = F.try_variant_get(col, "$", "decimal(38,0)")
+                return vt.is_number(col) & (dec == F.lit(_D(value)))
             return vt.is_number(col) & (vt.as_double(col) == F.lit(float(value)))
         if isinstance(value, str):
             return vt.is_string(col) & (vt.as_string(col) == F.lit(value))
@@ -1013,6 +1105,17 @@ class Compiler:
         return self._numeric_parts(node, inst, kw_loc, dyn, num, sval,
                                    F.lit(True), sval)
 
+    @staticmethod
+    def _bound_f(v) -> float:
+        """Schema numeric bound as a double, SATURATING past double range:
+        a 400-digit JSON integer parses to a Python int that float()
+        refuses (OverflowError) — an uncaught non-CompileError; the bound
+        semantics saturate to +-inf instead (review r05c)."""
+        try:
+            return float(v)
+        except OverflowError:
+            return float("inf") if v > 0 else float("-inf")
+
     def _numeric_parts(self, node: dict, inst: Inst, kw_loc: str, dyn: str,
                        num: Column, sval: Column, gate: Column,
                        exact_repr: Column) -> Compiled | None:
@@ -1020,26 +1123,26 @@ class Compiler:
         if "minimum" in node:
             lo = node["minimum"]
             parts.append(Compiled.simple(
-                gate & ~inst.is_absent() & (num < F.lit(float(lo))),
+                gate & ~inst.is_absent() & (num < F.lit(self._bound_f(lo))),
                 "minimum", f"{kw_loc}/minimum", inst.loc, dyn + "/minimum",
                 F.concat(sval, F.lit(f" is lower than minimum {lo}"))))
         if "maximum" in node:
             hi = node["maximum"]
             parts.append(Compiled.simple(
-                gate & ~inst.is_absent() & (num > F.lit(float(hi))),
+                gate & ~inst.is_absent() & (num > F.lit(self._bound_f(hi))),
                 "maximum", f"{kw_loc}/maximum", inst.loc, dyn + "/maximum",
                 F.concat(sval, F.lit(f" is greater than maximum {hi}"))))
         if "exclusiveMinimum" in node:
             lo = node["exclusiveMinimum"]
             parts.append(Compiled.simple(
-                gate & ~inst.is_absent() & (num <= F.lit(float(lo))),
+                gate & ~inst.is_absent() & (num <= F.lit(self._bound_f(lo))),
                 "exclusiveMinimum", f"{kw_loc}/exclusiveMinimum", inst.loc,
                 dyn + "/exclusiveMinimum",
                 F.concat(sval, F.lit(f" is lower than or equal to minimum {lo}"))))
         if "exclusiveMaximum" in node:
             hi = node["exclusiveMaximum"]
             parts.append(Compiled.simple(
-                gate & ~inst.is_absent() & (num >= F.lit(float(hi))),
+                gate & ~inst.is_absent() & (num >= F.lit(self._bound_f(hi))),
                 "exclusiveMaximum", f"{kw_loc}/exclusiveMaximum", inst.loc,
                 dyn + "/exclusiveMaximum",
                 F.concat(sval, F.lit(f" is greater than or equal to maximum {hi}"))))
@@ -1051,16 +1154,22 @@ class Compiler:
                 raise CompileError(
                     f"multipleOf must be a number > 0, got {d!r}",
                     location=f"{kw_loc}/multipleOf")
-            if isinstance(inst.dtype, _INTEGERISH) and isinstance(d, int):
+            if isinstance(inst.dtype, _INTEGERISH) and isinstance(d, int) \
+                    and -2 ** 63 <= d < 2 ** 63:
+                # (the long-range check keeps a huge-int divisor off
+                # F.lit's JVM-long path — review r05c)
                 fail = gate & ~inst.is_absent() & (F.pmod(inst.col, F.lit(d)) != 0)
-            elif abs(float(d)) >= 1e26 or float(d) < 1e-30:
+            elif abs(self._bound_f(d)) >= 1e26 or self._bound_f(d) < 1e-30:
                 # divisor beyond decimal(38,12)'s integral range — or BELOW
                 # decimal scale 30 (the frac cap): a sub-1e-30 divisor
                 # casts to decimal ZERO and pmod raises DIVIDE_BY_ZERO
                 # under ANSI defaults (review r05c) — exact decimal
                 # arithmetic impossible either way; double remainder
+                df_ = self._bound_f(d)
                 fail = gate & ~inst.is_absent() & (
-                    F.pmod(num, F.lit(float(d))) != 0)
+                    # a +inf divisor (beyond-double integer): pmod(x, inf)
+                    # = x, so only exact zero is a multiple — correct
+                    F.pmod(num, F.lit(df_)) != 0)
             else:
                 # scale sized so the DIVISOR survives its cast — a fixed
                 # (38,12) turns multipleOf 1e-13 into decimal zero and
@@ -1565,9 +1674,10 @@ class Compiler:
                 res.merge_child(s, s.compiled.passed)
 
         if "oneOf" in node:
-            subs = [self._compile(sub, inst, f"{kw_loc}/oneOf/{i}",
-                                  dyn + f"/oneOf/{i}", scope, depth + 1)
-                    for i, sub in enumerate(node["oneOf"])]
+            with self._negation_scope():  # exact-count context (review r05c)
+                subs = [self._compile(sub, inst, f"{kw_loc}/oneOf/{i}",
+                                      dyn + f"/oneOf/{i}", scope, depth + 1)
+                        for i, sub in enumerate(node["oneOf"])]
             n = len(subs)
             matched = None
             for s in subs:
@@ -1591,15 +1701,17 @@ class Compiler:
                 res.merge_child(s, s.compiled.passed & (matched == 1))
 
         if "not" in node:
-            child = self._compile(node["not"], inst, f"{kw_loc}/not",
-                                  dyn + "/not", scope, depth + 1).compiled
+            with self._negation_scope():  # inverted verdict (review r05c)
+                child = self._compile(node["not"], inst, f"{kw_loc}/not",
+                                      dyn + "/not", scope, depth + 1).compiled
             add(Compiled.simple(
                 ~inst.is_absent() & child.passed, "not", f"{kw_loc}/not",
                 inst.loc, dyn + "/not", F.lit("negated subschema did not fail")))
 
         if "if" in node:
-            if_res = self._compile(node["if"], inst, f"{kw_loc}/if",
-                                   dyn + "/if", scope, depth + 1)
+            with self._negation_scope():  # branch selector (review r05c)
+                if_res = self._compile(node["if"], inst, f"{kw_loc}/if",
+                                       dyn + "/if", scope, depth + 1)
             ip = if_res.compiled.passed
             then_res = else_res = None
             if "then" in node:

@@ -340,6 +340,30 @@ class Resolver:
     def scope_of(self, node: Any, default: str = "") -> str:
         return self._scope_of.get(id(node), default or self.root_base)
 
+    def pointer_of(self, node: Any) -> str | None:
+        """Canonical JSON pointer of a subschema node within the ROOT
+        document (lazy id-indexed walk). Failure lineage uses it so an
+        anchor-form ``$ref`` ('#A') reports the target's REAL schema
+        location ('#/$defs/s'), not an anchor/pointer hybrid that no
+        tooling can dereference (review r05c). Nodes from registry/remote
+        documents return None — their pointers are relative to a
+        different document."""
+        if getattr(self, "_ptr_of", None) is None:
+            self._ptr_of: dict[int, str] = {}
+
+            def walk(nd: Any, ptr: str) -> None:
+                if isinstance(nd, dict):
+                    self._ptr_of.setdefault(id(nd), ptr)
+                    for k, v in nd.items():
+                        walk(v, f"{ptr}/{pointer_escape(k)}")
+                elif isinstance(nd, list):
+                    self._ptr_of.setdefault(id(nd), ptr)
+                    for i, v in enumerate(nd):
+                        walk(v, f"{ptr}/{i}")
+
+            walk(self.root_doc, "")
+        return self._ptr_of.get(id(node))
+
     def resolve(self, ref: str, scope: str) -> tuple[Any, str]:
         """Resolve ``ref`` against base-uri ``scope``.
 
@@ -392,6 +416,15 @@ class Resolver:
         ``dynamic_scopes`` is the stack of base URIs entered so far, outermost
         first. Returns None if no dynamic anchor matches (caller falls back to
         plain $ref semantics).
+
+        PINNED DIVERGENCE from 2020-12 §8.2.3 (reference parity, review
+        r05c): the spec's *bookending* requirement — dynamic resolution
+        applies only when the initially-resolved target is itself a
+        ``$dynamicAnchor`` — is not checked, matching the Kotlin
+        reference's SchemaVisitor behavior: a ``$dynamicRef`` whose
+        lexical target is a plain ``$anchor`` still participates in
+        dynamic scope search. The vendored suite's bookending cases all
+        include the bookend anchor, so both behaviors pass it.
         """
         uri, frag = urldefrag(ref)
         if not frag or frag.startswith("/"):

@@ -835,6 +835,122 @@ def test_unique_items_over_map_elements_is_compile_error(spark):
                  collect_errors=False).compile_value(F.col("a"), at)
 
 
+def test_unresolvable_ref_joins_aggregate_compile_errors(spark):
+    """A resolver SchemaError previously escaped the CompileError
+    collection contract — one bad $ref aborted the compile uncaught and
+    suppressed every sibling diagnostic (review r05c)."""
+    from pyspark.sql import types as T
+
+    from json_skema_spark.plans.compile import AggregateCompileError, Compiler
+    st = T.StructType([T.StructField("a", T.StringType()),
+                       T.StructField("b", T.LongType())])
+    doc = {"properties": {"a": 5, "b": {"$ref": "#/$defs/missing"}}}
+    with pytest.raises(AggregateCompileError) as ei:
+        Compiler(doc).compile_root(st)
+    locs = {e.location for e in ei.value.errors}
+    assert "#/properties/a" in locs
+    assert "#/properties/b/$ref" in locs
+    assert len(ei.value.errors) == 2
+
+
+def test_variant_const_exact_past_2_53(spark):
+    """Variant const/enum compared via double conflated distinct integers
+    past the 53-bit mantissa (review r05c)."""
+    from pyspark.sql import types as T
+
+    from json_skema_spark.plans.compile import Compiler
+    df = spark.createDataFrame(
+        [("9007199254740992",), ("9007199254740993",)], ["j"])
+    c = Compiler({"const": 9007199254740993}).compile_value(
+        F.parse_json(F.col("j")), T.VariantType())
+    got = [r["p"] for r in df.select(c.passed.alias("p")).collect()]
+    assert got == [False, True]
+
+
+def test_fail_row_cutoff_refused_under_negation(spark):
+    """A conservative depth-cutoff failure INVERTS under not/oneOf/if —
+    a too-deep instance under `not` would wrongly PASS; it must refuse at
+    compile time in those scopes and stay usable elsewhere (review r05c)."""
+    from pyspark.sql import types as T
+
+    from json_skema_spark.plans.compile import CompileError, Compiler
+    rec = {"$defs": {"r": {"properties": {"n": {"$ref": "#/$defs/r"}}}}}
+    vt_ = T.VariantType()
+    neg = {**rec, "not": {"$ref": "#/$defs/r"}}
+    with pytest.raises(CompileError, match="would invert"):
+        Compiler(neg, max_depth=8, on_max_depth="fail_row",
+                 collect_errors=False).compile_value(F.col("j"), vt_)
+    # positive-context recursion keeps the bounded-unroll behavior
+    pos = {**rec, "properties": {"x": {"$ref": "#/$defs/r"}}}
+    Compiler(pos, max_depth=8, on_max_depth="fail_row",
+             collect_errors=False).compile_value(F.col("j"), vt_)
+
+
+def test_lenient_coercion_on_variant_path(spark):
+    """lenient=True was silently ignored for variant columns — the
+    reference's LENIENT mode coerces '5' -> 5, 'yes' -> true, scalar ->
+    string (review r05c)."""
+    from pyspark.sql import types as T
+
+    from json_skema_spark.plans.compile import Compiler
+    df = spark.createDataFrame(
+        [('"5"',), ('"yes"',), ("7",), ('"x"',)], ["j"])
+
+    def verdicts(doc):
+        c = Compiler(doc, lenient=True).compile_value(
+            F.parse_json(F.col("j")), T.VariantType())
+        return [r["p"] for r in df.select(c.passed.alias("p")).collect()]
+
+    assert verdicts({"type": "integer"}) == [True, False, True, False]
+    assert verdicts({"type": "boolean"}) == [False, True, False, False]
+    assert verdicts({"type": "string"}) == [True, True, True, True]
+
+
+def test_huge_schema_numbers_do_not_crash_compile(spark):
+    """400-digit bounds and consts beyond bigint previously raised raw
+    OverflowError/Py4J errors escaping the CompileError contract
+    (review r05c): bounds saturate to +-inf, consts compare via decimal38
+    (a double CAN equal 1e19) or are never-equal beyond 38 digits."""
+    from pyspark.sql import types as T
+
+    from json_skema_spark.plans.compile import Compiler
+    st = T.StructType([T.StructField("v", T.LongType()),
+                       T.StructField("d", T.DoubleType())])
+    df = spark.createDataFrame([(5, 1e19)], st)
+
+    c = Compiler({"properties": {"v": {"minimum": 10 ** 400}}}) \
+        .compile_root(st)
+    assert df.select(c.passed.alias("p")).collect()[0]["p"] is False
+    c = Compiler({"properties": {"v": {"maximum": 10 ** 400}}}) \
+        .compile_root(st)
+    assert df.select(c.passed.alias("p")).collect()[0]["p"] is True
+    # const 10^19: no long holds it, but the double column's 1e19 equals it
+    c = Compiler({"properties": {"v": {"const": 10 ** 19}}}).compile_root(st)
+    assert df.select(c.passed.alias("p")).collect()[0]["p"] is False
+    c = Compiler({"properties": {"d": {"const": 10 ** 19}}}).compile_root(st)
+    assert df.select(c.passed.alias("p")).collect()[0]["p"] is True
+    # multipleOf with a beyond-double divisor: only zero is a multiple
+    c = Compiler({"properties": {"v": {"multipleOf": 10 ** 400}}}) \
+        .compile_root(st)
+    assert df.select(c.passed.alias("p")).collect()[0]["p"] is False
+
+
+def test_anchor_ref_failure_reports_real_pointer(spark):
+    """Failures under an anchor-form $ref previously reported '#A/...' —
+    an anchor/pointer hybrid no tooling can dereference (review r05c)."""
+    from pyspark.sql import types as T
+
+    import json_skema_spark as jss
+    st = T.StructType([T.StructField("x", T.StringType())])
+    df = spark.createDataFrame([("ab",)], st)
+    doc = {"$defs": {"s": {"$anchor": "A", "minLength": 3}},
+           "properties": {"x": {"$ref": "#A"}}}
+    plan = jss.compile_schema(doc, st)
+    v = plan.violations(df, F.lit("k")).collect()
+    assert len(v) == 1
+    assert v[0]["keyword_location"] == "#/$defs/s/minLength"
+
+
 def test_deprecated_usage_dotted_column_still_counts(spark):
     """The quoted_col migration (review r05c finding 8) keeps the r04
     dotted-name behavior."""
