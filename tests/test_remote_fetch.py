@@ -93,8 +93,12 @@ def test_fetch_disabled_by_default(spark, server):
     base, routes, hits = server
     routes["/x.json"] = {"minimum": 0}
     comp = Compiler({"$ref": f"{base}/x.json"})  # no fetch_remote
-    with pytest.raises(SchemaError, match="not registered"):
+    # a pointered CompileError (inside the aggregate-collection contract),
+    # not a raw SchemaError escaping it (review r05c)
+    from json_skema_spark.plans.compile import CompileError
+    with pytest.raises(CompileError, match="not registered") as ei:
         comp.compile_value(F.col("v"), T.IntegerType())
+    assert "#/$ref" in str(ei.value)
     assert hits == []
 
 
