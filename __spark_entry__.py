@@ -1242,7 +1242,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT keyword, keyword_location,
                    count(*) AS n_violations,
                    coalesce(array_to_string(
-                       (list(row_key ORDER BY row_key)
+                       (list(DISTINCT row_key ORDER BY row_key)
                         FILTER (WHERE row_key IS NOT NULL))[1:5],
                        ','), '') AS example_keys
                    -- coalesce: a group whose offending keys are ALL NULL
@@ -1948,7 +1948,8 @@ def oracle_sql() -> dict[str, str]:
                    '#/l_orderkey' AS instance_location,
                    '#/uniqueItems' AS dynamic_path,
                    'key ' || CAST(l_orderkey AS VARCHAR) || ' occurs in '
-                       || CAST(n AS VARCHAR) || ' rows, expected 1' AS message
+                       || CAST(n AS VARCHAR) || ' rows, expected 1' AS message,
+                   CAST(NULL AS INTEGER) AS partition_id
             FROM (SELECT l_orderkey, count(*) AS n FROM lineitem
                   WHERE l_orderkey IS NOT NULL
                   GROUP BY 1 HAVING count(*) > 1)

@@ -107,4 +107,9 @@ def uniqueness_violations(df: DataFrame, key: str, *,
         F.format_string(
             f"key %s occurs in %s rows, expected 1", F.col("key").cast("string"),
             F.col("n_rows")).alias("message"),
+        # NULL: an AGGREGATE violation has no single source partition, but
+        # the column must exist for the FIXTURES.md §5 shape — without it,
+        # unionByName over the runner's violation artifacts fails
+        # (review r05c)
+        F.lit(None).cast("int").alias("partition_id"),
     )

@@ -26,11 +26,6 @@ from pyspark.sql import types as T
 
 from json_skema_spark.plans.compile import Compiled, Compiler
 
-VIOLATION_COLUMNS = [
-    "row_key", "keyword", "keyword_location", "instance_location",
-    "dynamic_path", "message", "partition_id",
-]
-
 
 class ValidationPlan:
     """A schema compiled against a fixed table StructType."""
@@ -156,8 +151,11 @@ class ValidationPlan:
         return self._light_compiled
 
     def verdict_counts(self, df: DataFrame) -> DataFrame:
+        # light compile: only the boolean verdict is read — forcing the
+        # full-message tree here defeated the lazy-_compiled design for
+        # verdict-only consumers (review r05c)
         return (
-            df.select(self._compiled.passed.alias("passed"))
+            df.select(self._light().passed.alias("passed"))
             .groupBy("passed").agg(F.count("*").alias("n_rows"))
         )
 
@@ -170,8 +168,10 @@ def violation_digest(violations: DataFrame, *, per_keyword: int = 20,
     At 10^12 rows a bad deploy can emit billions of violation rows; the
     digest answers "what broke, how much, show me a few" without shipping
     them all: ``(keyword, keyword_location, n_violations, example_keys)``
-    where ``example_keys`` is the ``per_keyword`` SMALLEST row keys
-    (deterministic — no first()/limit() nondeterminism across retries).
+    where ``example_keys`` is the ``per_keyword`` smallest DISTINCT row
+    keys (deterministic — no first()/limit() nondeterminism across
+    retries; distinct because a hot key repeated across violations would
+    otherwise fill every example slot with copies of itself, review r05c).
 
     Scale design: keys are ranked inside (keyword_location, salt) window
     partitions — a sort-based, spillable operator with ``salt_buckets``-way
@@ -196,6 +196,7 @@ def violation_digest(violations: DataFrame, *, per_keyword: int = 20,
     # NULLS LAST (DuckDB) would report the smallest non-null keys —
     # divergent digests for the same violations (review r04)
     winners = (salted.filter(F.col("k").isNotNull())
+               .dropDuplicates(["keyword", "keyword_location", "k"])
                .withColumn("_rn", F.row_number().over(w))
                .filter(F.col("_rn") <= per_keyword)
                .groupBy("keyword", "keyword_location")

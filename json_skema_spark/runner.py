@@ -102,7 +102,10 @@ def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
 
     Returns the manifest metrics map (bucket -> metrics).
     """
-    schema_doc = schema_doc or CLIPS_SCHEMA_DOC
+    # `is None`, not falsy-or: `false` (reject-all) and `{}` (accept-all)
+    # are LEGAL schemas that `or` silently replaced with the clips
+    # default (review r05c)
+    schema_doc = CLIPS_SCHEMA_DOC if schema_doc is None else schema_doc
     plan = compile_schema(schema_doc, clips.schema)
     manifest = checkpoint.PartitionManifest(
         os.path.join(out_dir, "_manifest"), spark)
@@ -116,6 +119,25 @@ def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
     # different semantics than the finished ones (review r04). A ref used
     # only by the global phase (check_audio=False) is NOT guarded here —
     # the global step is fingerprinted and recomputes safely.
+    # the SCHEMA ITSELF is the primary semantic input: a resume with an
+    # edited schema would validate the remaining buckets against B while
+    # the committed ones keep A's verdicts, reported as ONE successful
+    # run — and a fully-committed re-run with a new schema would skip all
+    # work and print the OLD run's totals as success (review r05c)
+    import hashlib as _hashlib
+    import json as _json
+    schema_fp = _hashlib.md5(_json.dumps(
+        schema_doc, sort_keys=True, separators=(",", ":"),
+        default=str).encode()).hexdigest()
+    prior_fp = manifest.option("schema_fp")
+    if prior_fp is not None and prior_fp != schema_fp and manifest.completed:
+        raise ValueError(
+            f"resume with a DIFFERENT schema document (fingerprint "
+            f"{schema_fp} vs {prior_fp}) after {len(manifest.completed)} "
+            "committed bucket(s) — their verdicts were produced by the "
+            "original schema; finish with it, or use a fresh out_dir (or "
+            "revalidate_table for schema evolution)")
+    manifest.record_option("schema_fp", schema_fp)
     for opt, val in (("emit_clean", emit_clean), ("emit_digest", emit_digest),
                      ("check_audio", check_audio),
                      ("audio_has_ref",
@@ -304,7 +326,12 @@ def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
             os.path.join(out_dir, "violations_unique"))
         manifest.mark_global_done("unique")
     if transcripts_ref is not None:
-        fp = _ref_fingerprint(transcripts_ref)
+        # reuse the staging-guard fingerprint when it was computed: for a
+        # non-file reference each computation is a full content-hash scan
+        # (review r05c)
+        fp = (ref_meta["fingerprint"]
+              if check_audio and transcripts_ref is not None
+              else _ref_fingerprint(transcripts_ref))
         if not _global_fresh("ref", fp):
             orph = referential.referential_violations(
                 _staged_keys(), transcripts_ref, "clip_id")
@@ -320,9 +347,23 @@ def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
             # newer profile columns (min_int/max_int) — without this Spark
             # samples ONE file for the schema and may silently drop them
             # (ADVICE r04); merge_profiles nulls whatever is still missing
+            # read ONLY the buckets THIS manifest committed: a restage
+            # with fewer buckets leaves the old run's bucket=K dirs in
+            # place, and a wholesale profile/* read would merge stale
+            # parts into the drift input (n_rows inflated, wrong null
+            # fractions) under a valid fingerprint (review r05c)
+            part_paths = [
+                os.path.join(out_dir, "profile", f"bucket={b}")
+                for b in sorted(manifest.completed, key=int)
+                if checkpoint.fs_exists(
+                    spark, os.path.join(out_dir, "profile", f"bucket={b}"))]
+            if not part_paths:
+                raise ValueError(
+                    "drift step found no committed profile parts under "
+                    f"{out_dir}/profile — cannot compute drift")
             parts = (spark.read.option("mergeSchema", "true")
-                     .parquet(os.path.join(out_dir, "profile")))
-            cur = stats.merge_profiles(parts.drop("bucket"))
+                     .parquet(*part_paths))
+            cur = stats.merge_profiles(parts)
             drift_report(cur, baseline_profile).write.mode("overwrite") \
                 .parquet(os.path.join(out_dir, "drift"))
             manifest.mark_global_done("drift", {"fingerprint": fp})
@@ -414,7 +455,8 @@ def main() -> None:
             reval_audio["check_audio"] = True  # overrides the off-default
         result = revalidate_table(
             spark, clips, args.out, old_schema_doc=old_doc,
-            new_schema_doc=schema_doc or CLIPS_SCHEMA_DOC,
+            new_schema_doc=(CLIPS_SCHEMA_DOC if schema_doc is None
+                            else schema_doc),
             transcripts_ref=tref, baseline_profile=base,
             num_buckets=args.buckets, emit_clean=args.emit_clean,
             emit_digest=args.emit_digest, file_lineage=args.file_lineage,

@@ -951,6 +951,118 @@ def test_anchor_ref_failure_reports_real_pointer(spark):
     assert v[0]["keyword_location"] == "#/$defs/s/minLength"
 
 
+def _tiny_clips(spark, n=40):
+    return spark.createDataFrame(
+        [(f"c{i}", float(i)) for i in range(n)],
+        "clip_id string, price double")
+
+
+def test_validate_table_refuses_resume_with_edited_schema(spark, tmp_path):
+    """The schema is the primary semantic input: a resume with an edited
+    document previously mixed two schemas' verdicts in one 'successful'
+    run (review r05c)."""
+    from json_skema_spark import runner
+    out = str(tmp_path / "out")
+    df = _tiny_clips(spark)
+    doc_a = {"properties": {"price": {"maximum": 100.0}}}
+    runner.validate_table(spark, df, out, schema_doc=doc_a, num_buckets=2,
+                          check_audio=False)
+    doc_b = {"properties": {"price": {"maximum": 5.0}}}
+    with pytest.raises(ValueError, match="DIFFERENT schema document"):
+        runner.validate_table(spark, df, out, schema_doc=doc_b,
+                              num_buckets=2, check_audio=False)
+    # unchanged schema still resumes/no-ops cleanly
+    runner.validate_table(spark, df, out, schema_doc=doc_a, num_buckets=2,
+                          check_audio=False)
+
+
+def test_validate_table_accepts_falsy_schemas(spark, tmp_path):
+    """`false` (reject-all) and `{}` (accept-all) are LEGAL schemas that
+    `schema_doc or DEFAULT` silently replaced (review r05c)."""
+    from json_skema_spark import runner
+    df = _tiny_clips(spark, 10)
+    runner.validate_table(spark, df, str(tmp_path / "o1"), schema_doc=False,
+                          num_buckets=2, check_audio=False)
+    v = spark.read.parquet(str(tmp_path / "o1") + "/violations")
+    assert v.count() == 10  # reject-all: every row violates
+    runner.validate_table(spark, df, str(tmp_path / "o2"), schema_doc={},
+                          num_buckets=2, check_audio=False)
+    v2 = spark.read.parquet(str(tmp_path / "o2") + "/violations")
+    assert v2.count() == 0  # accept-all
+
+
+def test_drift_merge_ignores_stale_bucket_dirs(spark, tmp_path):
+    """A restage with fewer buckets leaves old bucket=K dirs; the drift
+    merge previously read profile/* wholesale and corrupted the report
+    under a valid fingerprint (review r05c)."""
+    import shutil
+
+    from pyspark.sql import functions as SF
+
+    from json_skema_spark import runner
+    from json_skema_spark.operators.stats import profile
+    out = str(tmp_path / "out")
+    df = _tiny_clips(spark)
+    base = profile(df, ["price"])
+    doc = {"properties": {"price": {"minimum": -1.0}}}
+    runner.validate_table(spark, df, out, schema_doc=doc, num_buckets=2,
+                          check_audio=False, baseline_profile=base)
+    clean = {r["column_name"]: r for r in
+             spark.read.parquet(out + "/drift").collect()}
+    assert not clean["price"]["null_drift"]
+    # plant a STALE bucket dir claiming every row was null
+    part = spark.read.option("mergeSchema", "true") \
+        .parquet(out + "/profile/bucket=0")
+    part.withColumn("n_nulls", SF.col("n_rows")) \
+        .write.parquet(out + "/profile/bucket=7")
+    # restage: delete the manifest, rerun — the merge must use only the
+    # NEW manifest's committed buckets
+    shutil.rmtree(out + "/_manifest")
+    runner.validate_table(spark, df, out, schema_doc=doc, num_buckets=2,
+                          check_audio=False, baseline_profile=base)
+    after = {r["column_name"]: r for r in
+             spark.read.parquet(out + "/drift").collect()}
+    assert not after["price"]["null_drift"]  # stale bucket=7 ignored
+
+
+def test_violation_digest_examples_are_distinct(spark):
+    from json_skema_spark.plans.verdict import violation_digest
+    rows = [("hot", "required", "#/required")] * 10 + \
+           [(f"k{i}", "required", "#/required") for i in range(3)]
+    v = spark.createDataFrame(
+        rows, "row_key string, keyword string, keyword_location string")
+    d = violation_digest(v, per_keyword=5).collect()[0]
+    assert d["n_violations"] == 13  # counts keep every occurrence
+    assert d["example_keys"] == ["hot", "k0", "k1", "k2"]  # keys distinct
+
+
+def test_uniqueness_violations_carry_partition_id_column(spark):
+    from json_skema_spark.operators.uniqueness import uniqueness_violations
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], ["k"])
+    out = uniqueness_violations(df, "k")
+    assert "partition_id" in out.columns
+    assert out.collect()[0]["partition_id"] is None
+
+
+def test_verdict_counts_uses_light_compile(spark, monkeypatch):
+    from json_skema_spark.plans import compile as compile_mod
+    from json_skema_spark.plans.compile import Compiler
+    from json_skema_spark.plans.verdict import ValidationPlan
+    calls = []
+    orig = compile_mod.Compiler.compile_root
+
+    def counting(self, st):
+        calls.append(1)
+        return orig(self, st)
+
+    monkeypatch.setattr(compile_mod.Compiler, "compile_root", counting)
+    df = spark.createDataFrame([(1,)], "v int")
+    plan = ValidationPlan(Compiler({"properties": {"v": {"minimum": 0}}}),
+                          df.schema)
+    plan.verdict_counts(df).collect()
+    assert len(calls) == 1  # light only — full-message tree never built
+
+
 def test_deprecated_usage_dotted_column_still_counts(spark):
     """The quoted_col migration (review r05c finding 8) keeps the r04
     dotted-name behavior."""
