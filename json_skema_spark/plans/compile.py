@@ -207,14 +207,27 @@ def _fail_struct(keyword: str, kw_loc: str, inst_loc: Column, dyn_path: str,
 
 @dataclass
 class Compiled:
-    """Result of lowering one schema node for one instance expression."""
+    """Result of lowering one schema node for one instance expression.
+
+    ``legs`` is the summary fast-path metadata: a tuple of
+    ``(cond_fail, keyword, keyword_location)`` triples, one per failure
+    leaf, valid ONLY when every leaf of this subtree contributes exactly
+    one failure struct per row iff its ``cond_fail`` holds and the
+    composition is plain accumulation (``conj``). Per-keyword violation
+    counting then lowers to one map-side-combinable SUM per leg instead of
+    building/exploding the failure array (ValidationPlan.summary, r06).
+    ``None`` = not summarizable (any combinator/array construct that
+    suppresses, wraps, or multiplies child failures poisons the subtree);
+    consumers must fall back to the explode path.
+    """
 
     passed: Column   # boolean, never NULL
     failures: Column  # array<failure_struct>, never NULL (empty iff passed)
+    legs: tuple | None = None
 
     @staticmethod
     def ok() -> "Compiled":
-        return Compiled(F.lit(True), empty_failures())
+        return Compiled(F.lit(True), empty_failures(), legs=())
 
     @staticmethod
     def simple(cond_fail: Column, keyword: str, kw_loc: str, inst_loc: Column,
@@ -227,6 +240,7 @@ class Compiled:
                 cond_fail,
                 F.array(_fail_struct(keyword, kw_loc, inst_loc, dyn, message)),
             ).otherwise(empty_failures()),
+            legs=((cond_fail, keyword, kw_loc),),
         )
 
 
@@ -241,7 +255,12 @@ def conj(parts: list[Compiled]) -> Compiled:
         passed = passed & p.passed
     fails = [p.failures for p in parts]
     failures = fails[0] if len(fails) == 1 else F.concat(*fails)
-    return Compiled(passed, failures)
+    legs: tuple | None
+    if all(p.legs is not None for p in parts):
+        legs = tuple(leg for p in parts for leg in p.legs)
+    else:
+        legs = None
+    return Compiled(passed, failures, legs=legs)
 
 
 # --------------------------------------------------------------------------
@@ -1331,7 +1350,20 @@ class Compiler:
                 F.array(*[
                     F.when(~inst.present(n), F.lit(n)) for n in req
                 ]), lambda x: x.isNotNull())
-            cond = F.size(missing) > 0
+            # verdict condition as a plain OR chain, NOT size(filter(...)):
+            # higher-order functions are CodegenFallback expressions —
+            # evaluated interpreted, one GenericArrayData allocation per ROW
+            # — and `required` sits on every verdict scan (the 20M-row
+            # constraint probe spent a measurable slice of its wall here,
+            # r06 measurement). OR(~present) is semantically identical to
+            # size(filter(missing-names)) > 0: present() is never-null on
+            # every instance kind, and Compiled.simple coalesces anyway.
+            # `missing` survives only inside the failure MESSAGE, which is
+            # evaluated for failing rows alone (and replaced by a literal
+            # under light_messages).
+            cond = F.lit(False)
+            for n in req:
+                cond = cond | ~inst.present(n)
             add(Compiled.simple(
                 ~inst.is_absent() & cond, "required", f"{kw_loc}/required",
                 inst.loc, dyn + "/required",

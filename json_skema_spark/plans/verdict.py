@@ -124,8 +124,43 @@ class ValidationPlan:
         (round-5 measurement: 38.6 s -> see BENCH/BASELINE.md). Keyword /
         location / count outputs are identical by construction (only the
         message literal differs).
+
+        When every failure leaf is a one-struct-per-row leg with a
+        compile-time (keyword, keyword_location) — ``Compiled.legs`` — the
+        counts lower to one map-side-combinable SUM per leg: no failure
+        array is built, nothing is exploded, and the only shuffle is the
+        single partial-aggregate row per task (guide §2.3 "aggregate
+        before you shuffle"; r06 measurement: 2.08 s -> ~0.5 s at sf1.0).
+        Identical output by construction: a simple leaf contributes
+        exactly one failure element iff its cond holds, so
+        count(explode(failures)) grouped by (keyword, location) equals the
+        per-leg conditional sums re-grouped the same way. Schemas with
+        combinator/per-element failure legs (legs=None) keep the explode
+        path.
         """
         light = self._light()
+        legs = light.legs
+        if legs:
+            # legs sharing a (keyword, keyword_location) are merged at BUILD
+            # time (their per-row contributions add), so no post-explode
+            # groupBy/Exchange is needed — one fewer AQE stage on the driver
+            grouped: dict[tuple[str, str], list[Column]] = {}
+            for c, k, kl in legs:
+                grouped.setdefault((k, kl), []).append(c)
+            keys = list(grouped)
+            sums = df.agg(*[
+                F.sum(sum((F.when(c, F.lit(1)).otherwise(F.lit(0))
+                           for c in grouped[key]), start=F.lit(0)))
+                .alias(f"_l{i}")
+                for i, key in enumerate(keys)])
+            rows = sums.select(F.explode(F.array(*[
+                F.struct(F.lit(k).alias("keyword"),
+                         F.lit(kl).alias("keyword_location"),
+                         F.col(f"_l{i}").alias("n_violations"))
+                for i, (k, kl) in enumerate(keys)])).alias("s"))
+            return (rows.select("s.keyword", "s.keyword_location",
+                                "s.n_violations")
+                    .filter(F.col("n_violations") > 0))
         return (
             # filter on the BOOLEAN verdict before building any failure
             # array (same shape as violations()): passing rows never pay
