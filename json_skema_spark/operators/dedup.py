@@ -55,8 +55,15 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str, *,
     merged and re-sliced equals the global K-smallest (top-K is
     distributive over partitions). ``max_ids=None`` restores the full list.
     """
-    d = df.select(F.col(id_col).alias("doc_id"),
-                  content_digest(F.col(text_col), normalize=normalize).alias("digest"))
+    # ensure_parallelism on the (id, text) projection: a small corpus
+    # arrives as 1-2 splits (openCostInBytes floors the split size) and the
+    # normalize-regex + md5 then run on 1-2 cores; the repartition moves
+    # only the projected columns and is a no-op at scale (r06 measurement:
+    # 1.2 s -> ~0.45 s at sf1.0 on 32 cores)
+    d = ensure_parallelism(df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))) \
+        .select("doc_id",
+                content_digest(F.col("_text"), normalize=normalize).alias("digest"))
     # null text -> null digest; groupBy treats nulls as equal, which would
     # report documents whose content was never compared as one duplicate
     # cluster — null-text rows are simply not exact duplicates of anything
@@ -226,23 +233,7 @@ def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
     ).select("doc_id", F.col("bh.band").alias("band"),
              F.col("bh.band_hash").alias("band_hash"))
 
-    if max_bucket:
-        bucket_sizes = (banded.groupBy("band", "band_hash")
-                        .agg(F.count("*").alias("_bsz"))
-                        .filter(F.col("_bsz") <= max_bucket)
-                        .drop("_bsz"))
-        banded = banded.join(bucket_sizes, on=["band", "band_hash"],
-                             how="left_semi")
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(b, on=["band", "band_hash"], how="inner")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_id_a"),
-                F.col("b.doc_id").alias("doc_id_b"))
-        .distinct()
-    )
+    cand = _bucket_pairs(banded, ["band", "band_hash"], max_bucket)
     if not verify:
         return cand.withColumn("jaccard", F.lit(None).cast("double"))
 
@@ -259,6 +250,36 @@ def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str],
+                  max_bucket: int | None,
+                  payload: str = "doc_id") -> DataFrame:
+    """Distinct candidate id pairs (``doc_id_a < doc_id_b``) from bucket
+    co-membership — ONE aggregation instead of the r05 shape (bucket-size
+    agg + left-semi prune + self-join): members are collected per bucket,
+    oversized buckets dropped by ``size(_ids)`` (identical semantics to the
+    old count-then-semi-join prune), and the m^2/2 ordered pairs generated
+    by a double explode — no join, and the bucket keys shuffle ONCE instead
+    of three times (guide §2.4; r06 measurement: minhash pairs 3.4 s ->
+    see OPTIMIZATION_r06.md). The per-bucket member array is bounded by
+    ``max_bucket``, so no agg buffer exceeds that; callers that pass
+    ``max_bucket=None`` accept unbounded buckets exactly as the old
+    self-join accepted their m^2 blow-up.
+
+    ``payload`` names the id column in ``keyed`` (any orderable type);
+    ``keyed`` must be ``bucket_cols + [payload]``."""
+    grouped = (keyed.groupBy(*bucket_cols)
+               .agg(F.collect_list(payload).alias("_ids"))
+               .filter(F.size("_ids") >= 2))
+    if max_bucket:
+        grouped = grouped.filter(F.size("_ids") <= max_bucket)
+    return (
+        grouped.select("_ids", F.explode("_ids").alias("doc_id_a"))
+        .select("doc_id_a", F.explode("_ids").alias("doc_id_b"))
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .distinct()
     )
 
 
@@ -348,22 +369,10 @@ def ngram_jaccard_near_duplicates(df: DataFrame, text_col: str, id_col: str,
         index_grams = F.col("sh")
     postings = base.select("doc_id", F.explode(index_grams).alias("gram"))
 
-    if max_posting:
-        small = (postings.groupBy("gram")
-                 .agg(F.count("*").alias("_psz"))
-                 .filter(F.col("_psz") <= max_posting)
-                 .drop("_psz"))
-        postings = postings.join(small, on="gram", how="left_semi")
-
-    a = postings.alias("a")
-    b = postings.alias("b")
-    cand = (
-        a.join(b, on="gram", how="inner")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_id_a"),
-                F.col("b.doc_id").alias("doc_id_b"))
-        .distinct()
-    )
+    # one aggregation replaces the posting-size agg + semi-join + self-join
+    # (same prune semantics: a gram whose posting list exceeds max_posting
+    # is dropped whole) — see _bucket_pairs
+    cand = _bucket_pairs(postings, ["gram"], max_posting)
     sh = base.select("doc_id", "sh")
     pairs = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_id_a")
@@ -461,15 +470,17 @@ def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, *,
         ])).alias("c"),
     ).select("doc_id", "fp", F.col("c.chunk").alias("chunk"),
              F.col("c.val").alias("val"))
+    # same one-aggregation pair generation as _bucket_pairs, with the
+    # fingerprint riding along in the member struct so hamming verification
+    # needs no join back (8 extra bytes per member in the shuffle)
+    grouped = (chunks.groupBy("chunk", "val")
+               .agg(F.collect_list(F.struct("doc_id", "fp")).alias("_ids"))
+               .filter(F.size("_ids") >= 2))
     if max_bucket:
-        sizes = (chunks.groupBy("chunk", "val")
-                 .agg(F.count("*").alias("_bsz"))
-                 .filter(F.col("_bsz") <= max_bucket)
-                 .drop("_bsz"))
-        chunks = chunks.join(sizes, on=["chunk", "val"], how="left_semi")
-    a, b = chunks.alias("a"), chunks.alias("b")
+        grouped = grouped.filter(F.size("_ids") <= max_bucket)
     return (
-        a.join(b, on=["chunk", "val"], how="inner")
+        grouped.select("_ids", F.explode("_ids").alias("a"))
+        .select("a", F.explode("_ids").alias("b"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_id_a"),
                 F.col("b.doc_id").alias("doc_id_b"),

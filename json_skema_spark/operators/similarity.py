@@ -270,20 +270,14 @@ def embedding_near_duplicates(df: DataFrame, embedding_col: str, id_col: str, *,
         ])).alias("bb"),
     ).select("doc_id", "e", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
-    if max_bucket:
-        sizes = (banded.groupBy("band", "bucket")
-                 .agg(F.count("*").alias("_bsz"))
-                 .filter(F.col("_bsz") <= max_bucket).drop("_bsz"))
-        banded = banded.join(sizes, on=["band", "bucket"], how="left_semi")
-    keys = banded.select("doc_id", "band", "bucket")
-    x, y = keys.alias("x"), keys.alias("y")
-    cand = (
-        x.join(y, on=["band", "bucket"], how="inner")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("id_a"),
-                F.col("y.doc_id").alias("id_b"))
-        .distinct()
-    )
+    # one aggregation replaces the bucket-size agg + semi-join + self-join
+    # (identical prune semantics); only (band, bucket, id) rows shuffle —
+    # never the vectors (dedup._bucket_pairs, r06)
+    from json_skema_spark.operators.dedup import _bucket_pairs
+    cand = _bucket_pairs(banded.select("band", "bucket", "doc_id"),
+                         ["band", "bucket"], max_bucket) \
+        .select(F.col("doc_id_a").alias("id_a"),
+                F.col("doc_id_b").alias("id_b"))
     vecs = base
     pairs = (
         cand.join(vecs.select(F.col("doc_id").alias("id_a"),

@@ -48,6 +48,10 @@ def duplicate_keys(df: DataFrame, key: str | Column, *,
     # unique_key_stream, contamination, dedup): groupBy would lump every
     # null-key row into one "duplicated key" that duplicate_rows' equi-join
     # then can't even find — the two APIs would disagree (review r04)
+    # NOT ensure_parallelism'd (r06 measurement): with mostly-unique keys
+    # the (key, salt) partial agg collapses nothing, so a round-robin
+    # repartition ahead of it adds a second full-size key shuffle —
+    # measured noop 1.12 s -> 1.66 s at sf1.0
     partial = (
         df.select(k.alias("key")).filter(F.col("key").isNotNull())
         .withColumn("_salt", salt_column(F.col("key"), salt_buckets))
