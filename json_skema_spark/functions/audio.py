@@ -98,14 +98,20 @@ def encode_wav_pcm16(signal: np.ndarray, sr_hz: int) -> bytes:
     return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
 
 
-def decode_wav_pcm16(buf: bytes) -> tuple[np.ndarray | None, int, str]:
-    """Parse RIFF/WAVE PCM16 -> (float64 signal in [-1,1], sr_hz, error)."""
+def _parse_wav_pcm16(buf) -> tuple[np.ndarray | None, int, str]:
+    """Parse RIFF/WAVE PCM16 -> (int16 sample VIEW over ``buf``, sr_hz,
+    error) without materializing a float array. ``buf`` may be ``bytes``
+    or a ``memoryview`` (zero-copy slice of an Arrow buffer). The float
+    conversion is left to the caller so the SNR path can convert
+    chunk-wise (touch each byte once — VERDICT r05 #4); identical control
+    flow and error strings to the r05 ``decode_wav_pcm16`` body."""
     try:
-        if buf is None or len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        if buf is None or len(buf) < 44 or bytes(buf[:4]) != b"RIFF" \
+                or bytes(buf[8:12]) != b"WAVE":
             return None, 0, "not_riff_wave"
         pos, sr, data = 12, 0, None
         while pos + 8 <= len(buf):
-            cid = buf[pos:pos + 4]
+            cid = bytes(buf[pos:pos + 4])
             (clen,) = struct.unpack_from("<I", buf, pos + 4)
             body = buf[pos + 8: pos + 8 + clen]
             if cid == b"fmt ":
@@ -121,13 +127,23 @@ def decode_wav_pcm16(buf: bytes) -> tuple[np.ndarray | None, int, str]:
             pos += 8 + clen + (clen & 1)
         if sr == 0 or data is None:
             return None, sr, "missing_chunks"
-        # astype then in-place divide: one n*8 allocation, not two — the
-        # decode is the audio path's biggest allocator (VERDICT r04 #2)
-        sig = np.frombuffer(data, dtype="<i2").astype(np.float64)
-        sig /= 32767.0
-        return sig, sr, ""
+        # odd-length data raises in frombuffer -> decode_error:<type>,
+        # identical to the r05 behavior (same call, same except clause)
+        return np.frombuffer(data, dtype="<i2"), sr, ""
     except Exception as exc:  # malformed container must not kill the task
         return None, 0, f"decode_error:{type(exc).__name__}"
+
+
+def decode_wav_pcm16(buf: bytes) -> tuple[np.ndarray | None, int, str]:
+    """Parse RIFF/WAVE PCM16 -> (float64 signal in [-1,1], sr_hz, error)."""
+    s16, sr, err = _parse_wav_pcm16(buf)
+    if s16 is None:
+        return None, sr, err
+    # astype then in-place divide: one n*8 allocation, not two — the
+    # decode is the audio path's biggest allocator (VERDICT r04 #2)
+    sig = s16.astype(np.float64)
+    sig /= 32767.0
+    return sig, sr, err
 
 
 # Decoder registry: codec name -> callable(bytes) -> (signal, sr_hz, error).
@@ -314,6 +330,38 @@ def snr_db_periodic(one: np.ndarray, decoded: np.ndarray) -> float:
     return 10.0 * np.log10(p_sig / p_noise) if p_sig > 0 else float("-inf")
 
 
+def snr_db_periodic_i16(one: np.ndarray, s16: np.ndarray, n_cmp: int) -> float:
+    """``snr_db_periodic`` taking the RAW int16 samples: each period-sized
+    chunk is converted int16 -> float64 -> /32767 inside the loop, so the
+    full-length float64 signal is never materialized (a 2 s 48 kHz clip is
+    192 KB of int16 but 768 KB of float64; the audio check is memory-
+    bandwidth-bound at high core counts, so bytes touched per clip IS the
+    throughput). Bit-identical to ``snr_db_periodic(one, sig[:n_cmp])``
+    with ``sig = s16.astype(float64)/32767``: astype and divide are
+    elementwise, so converting a slice equals slicing the conversion, and
+    the accumulation order is unchanged."""
+    n = min(n_cmp, len(s16))
+    if n == 0:
+        return float("-inf")
+    one64 = np.asarray(one, dtype=np.float64)
+    p = len(one64)
+    if p == 0:
+        return float("-inf")
+    one_sq = float(np.dot(one64, one64))
+    p_sig = 0.0
+    p_noise = 0.0
+    for start in range(0, n, p):
+        chunk = s16[start:min(start + p, n)].astype(np.float64)
+        chunk /= 32767.0
+        ref = one64 if len(chunk) == p else one64[:len(chunk)]
+        p_sig += one_sq if len(chunk) == p else float(np.dot(ref, ref))
+        noise = ref - chunk
+        p_noise += float(np.dot(noise, noise))
+    if p_noise == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(p_sig / p_noise) if p_sig > 0 else float("-inf")
+
+
 def pcm_invariant_check(df: DataFrame, ref_transcripts: DataFrame | None = None,
                         *, min_snr_db: float = 30.0,
                         check_duration: bool = False,
@@ -353,7 +401,18 @@ def pcm_invariant_check(df: DataFrame, ref_transcripts: DataFrame | None = None,
 
     decoders = _decoder_snapshot()
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches):
+        # mapInArrow (r06): the pandas path materialized every WAV payload
+        # as a Python bytes object (one copy per clip) and the decode
+        # expanded it 4x into a full float64 signal before the SNR loop.
+        # Here each clip's bytes are a zero-copy memoryview slice of the
+        # Arrow data buffer, the WAV parse yields an int16 VIEW, and the
+        # int16 -> float64 conversion happens chunk-wise inside
+        # snr_db_periodic_i16 — each payload byte is touched once and the
+        # peak per-clip allocation is one period, not the whole clip.
+        # Verdicts/snr are bit-identical (elementwise conversion commutes
+        # with slicing; accumulation order unchanged).
+        #
         # reference-period cache: only 16 distinct signals exist per sample
         # rate (i % 16 picks the second tone), and every shorter reference
         # is a PREFIX of the one-second period (same t = arange(n)/sr
@@ -367,25 +426,60 @@ def pcm_invariant_check(df: DataFrame, ref_transcripts: DataFrame | None = None,
         # _REF_CACHE_MAX_SAMPLES bounds total cache BYTES — an entry-count
         # bound would let ~256 near-cap periods pin ~1.5 GB per worker
         # under adversarial sr diversity (review r05).
+        import pyarrow as pa
         ref_cache: dict[tuple, np.ndarray] = {}
         cache_samples = 0
-        for pdf in batches:
-            n = len(pdf)
+        for rb in batches:
+            n = rb.num_rows
+            names = rb.schema.names
+            col = {name: rb.column(names.index(name)) for name in
+                   ("clip_id", "codec", "bytes", "sr_hz", "dur_ms",
+                    "transcript", "_ref_transcript")}
+            cids = col["clip_id"].to_pylist()
+            codecs = col["codec"].to_pylist()
+            srs = col["sr_hz"].to_pylist()
+            durs = col["dur_ms"].to_pylist()
+            trs = col["transcript"].to_pylist()
+            rtrs = col["_ref_transcript"].to_pylist()
+            bcol = col["bytes"]
+            # combine_chunks-free zero-copy access: RecordBatch columns are
+            # plain Arrays; binary layout = validity + offsets + one data
+            # buffer. Respect the array's slice offset.
+            if n == 0:
+                continue
+            bufs = bcol.buffers()
+            off_dt = np.int64 if pa.types.is_large_binary(bcol.type) \
+                else np.int32
+            offs = np.frombuffer(
+                bufs[1], dtype=off_dt,
+                count=n + 1, offset=bcol.offset * np.dtype(off_dt).itemsize)
+            data_mv = memoryview(bufs[2]) if bufs[2] is not None \
+                else memoryview(b"")
+            null_mask = np.asarray(bcol.is_null())
+
             ok = np.zeros(n, dtype=bool)
             snr = np.full(n, -np.inf)
             terr = np.zeros(n, dtype=bool)
             errs = [""] * n
-            for idx, (cid, codec, buf, sr, dur, tr, rtr) in enumerate(zip(
-                    pdf["clip_id"], pdf["codec"], pdf["bytes"], pdf["sr_hz"],
-                    pdf["dur_ms"], pdf["transcript"], pdf["_ref_transcript"])):
-                sig, dec_sr, err = _decode_with(decoders, codec, buf)
+            for idx in range(n):
+                cid, codec = cids[idx], codecs[idx]
+                sr, dur, tr, rtr = srs[idx], durs[idx], trs[idx], rtrs[idx]
+                buf = None if null_mask[idx] \
+                    else data_mv[offs[idx]:offs[idx + 1]]
+                fast = decoders[0].get(codec) is decode_wav_pcm16
+                if fast:
+                    s16, dec_sr, err = _parse_wav_pcm16(buf)
+                    sig_len = None if s16 is None else len(s16)
+                else:
+                    sig, dec_sr, err = _decode_with(
+                        decoders, codec, None if buf is None else bytes(buf))
+                    sig_len = None if sig is None else len(sig)
                 errs[idx] = err
-                if sig is not None:
-                    # null metadata arrives as NaN in pandas; int(NaN) would
-                    # raise and abort the whole Spark job — a dirty row must
-                    # be *reported*, never kill the validator (ADVICE r01)
+                if sig_len is not None:
+                    # null metadata must be *reported*, never kill the
+                    # validator (ADVICE r01)
                     eff_sr = dec_sr if dec_sr else sr
-                    if pd.isna(dur) or pd.isna(eff_sr) or not eff_sr:
+                    if dur is None or eff_sr is None or not eff_sr:
                         errs[idx] = "missing_metadata"
                     else:
                         try:
@@ -399,7 +493,7 @@ def pcm_invariant_check(df: DataFrame, ref_transcripts: DataFrame | None = None,
                         # prefix, which is exactly this min)
                         sr_i, dur_i = int(eff_sr), int(dur)
                         n_cmp = min(max(int(round(sr_i * dur_i / 1000.0)), 1),
-                                    len(sig))
+                                    sig_len)
                         base_n = min(n_cmp, sr_i)  # one period caps the ref
                         if sr_i <= _SR_CACHE_MAX:
                             key = (i % 16, sr_i)
@@ -419,30 +513,31 @@ def pcm_invariant_check(df: DataFrame, ref_transcripts: DataFrame | None = None,
                             one = synth_reference_signal(
                                 i, sr_i, dur_i, max_samples=base_n,
                                 dtype=np.float32).astype(np.float64)
-                        s = snr_db_periodic(one, sig[:n_cmp])
+                        s = snr_db_periodic_i16(one, s16, n_cmp) if fast \
+                            else snr_db_periodic(one, sig[:n_cmp])
                         snr[idx] = s
                         ok[idx] = s >= min_snr_db
                         if check_duration:
                             expected = int(eff_sr) * int(dur) / 1000.0
-                            if abs(len(sig) - expected) > max(
+                            if abs(sig_len - expected) > max(
                                     duration_tolerance * expected, 2.0):
                                 ok[idx] = False
                                 errs[idx] = (f"duration_mismatch: decoded "
-                                             f"{len(sig)} samples, claimed "
+                                             f"{sig_len} samples, claimed "
                                              f"~{int(expected)}")
-                rtr_null = rtr is None or (not isinstance(rtr, str)
-                                           and pd.isna(rtr))
-                tr_null = tr is None or (not isinstance(tr, str)
-                                         and pd.isna(tr))
+                rtr_null = rtr is None
+                tr_null = tr is None
                 terr[idx] = (not rtr_null) and (not tr_null) and tr == rtr
                 if (rtr_null or tr_null) and not errs[idx]:
                     errs[idx] = "null_transcript" if tr_null \
                         else "missing_reference_transcript"
-            yield pd.DataFrame({
-                "clip_id": pdf["clip_id"], "invariant_ok": ok, "snr_db": snr,
-                "transcript_ok": terr, "error": errs})
+            yield pa.RecordBatch.from_arrays(
+                [col["clip_id"], pa.array(ok), pa.array(snr),
+                 pa.array(terr), pa.array(errs, type=pa.string())],
+                names=["clip_id", "invariant_ok", "snr_db",
+                       "transcript_ok", "error"])
 
-    return base.mapInPandas(run, SNR_SCHEMA)
+    return base.mapInArrow(run, SNR_SCHEMA)
 
 
 def audio_violations(df: DataFrame, *, min_snr_db: float = 30.0,

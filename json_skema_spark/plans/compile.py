@@ -116,7 +116,11 @@ def _check_java_pattern(pat: str, ploc: str) -> None:
     AggregateCompileError contract (review r05c). Python re cannot stand
     in: it accepts Java-invalid constructs ((?P<n>...)) and rejects
     Java-valid ones (\\p{Alpha}). Soft-skipped when no session is active
-    (pure plan construction)."""
+    (pure plan construction) — a plan BUILT before any SparkSession exists
+    therefore bypasses this gate and a Java-invalid runtime pattern
+    surfaces as an executor PatternSyntaxException at first action instead
+    of a pointered CompileError (ADVICE r05, documented contract: compile
+    under an active session to get collect-then-throw diagnostics)."""
     try:
         from pyspark.sql import SparkSession
         sess = SparkSession.getActiveSession()
@@ -620,9 +624,7 @@ class Compiler:
             self.errors.append(exc)
             return NodeResult(Compiled.ok())
 
-    from contextlib import contextmanager as _ctxmgr
-
-    @_ctxmgr
+    @contextmanager
     def _negation_scope(self):
         """Marks compilation of subtrees whose verdict feeds a
         NON-MONOTONE context (not, oneOf's exact count, if's branch
@@ -1003,8 +1005,32 @@ class Compiler:
                     from decimal import Decimal as _D
                     if len(str(abs(value))) > 38:
                         return F.lit(False)
-                    return (col.try_cast(T.DecimalType(38, 0))
-                            == F.lit(_D(value)))
+                    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+                        # EXACT semantics (ADVICE r05): cast-to-decimal38
+                        # goes through the shortest decimal repr, so
+                        # (double)1e30 wrongly equaled const 10**30 though
+                        # its exact value is ...019884624838656. A binary
+                        # float equals the const iff the const is exactly
+                        # representable AND the column holds that value.
+                        try:
+                            fv = float(value)
+                        except OverflowError:
+                            return F.lit(False)
+                        if int(fv) != value:
+                            return F.lit(False)
+                        return col == F.lit(fv)
+                    eq = (col.try_cast(T.DecimalType(38, 0))
+                          == F.lit(_D(value)))
+                    if isinstance(dtype, T.DecimalType) and dtype.scale > 0:
+                        # integrality gate (ADVICE r05): try_cast(decimal38)
+                        # HALF_UP-rounds, so decimal(38,2) ...000.75 rounded
+                        # to ...001 and wrongly equaled const ...001.
+                        # Requiring the rounded value to round-trip back to
+                        # the instance pins integrality; a NULL round-trip
+                        # (overflow) coalesces to not-equal at the consumer.
+                        eq = eq & (col.try_cast(T.DecimalType(38, 0))
+                                   .try_cast(dtype) == col)
+                    return eq
                 return col == F.lit(value)
             return F.lit(False)
         if isinstance(value, str):
@@ -1075,12 +1101,38 @@ class Compiler:
                 # a double comparison conflates distinct integers past the
                 # 53-bit mantissa (e.g. const 2^53+1 matched 2^53) — the
                 # exact class vt.equality_key's decimal(38,0) component
-                # exists to separate (review r05c)
+                # exists to separate (review r05c). Split by runtime kind
+                # (ADVICE r05): try_variant_get(decimal(38,0)) HALF_UP-
+                # rounds, so a FRACTIONAL variant decimal half-an-ulp
+                # under the const wrongly matched, and a variant double
+                # compared via the rounded decimal rather than its exact
+                # binary value.
                 from decimal import Decimal as _D
                 if len(str(abs(value))) > 38:
                     return F.lit(False)  # beyond decimal38: unrepresentable
-                dec = F.try_variant_get(col, "$", "decimal(38,0)")
-                return vt.is_number(col) & (dec == F.lit(_D(value)))
+                k = vt.kind(col)
+                dec_eq = (F.try_variant_get(col, "$", "decimal(38,0)")
+                          == F.lit(_D(value)))
+                # integer kinds: decimal38 extraction is exact
+                int_eq = k.isin("BIGINT", "INT", "SMALLINT", "TINYINT") \
+                    & dec_eq
+                # double/float kind: equal iff the const is exactly
+                # representable AND the exact binary value matches
+                try:
+                    fv = float(value)
+                    rep = int(fv) == value
+                except OverflowError:
+                    rep = False
+                dbl_eq = (k.isin("DOUBLE", "FLOAT")
+                          & (vt.as_double(col) == F.lit(fv))) \
+                    if rep else F.lit(False)
+                # decimal kind: decimal38 equality gated on integrality —
+                # the canonical text carries no nonzero fraction digit
+                # (trailing zeros like 100.00 stay integral-valued)
+                frac = F.coalesce(
+                    vt.as_string(col).rlike(r"\.\d*[1-9]"), F.lit(True))
+                decm_eq = k.startswith("DECIMAL") & ~frac & dec_eq
+                return int_eq | dbl_eq | decm_eq
             return vt.is_number(col) & (vt.as_double(col) == F.lit(float(value)))
         if isinstance(value, str):
             return vt.is_string(col) & (vt.as_string(col) == F.lit(value))
@@ -1633,11 +1685,25 @@ class Compiler:
         # contains + minContains/maxContains (Validator.kt:751-781)
         if "contains" in node:
             closed = f"{kw_loc}/contains"
-            elem_fn = self._element_fn(node["contains"], elem_t, inst.loc, closed,
-                                       dyn + "/contains", scope, depth, strict=inst.strict)
-            match_cnt = F.size(F.filter(arr, lambda x: elem_fn(x, F.lit(0)).passed))
             min_c = node.get("minContains", 1)
             max_c = node.get("maxContains")
+            elem_fn = self._element_fn(node["contains"], elem_t, inst.loc,
+                                       closed, dyn + "/contains", scope,
+                                       depth, strict=inst.strict)
+            if max_c is not None:
+                # maxContains is a NON-MONOTONE consumer of the element
+                # verdict: a conservative fail_row depth-cutoff failure
+                # UNDERCOUNTS match_cnt, so a too-deep instance would
+                # wrongly PASS maxContains — the same inversion class the
+                # not/oneOf/if scopes refuse (ADVICE r05). The subschema
+                # compiles lazily inside the F.filter lambda, so the
+                # negation scope must wrap the match_cnt CONSTRUCTION.
+                with self._negation_scope():
+                    match_cnt = F.size(
+                        F.filter(arr, lambda x: elem_fn(x, F.lit(0)).passed))
+            else:
+                match_cnt = F.size(
+                    F.filter(arr, lambda x: elem_fn(x, F.lit(0)).passed))
             parts = []
             if min_c > 0:
                 low_msg = F.when(

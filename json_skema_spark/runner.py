@@ -328,7 +328,13 @@ def validate_table(spark: SparkSession, clips: DataFrame, out_dir: str, *,
     if transcripts_ref is not None:
         # reuse the staging-guard fingerprint when it was computed: for a
         # non-file reference each computation is a full content-hash scan
-        # (review r05c)
+        # (review r05c). ASSUMPTION (ADVICE r05): the reference table is
+        # immutable for the duration of the run — if a live reference
+        # changes between staging and this step, violations_ref reflects
+        # the new content while the recorded guard fingerprint describes
+        # the staged-time content; the mismatch self-heals on the next run
+        # (the guard recomputes and sees fresh content). Callers with
+        # mutable references should snapshot them before validate_table.
         fp = (ref_meta["fingerprint"]
               if check_audio and transcripts_ref is not None
               else _ref_fingerprint(transcripts_ref))
