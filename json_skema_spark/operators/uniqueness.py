@@ -3,13 +3,16 @@
 of the first duplicate pair within one array; here every duplicate *row* of a
 10^12-row table is tagged, with its partition lineage).
 
-Scale design (north rule: salted two-phase hash aggregation):
+Scale design:
 
-- ``duplicate_keys``: two-phase aggregation — a *salted* partial count
-  ``groupBy(key, salt)`` shards hot keys across ``salt_buckets`` reducers,
-  then a tiny re-agg over (key) merges shards. With AQE's skew handling this
-  is belt-and-braces, but the explicit salt guarantees no single reducer sees
-  more than ~1/S of any hot key's rows even when AQE is off.
+- ``duplicate_keys``: one hash aggregation — map-side partial counting
+  bounds any reducer's share of a hot key at one row per map task (the
+  combiner collapses each task's contribution before the shuffle), so
+  counting needs no explicit salt; the r05 salted two-phase shuffled the
+  full key set twice for a guarantee the combiner already provides (r06).
+  Salting remains the right tool where per-group STATE grows with the
+  group (``exact_duplicates``' id lists, ``violation_digest``'s example
+  keys) — ``salt_column`` is shared with those paths and the skew tests.
 - ``duplicate_rows``: tags every row of a duplicated key via a broadcast-able
   semi-join against the (small) duplicate-key set rather than a
   ``Window.partitionBy(key)`` — a window would shuffle the *full* table on a
@@ -42,6 +45,18 @@ def duplicate_keys(df: DataFrame, key: str | Column, *,
     """Keys occurring more than once, with their multiplicity.
 
     Output: ``(key, n_rows)`` with ``n_rows >= 2``.
+
+    ONE ``groupBy(key).count()`` (r06): counting is the one aggregation
+    where the explicit salt is redundant, because Spark's map-side partial
+    count already bounds what any reducer receives for a hot key at ONE
+    row per map task — the skew guarantee the r05 salted two-phase
+    existed for — while the salt prevented exactly that collapse (every
+    (key, salt) sub-group of a mostly-unique key column is distinct, so
+    the plan shuffled the full key set TWICE: measured 1.65 s vs 1.08 s
+    at sf1.0). Aggregations whose per-group STATE grows with the group
+    (``exact_duplicates``' top-K id lists, ``violation_digest``'s
+    examples) keep their salted two-phase — ``salt_buckets`` is retained
+    in the signature for callers that tuned it (unused here).
     """
     k = F.col(key) if isinstance(key, str) else key
     # a NULL is NOT a key occurrence (engine-wide convention: streaming
@@ -49,18 +64,12 @@ def duplicate_keys(df: DataFrame, key: str | Column, *,
     # null-key row into one "duplicated key" that duplicate_rows' equi-join
     # then can't even find — the two APIs would disagree (review r04)
     # NOT ensure_parallelism'd (r06 measurement): with mostly-unique keys
-    # the (key, salt) partial agg collapses nothing, so a round-robin
-    # repartition ahead of it adds a second full-size key shuffle —
-    # measured noop 1.12 s -> 1.66 s at sf1.0
-    partial = (
-        df.select(k.alias("key")).filter(F.col("key").isNotNull())
-        .withColumn("_salt", salt_column(F.col("key"), salt_buckets))
-        .groupBy("key", "_salt")
-        .agg(F.count("*").alias("_partial"))
-    )
+    # the partial agg collapses nothing, so a round-robin repartition
+    # ahead of it adds a second full-size key shuffle
     return (
-        partial.groupBy("key")
-        .agg(F.sum("_partial").alias("n_rows"))
+        df.select(k.alias("key")).filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.count("*").alias("n_rows"))
         .filter(F.col("n_rows") > 1)
     )
 
