@@ -34,25 +34,6 @@ def dot(a: Column, b: Column) -> Column:
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
-def dot_lit(a: Column, vec) -> Column:
-    """Dot product of an array column with a LITERAL vector, expanded to a
-    flat codegen sum — higher-order functions (aggregate/zip_with) are
-    CodegenFallback expressions, interpreted per row with an array
-    allocation, and every LSH banding / scoring pass runs dim (or
-    bands*planes) of them (r06). Bit-identical to ``dot(a, _lit_vec(vec))``:
-    the expansion folds left in the same order as the aggregate
-    (((0 + x0*q0) + x1*q1) + ...), and an element index past the column's
-    length yields NULL exactly like zip_with's null padding."""
-    out = F.lit(0.0)
-    for i, v in enumerate(vec):
-        # F.get: 0-based, null past the end (element_at raises under ANSI)
-        out = out + F.get(a, i) * F.lit(float(v))
-    # a column LONGER than the literal zips against null padding in the
-    # old formulation -> NULL dot; reproduce that exactly
-    return F.when(F.size(a) <= len(vec), out) \
-        .otherwise(F.lit(None).cast("double"))
-
-
 def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
@@ -70,31 +51,16 @@ def _lit_vec(vec) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
 
 
-def cosine_lit(a: Column, vec) -> Column:
-    """``cosine`` against a LITERAL vector: the query norm folds to one
-    Python-computed literal (same left-fold + sqrt sequence of IEEE double
-    ops Spark's aggregate would run — bit-identical) and the dot expands
-    via ``dot_lit``; only the column's own norm stays a per-row
-    higher-order aggregate. Same zero-vector guard as ``cosine``."""
-    qsq = 0.0
-    for v in vec:
-        fv = float(v)
-        qsq += fv * fv
-    import math
-    denom = l2_norm(a) * F.lit(math.sqrt(qsq))
-    return F.when(denom > 0, dot_lit(a, vec) / denom).otherwise(F.lit(0.0))
-
-
 def cosine_topk(df: DataFrame, embedding_col: str, id_col: str, query,
                 k: int = 10) -> DataFrame:
     """Exact top-k by cosine similarity to ``query`` (a Python list/ndarray).
 
     Output: ``(id, score)`` ordered desc, deterministic ties by id.
     """
+    q = _lit_vec(query)
     scored = ensure_parallelism(df).select(
         F.col(id_col),
-        cosine_lit(F.col(embedding_col).cast("array<double>"), query)
-        .alias("score"),
+        cosine(F.col(embedding_col).cast("array<double>"), q).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
@@ -116,7 +82,7 @@ def lsh_bucket(embedding: Column, hyperplanes: np.ndarray) -> Column:
             "planes (ann_topk's bands/planes_per_band)")
     bucket = F.lit(0).cast("long")
     for i, h in enumerate(hyperplanes):
-        bit = F.when(dot_lit(embedding, h) > 0,
+        bit = F.when(dot(embedding, _lit_vec(h)) > 0,
                      F.lit(int(2 ** i)).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket.bitwiseOR(bit)
     return bucket
@@ -176,7 +142,7 @@ def ann_topk(df: DataFrame, embedding_col: str, id_col: str, query,
         probe = df.select(F.col(id_col), emb.alias("_e"), match.alias("_m")) \
             .filter(F.col("_m"))
     scored = probe.select(F.col(id_col),
-                          cosine_lit(F.col("_e"), query).alias("score"))
+                          cosine(F.col("_e"), _lit_vec(query)).alias("score"))
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
@@ -222,7 +188,7 @@ def ivf_list_id(embedding: Column, centroids: np.ndarray) -> Column:
     """Nearest-centroid list id, pure Column expressions (argmin over
     ||x||^2 - 2 x.c + ||c||^2; ||x||^2 is common so dropped)."""
     dists = F.array(*[
-        (F.lit(float(np.dot(c, c))) - 2.0 * dot_lit(embedding, c))
+        (F.lit(float(np.dot(c, c))) - 2.0 * dot(embedding, _lit_vec(c)))
         for c in centroids
     ])
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
@@ -248,7 +214,7 @@ def ivf_topk(df: DataFrame, embedding_col: str, id_col: str, query, k: int = 10,
                          ivf_list_id(emb, centroids).alias("_list"))
     probed = assigned.filter(F.col("_list").isin(probe_lists))
     scored = probed.select(F.col(id_col),
-                           cosine_lit(F.col("_e"), query).alias("score"))
+                           cosine(F.col("_e"), _lit_vec(query)).alias("score"))
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 

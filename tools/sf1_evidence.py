@@ -30,7 +30,11 @@ SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1.0")
 
 from bench import BENCH_QUERIES as HEADLINE  # single source of truth
 
-SHUFFLE_HEAVY = ["dedup_minhash_clusters", "pack_chunk_assignments"]
+SHUFFLE_HEAVY = ["dedup_minhash_clusters", "pack_chunk_assignments",
+                 # VERDICT r05 #7: the variant/open-JSON path (heaviest
+                 # per-row compile output — kind dispatch + coverage
+                 # algebra) joins the scale-evidence set
+                 "validate_events_open_json", "validate_events_unevaluated"]
 
 # queries that MATERIALIZE during DataFrame construction (iterative
 # localCheckpoint loops): building them just to read the explain would
